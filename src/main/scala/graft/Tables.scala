@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table loaders.
+  *
+  * All operators take a scale-factor directory (`sfDir`) and read Parquet
+  * directly, so Catalyst's data-source V2 scan handles column pruning and
+  * predicate pushdown — at 100 TB the same code reads a partitioned
+  * table; nothing here assumes single-file inputs.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+
+  /** The vector corpus — the zvdb-equivalent table
+    * (reference: `src/hnsw.zig:44-50`, nodes map of id → point).
+    * Embedding floats are cast to DOUBLE once here: all distance
+    * arithmetic must accumulate in f64 so results are deterministic and
+    * bit-identical to the DuckDB oracle (see FIXTURES.md).
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+}

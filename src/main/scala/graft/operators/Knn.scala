@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Exact k-NN operators — the relational re-expression of zvdb's
+  * `search` (`src/hnsw.zig:194-236`) and of the index build
+  * (`insert`/`connect`/`shrinkConnections`, `src/hnsw.zig:73-170`).
+  *
+  * Semantics carried over from the reference (SURVEY §2.2):
+  *   - distance is squared L2 (`src/hnsw.zig:191`), ascending;
+  *   - up to k results, k > n returns n (`src/test_hnsw.zig:121-125`);
+  *   - duplicates are retrievable (`src/test_hnsw.zig:104-126`);
+  *   - empty corpus → empty result (`src/hnsw.zig:198-201`).
+  * Plus one strengthening: ties broken on id, so results are fully
+  * deterministic (the reference's ordering is unstable under ties).
+  *
+  * Scale design:
+  *   - single-query top-k is `ORDER BY dist LIMIT k` → Spark plans
+  *     `TakeOrderedAndProject`: each partition keeps a bounded k-heap,
+  *     the driver merges P×k rows. No global sort, no full shuffle —
+  *     at 100 TB this is scan + map + tiny reduce.
+  *   - batch k-NN broadcasts the (small) query set against the
+  *     (arbitrarily large) corpus, then takes per-query top-k with a
+  *     window. The corpus side never shuffles its vectors for the
+  *     join; only (query_id, vec_id, dist) tuples — k·Q rows after
+  *     partial filtering — move.
+  *   - the k-NN graph is the one genuinely quadratic operator; it is
+  *     kept exact here (n is small at test SFs) and the scale path is
+  *     the LSH-bucketed variant in [[Ann]], which turns O(n²) into a
+  *     banded equi-join.
+  */
+object Knn {
+
+  /** Corpus with id, label, DOUBLE-cast embedding. */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+
+  /** Top-k nearest to the embedding of `vec_id = qid` (flagship).
+    * The k-row result is broadcast back against the corpus to recover
+    * `label` — the big side is never shuffled. */
+  def knnTopK(s: SparkSession, d: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = corpus(s, d)
+    val q = e.filter(col("vec_id") === qid)
+    val topk = BroadcastKnnJoin(s, e, q, k)
+      .select(col("vec_id"), col("dist"))
+    broadcast(topk)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  /** Batch k-NN: for every query vector (vec_id < nq), its k nearest
+    * corpus vectors — batch form of zvdb `search`. */
+  def knnBatch(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+    val e = corpus(s, d)
+    val q = e.filter(col("vec_id") < nq)
+    BroadcastKnnJoin(s, e, q, k)
+      .select(col("query_id"), col("vec_id"), col("dist"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** m-nearest-neighbor graph over the corpus — the relational
+    * materialization of the HNSW adjacency after `shrinkConnections`
+    * pruning to m (`src/hnsw.zig:143-170`), m=16 as in every reference
+    * config. Excludes self-edges. */
+  def knnGraph(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    val e = corpus(s, d)
+    BroadcastKnnJoin(s, e, e, m, excludeSelf = true)
+      .select(
+        col("query_id").as("src"), col("vec_id").as("dst"),
+        col("dist"), col("rnk"))
+      .orderBy(col("src"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_topk"  -> ((s, d) => knnTopK(s, d)),
+    "knn_batch" -> ((s, d) => knnBatch(s, d)),
+    "knn_graph" -> ((s, d) => knnGraph(s, d))
+  )
+
+  private val distExpr =
+    "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+  val oracles: Map[String, String] = Map(
+    "knn_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, ${distExpr.format("e.v", "q.qv")} AS dist
+         |FROM e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_batch" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |d AS (SELECT q.query_id, e.vec_id, ${distExpr.format("e.v", "q.qv")} AS dist FROM e, q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM d)
+         |SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    "knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |d AS (SELECT l.vec_id AS src, r.vec_id AS dst, ${distExpr.format("l.v", "r.v")} AS dist
+         |      FROM e l, e r WHERE l.vec_id <> r.vec_id),
+         |g AS (SELECT src, dst, dist,
+         |        row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk FROM d)
+         |SELECT src, dst, dist, rnk FROM g WHERE rnk <= 16
+         |ORDER BY src, rnk""".stripMargin
+  )
+}

@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    QueryModule(operators.Knn.queries, operators.Knn.oracles)
+    QueryModule(operators.Knn.queries, operators.Knn.oracles),
+    QueryModule(operators.Similarity.queries, operators.Similarity.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

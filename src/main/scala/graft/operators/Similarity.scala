@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity / classification / dedup operators over the vector corpus.
+  *
+  * Extends the reference's capability surface (squared-L2 k-NN,
+  * `src/hnsw.zig:182-192`) with the vector-DB operations the category
+  * implies: cosine ranking, near-duplicate detection, exact duplicate
+  * grouping (the reference explicitly permits duplicate points —
+  * `src/test_hnsw.zig:104-126` — so dedup must be an explicit operator,
+  * not an index invariant), and nearest-centroid classification over
+  * the fixture's `label` column.
+  *
+  * Oracle-determinism notes (see FIXTURES.md):
+  *   - per-row array folds (distance, dot, norm) are strict left folds
+  *     → bit-identical across Spark / DuckDB;
+  *   - the one cross-row float aggregation (centroid mean) would be
+  *     order-nondeterministic in DOUBLE, so components are rounded to
+  *     6 dp and summed as DECIMAL(38,6) — exact integer arithmetic,
+  *     identical in any execution order and in both engines; the mean
+  *     is then a single double division of identical operands.
+  */
+object Similarity {
+
+  /** Top-k by cosine similarity to the embedding of `vec_id = qid`.
+    * Declarative: 1-row broadcast cross join + TakeOrderedAndProject. */
+  def cosineTopK(s: SparkSession, d: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), cosine(col("embedding"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Exact duplicate vectors: groups of identical embeddings with >1
+    * member. Hash-aggregate on the array value — one shuffle of the
+    * (rare) duplicate groups; at 100 TB this is the standard exact-dedup
+    * pattern (group by content hash). Empty on the fixtures — by design
+    * the oracle proves the *absence* of duplicates. */
+  def dedupExactVec(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .groupBy(col("embedding"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("vec_id")).as("keep_id"),
+        sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(col("n") > 1)
+      .select(col("n"), col("keep_id"), col("ids"))
+      .orderBy(col("keep_id"))
+
+  /** Near-duplicate pairs: src < dst with squared L2 below `eps`.
+    * Exact broadcast ε-join ([[BroadcastKnnJoin.epsilonJoin]]); the
+    * approximate scale path is LSH bucketing in [[Ann]]. */
+  def nearDupPairs(s: SparkSession, d: String, eps: Double = 1.1): DataFrame =
+    BroadcastKnnJoin.epsilonJoin(s, Tables.embeddings(s, d), eps)
+      .orderBy(col("src"), col("dst"))
+
+  /** Per-label centroids (deterministic decimal mean), then classify
+    * every vector to its nearest centroid — the argmin step of the
+    * reference's greedy descent (`src/hnsw.zig:97-101`) expressed as a
+    * 10-row broadcast join + per-vector rank-1 window.
+    *
+    * Scale: posexplode is a flatMap (no shuffle); the centroid agg
+    * shuffles label×dim rows (640 here) with map-side partial
+    * aggregation; classification broadcasts 10 centroid arrays. All
+    * corpus-sized work is map-only.
+    */
+  def nearestCentroid(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val ex = e.select(
+      col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "val")))
+    val cm = ex
+      .groupBy(col("label").as("clabel"), col("pos"))
+      .agg((sum(round(col("val"), 6).cast(DecimalType(38, 6))).cast("double") /
+        count(lit(1))).as("cv"))
+    val cent = cm
+      .groupBy(col("clabel"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))
+    e.crossJoin(broadcast(cent))
+      .select(
+        col("vec_id"), col("label"), col("clabel"),
+        squaredL2(col("embedding"), col("cvec")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("pred_label"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cosine_topk"      -> ((s, d) => cosineTopK(s, d)),
+    "dedup_exact_vec"  -> ((s, d) => dedupExactVec(s, d)),
+    "neardup_pairs"    -> ((s, d) => nearDupPairs(s, d)),
+    "nearest_centroid" -> ((s, d) => nearestCentroid(s, d))
+  )
+
+  private val sq = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
+  private val dp = "list_sum(list_transform(list_zip(%s, %s), p -> p[1]*p[2]))"
+
+  val oracles: Map[String, String] = Map(
+    "cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |  ${dp.format("e.v", "q.qv")} / (sqrt(${dp.format("e.v", "e.v")}) * sqrt(${dp.format("q.qv", "q.qv")})) AS sim
+         |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "dedup_exact_vec" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |g AS (SELECT v, count(*) AS n, min(vec_id) AS keep_id, list_sort(list(vec_id)) AS ids
+         |      FROM e GROUP BY v HAVING count(*) > 1)
+         |SELECT n, keep_id, ids FROM g ORDER BY keep_id""".stripMargin,
+    "neardup_pairs" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |SELECT l.vec_id AS src, r.vec_id AS dst, ${sq.format("l.v", "r.v")} AS dist
+         |FROM e l, e r WHERE l.vec_id < r.vec_id
+         |  AND ${sq.format("l.v", "r.v")} < 1.1
+         |ORDER BY src, dst""".stripMargin,
+    "nearest_centroid" ->
+      s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         |                   CAST(unnest(embedding) AS DOUBLE) AS val
+         |            FROM embeddings),
+         |cm AS (SELECT label AS clabel, pos,
+         |              CAST(sum(CAST(round(val, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS cv
+         |       FROM ex GROUP BY label, pos),
+         |cent AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY clabel),
+         |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |dd AS (SELECT e.vec_id, e.label, c.clabel, ${sq.format("e.v", "c.cvec")} AS dist
+         |       FROM e, cent c),
+         |r AS (SELECT vec_id, label, clabel, dist,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM dd)
+         |SELECT vec_id, label, clabel AS pred_label, dist FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+  )
+}

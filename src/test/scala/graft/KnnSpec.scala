@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BroadcastKnnJoin, BoundedTopK}
+import graft.functions.VectorFunctions._
+
+/** Ports of the reference's behavioral test properties
+  * (`src/test_hnsw.zig`, SURVEY §5) against the Spark engine, plus
+  * native-vs-HOF expression cross-checks.
+  *
+  * Memory-leak and lock-concurrency tests from the reference are
+  * JVM/Spark-managed concerns with no engine counterpart; the stress
+  * test lives in Bench at sf0.1.
+  */
+class KnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("knn-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def vecsDF(rows: Seq[(Long, Seq[Double])]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
+  }
+
+  def knn(corpus: DataFrame, queries: DataFrame, k: Int, excludeSelf: Boolean = false) =
+    BroadcastKnnJoin(spark, corpus, queries, k, excludeSelf = excludeSelf)
+      .orderBy(col("query_id"), col("rnk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+  // test_hnsw.zig "Basic Functionality" (:24-41)
+  test("k=2 of 3 points returns 2, ascending by distance") {
+    val corpus = vecsDF(Seq(
+      0L -> Seq(1.0, 2.0, 3.0), 1L -> Seq(4.0, 5.0, 6.0), 2L -> Seq(7.0, 8.0, 9.0)))
+    val q = vecsDF(Seq(100L -> Seq(1.0, 2.0, 3.0)))
+    val res = knn(corpus, q, 2)
+    assert(res.length == 2)
+    assert(res.map(_._2).toSeq == Seq(0L, 1L))
+    assert(res(0)._3 == 0.0 && res(1)._3 == 27.0)
+    assert(res(0)._3 <= res(1)._3)
+  }
+
+  // test_hnsw.zig "Empty Index" (:43-53)
+  test("empty corpus returns empty result, not an error") {
+    val corpus = vecsDF(Seq.empty)
+    val q = vecsDF(Seq(0L -> Seq(1.0, 2.0)))
+    assert(knn(corpus, q, 5).isEmpty)
+  }
+
+  // test_hnsw.zig "Single Point" (:55-68)
+  test("single point self-retrieval at distance 0") {
+    val corpus = vecsDF(Seq(7L -> Seq(0.5, -0.5, 2.0)))
+    val res = knn(corpus, corpus, 3)
+    assert(res.toSeq == Seq((7L, 7L, 0.0, 1)))
+  }
+
+  // test_hnsw.zig "Edge Cases" (:104-126)
+  test("duplicate points both retrievable; k > n returns n") {
+    val corpus = vecsDF(Seq(
+      0L -> Seq(1.0, 1.0), 1L -> Seq(1.0, 1.0), 2L -> Seq(9.0, 9.0)))
+    val q = vecsDF(Seq(50L -> Seq(1.0, 1.0)))
+    val res = knn(corpus, q, 10)
+    assert(res.length == 3) // k > n clamps to n
+    assert(res.take(2).map(_._2).toSeq == Seq(0L, 1L)) // dupes, id tie-break
+    assert(res(0)._3 == 0.0 && res(1)._3 == 0.0)
+  }
+
+  // test_hnsw.zig "Large Dataset" (:70-102) on the sf0.001 fixture
+  test("fixture corpus: exactly k results per query, ascending (dist, id)") {
+    val res = knn(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      Tables.embeddings(spark, "/root/testdata/sf0.001").filter(col("vec_id") < 5), 10)
+    assert(res.length == 50)
+    res.groupBy(_._1).values.foreach { g =>
+      assert(g.length == 10)
+      val sorted = g.sortBy(r => (r._3, r._2))
+      assert(g.toSeq == sorted.toSeq)
+    }
+  }
+
+  // test_hnsw.zig "Consistency" (:275-317)
+  test("repeated identical searches return identical results") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = corpus.filter(col("vec_id") === 3)
+    val a = knn(corpus, q, 10).toSeq
+    val b = knn(corpus, q, 10).toSeq
+    assert(a == b)
+  }
+
+  // test_hnsw.zig "Different Data Types" (:239-273): integer vectors
+  test("integer vectors work through the double pipeline") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((0L, Array(1, 2, 3)), (1L, Array(10, 20, 30)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = corpus.filter(col("vec_id") === 0)
+    val res = BroadcastKnnJoin(spark, corpus, q, 2).orderBy("rnk").collect()
+    assert(res.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    assert(res(1).getDouble(2) == 81.0 + 324.0 + 729.0)
+  }
+
+  test("native SquaredL2/Dot expressions bitwise-match the HOF forms") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = e.crossJoin(broadcast(q)).select(
+      squaredL2(col("embedding"), col("qv")).as("native"),
+      squaredL2Hof(col("embedding"), col("qv")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("knnGraph: m edges per node, no self edges, ascending per src") {
+    val g = operators.Knn.knnGraph(spark, "/root/testdata/sf0.001", m = 4).collect()
+    val bySrc = g.groupBy(_.getLong(0))
+    assert(bySrc.size == 500 && bySrc.values.forall(_.length == 4))
+    assert(g.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("epsilonJoin matches brute force on the fixture") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val fast = BroadcastKnnJoin.epsilonJoin(spark, e, 1.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l = e.select(col("vec_id").as("src"), col("embedding").as("sv"))
+    val r = e.select(col("vec_id").as("dst"), col("embedding").as("dv"))
+    val brute = l.crossJoin(r)
+      .filter(col("src") < col("dst"))
+      .filter(squaredL2Hof(col("sv"), col("dv")) < 1.2)
+      .select(col("src"), col("dst"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(fast == brute && fast.nonEmpty)
+  }
+}
+
+/** BoundedTopK property tests vs a sort-based oracle. */
+class BoundedTopKSpec extends AnyFunSuite {
+  test("keeps the k smallest by (dist, id), ascending, with ties") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 50) {
+      val n = rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(12)
+      val xs = Seq.fill(n)((rnd.nextInt(8).toDouble, rnd.nextLong() % 100))
+      val h = new BoundedTopK(k)
+      xs.foreach { case (d, id) => h.offer(d, id) }
+      val got = h.drain().toSeq
+      val want = xs.sorted.take(k)
+      assert(got == want, s"trial $trial n=$n k=$k")
+    }
+  }
+}

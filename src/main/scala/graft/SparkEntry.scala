@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     QueryModule(operators.Knn.queries, operators.Knn.oracles),
-    QueryModule(operators.Similarity.queries, operators.Similarity.oracles)
+    QueryModule(operators.Similarity.queries, operators.Similarity.oracles),
+    QueryModule(operators.TextOps.queries, operators.TextOps.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -15,10 +15,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Warm-up pass at the smallest SF (JIT-compiles each query's
+    // generated classes on ~1k rows; see Bench for rationale) unless
+    // we're already verifying the smallest SF.
+    if (!sfDir.contains("sf0.001")) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -111,3 +111,63 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** 48-bit SimHash (Charikar) over an ARRAY<BIGINT> of element hashes:
+  * per bit b ∈ [0,48), vote +1/−1 by bit b of each hash; output packs
+  * votes>0 as bits, bit 0 most significant (matches the
+  * `aggregate(transform(sequence(0,47),...))` HOF spec and the DuckDB
+  * `list_reduce` oracle bit-for-bit).
+  *
+  * One pass over the array instead of 48 interpreted lambda folds —
+  * the HOF form measured ~0.5 s/doc interpreted; this is O(len·48)
+  * primitive ops inside codegen.
+  */
+case class SimHash48(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash48"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](48)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 48) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 48) { out = out * 2 + (if (votes(b) > 0) 1L else 0L); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+        int[] $votes = new int[48];
+        for (int $i = 0; $i < $arr.numElements(); $i++) {
+          long $h = $arr.getLong($i);
+          for (int $b = 0; $b < 48; $b++) {
+            if ((($h >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+          }
+        }
+        long $out = 0L;
+        for (int $b = 0; $b < 48; $b++) { $out = $out * 2 + ($votes[$b] > 0 ? 1L : 0L); }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

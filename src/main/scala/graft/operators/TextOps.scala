@@ -1,0 +1,342 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Text-analysis / document-dedup operators over the `documents` table
+  * — the LLM-training-data-pipeline surface (BASELINE.json north star).
+  *
+  * The reference has no text operators; these extend its vector-dedup
+  * semantics (duplicates allowed in the store, dedup explicit —
+  * `src/test_hnsw.zig:104-126`) to documents, using the standard
+  * near-dup stack: exact (content hash), SimHash (Charikar), MinHash +
+  * LSH banding (Broder), and exact shingle-set Jaccard as ground truth.
+  *
+  * Everything is expression-level (no UDFs): tokenization `split`,
+  * shingling `transform(sequence(...))`, hashing `md5` → 60-bit int via
+  * `conv`, signatures via array HOFs. All integer arithmetic → results
+  * are bit-identical to the DuckDB oracles by construction; the only
+  * doubles are single divisions of identical integers.
+  *
+  * Scale notes:
+  *   - per-doc maps (stats, fingerprints, signatures) are shuffle-free
+  *     and whole-stage-codegen'd except HOF lambdas (fine off the
+  *     bench-critical path);
+  *   - the exact Jaccard join explodes shingles and equi-joins — on a
+  *     skewed web corpus hot shingles need salting or prefix filtering;
+  *     MinHash-LSH is the scale path: O(docs·K) signature work, then an
+  *     equi-join on band keys whose output is ~true-pair-count sized;
+  *   - simhash_neardup compares fingerprint pairs; at scale the
+  *     equi-join would be on rotated-prefix buckets rather than the
+  *     all-pairs form used at test SF.
+  */
+object TextOps {
+
+  /** docs with whitespace tokens. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
+
+  /** docs with distinct 3-word shingles (ordered shingling, distinct
+    * for set semantics — a DEFINITION shared with the oracle). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    toks(s, d).withColumn(
+      "sh",
+      when(size(col("toks")) >= 3,
+        array_distinct(expr(
+          "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))")))
+        .otherwise(expr("array()")))
+
+  /** 60-bit integer hash of a string via md5 (engine-portable). */
+  private val hash60 = "CAST(conv(substr(md5(%s), 1, 15), 16, 10) AS BIGINT)"
+
+  // ---------------------------------------------------------------- stats
+
+  def textStats(s: SparkSession, d: String): DataFrame =
+    toks(s, d).selectExpr(
+      "doc_id", "lang",
+      "size(toks) AS n_tokens",
+      "size(array_distinct(toks)) AS n_distinct",
+      "size(array_distinct(toks)) / size(toks) AS ttr",
+      "(n_chars - size(toks) + 1) / size(toks) AS avg_wlen",
+      "size(filter(toks, t -> t IN ('a','the'))) / size(toks) AS stop_ratio")
+      .withColumn("quality",
+        round(col("ttr") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("n_tokens"), lit(50)) / 50.0 * 0.2, 6))
+      .orderBy("doc_id")
+
+  def langStats(s: SparkSession, d: String): DataFrame =
+    toks(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+
+  def tokenTopK(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    toks(s, d)
+      .select(explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Whitespace vs regex ("BPE-ish" word/punct split) token counting. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    toks(s, d).selectExpr(
+      "doc_id",
+      "size(toks) AS ws_tokens",
+      raw"size(regexp_extract_all(text, '\\w+', 0)) AS re_tokens",
+      "n_chars")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------- fingerprints
+
+  /** Per-doc fingerprints: full md5 plus a 48-bit SimHash over distinct
+    * 3-word shingles (Charikar: sign of per-bit ±1 vote, packed). */
+  def docFingerprint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge.{column, expression}
+    import graft.functions.expressions.SimHash48
+    val hs = expr(s"transform(sh, t -> ${hash60.format("t")})")
+    shingled(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5"),
+        column(SimHash48(expression(hs))).as("sim48"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------------- dedup
+
+  def dedupDocsExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("doc_id")).as("keep_id"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(col("n") > 1)
+      .select(col("n"), col("keep_id"), col("ids"))
+      .orderBy(col("keep_id"))
+
+  /** Exact shingle-set Jaccard similarity join (ground truth for the
+    * approximate dedup operators): pairs with J ≥ 0.5. */
+  def jaccardPairs(s: SparkSession, d: String, theta: Double = 0.5): DataFrame = {
+    val sh = shingled(s, d).select(col("doc_id"), col("sh"))
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sz = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "src").withColumnRenamed("n", "na"), "src")
+      .join(sz.withColumnRenamed("doc_id", "dst").withColumnRenamed("n", "nb"), "dst")
+      .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jac") >= theta)
+      .select(col("src"), col("dst"), col("jac"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** SimHash near-dup pairs: hamming(sim48) ≤ 8 over all pairs. */
+  def simhashNearDup(s: SparkSession, d: String, maxHd: Int = 8): DataFrame = {
+    val f = docFingerprint(s, d).select(col("doc_id"), col("sim48"))
+    f.as("l").join(f.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("src"), col("r.doc_id").as("dst"),
+        expr("bit_count(l.sim48 ^ r.sim48)").as("hd"))
+      .filter(col("hd") <= maxHd)
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** MinHash + LSH banded near-dup: K=16 signature (universal-hash
+    * permutations over 31-bit shingle hashes), 4 bands × 4 rows,
+    * band-key equi-join for candidates, exact Jaccard verification
+    * ≥ 0.5. The banded join is the 100 TB path: signature computation
+    * is a map, the join output is candidate-pair sized, and only
+    * candidates pay the verification cost. */
+  def minhashLshDedup(s: SparkSession, d: String, theta: Double = 0.5): DataFrame = {
+    val sh = shingled(s, d).select(col("doc_id"), col("sh"))
+    val sig = sh
+      .withColumn("hs", expr(s"transform(sh, t -> ${hash60.format("t")} % 2147483647)"))
+      .withColumn("sig", expr(
+        "transform(sequence(0,15), i -> array_min(transform(hs, h -> ((2*i+1)*h + i*7919) % 2147483647)))"))
+      .select(col("doc_id"), col("sh"), col("sig"))
+    val bands = sig.select(
+        col("doc_id"),
+        explode(expr(
+          """transform(sequence(0,3), b -> struct(b AS b,
+               md5(array_join(transform(slice(sig, b*4+1, 4), x -> CAST(x AS STRING)), '-')) AS bk))""")).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
+    val cand = bands.as("a").join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.bk") === col("c.bk") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("src"), col("c.doc_id").as("dst"))
+      .distinct()
+    // verify candidates with exact Jaccard on the shingle sets
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("src"), col("sh").as("sha")), "src")
+      .join(sh.select(col("doc_id").as("dst"), col("sh").as("shb")), "dst")
+    withSets
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac",
+        col("i").cast("double") / (size(col("sha")) + size(col("shb")) - col("i")))
+      .filter(col("jac") >= theta)
+      .select(col("src"), col("dst"), col("jac"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  // ---------------------------------------------------------------- langid
+
+  /** Character-trigram language ID: per-lang top-20 trigram profiles
+    * built from the corpus, docs scored by distinct-trigram overlap,
+    * argmax with (score DESC, lang ASC) tie-break. Pure integer
+    * relational pipeline (explode → count → rank → join → argmax). */
+  def langidTrigram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tri = docs.select(
+      col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, CAST(length(text) AS INT)-2), i -> substr(text, i, 3))")).as("tri"))
+    val prof = tri.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy("plang").orderBy(col("c").desc, col("tri"))
+    val top = prof.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 20)
+      .select(col("plang"), col("tri"))
+    val docTri = tri.select(col("doc_id"), col("tri")).distinct()
+    val scores = docTri.join(top, "tri")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("sc"))
+    val allPairs = docs.select(col("doc_id"), col("lang"))
+      .crossJoin(docs.select(col("lang").as("plang")).distinct())
+    val sc = allPairs.join(scores, Seq("doc_id", "plang"), "left")
+      .withColumn("score", coalesce(col("sc"), lit(0L)))
+    val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
+    sc.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("plang").as("pred_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"        -> ((s, d) => textStats(s, d)),
+    "lang_stats"        -> ((s, d) => langStats(s, d)),
+    "token_topk"        -> ((s, d) => tokenTopK(s, d)),
+    "token_counts"      -> ((s, d) => tokenCounts(s, d)),
+    "doc_fingerprint"   -> ((s, d) => docFingerprint(s, d)),
+    "dedup_docs_exact"  -> ((s, d) => dedupDocsExact(s, d)),
+    "jaccard_pairs"     -> ((s, d) => jaccardPairs(s, d)),
+    "simhash_neardup"   -> ((s, d) => simhashNearDup(s, d)),
+    "minhash_lsh_dedup" -> ((s, d) => minhashLshDedup(s, d)),
+    "langid_trigram"    -> ((s, d) => langidTrigram(s, d))
+  )
+
+  private val duckShingles =
+    """d0 AS (SELECT doc_id, lang, text, n_chars, string_split(text,' ') AS toks FROM documents),
+      |d AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+      |        THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+      |        ELSE [] END AS sh FROM d0)""".stripMargin
+
+  private val duckHash60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  len(list_distinct(toks)) / len(toks) AS ttr,
+        |  (n_chars - len(toks) + 1) / len(toks) AS avg_wlen,
+        |  len(list_filter(toks, t -> t IN ('a','the'))) / len(toks) AS stop_ratio
+        |  FROM t)
+        |SELECT *, round(ttr*0.5 + (1.0 - stop_ratio)*0.3 + least(n_tokens, 50)/50.0*0.2, 6) AS quality
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "lang_stats" ->
+      """WITH t AS (SELECT lang, n_chars, source, string_split(text, ' ') AS toks FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "token_topk" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS cnt FROM t WHERE token <> ''
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "token_counts" ->
+      raw"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+           |  len(regexp_extract_all(text, '\w+')) AS re_tokens, n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH $duckShingles,
+         |h AS (SELECT d.doc_id, list_transform(sh, t -> ${duckHash60.format("t")}) AS hs FROM d)
+         |SELECT h.doc_id, md5(d0.text) AS md5,
+         |  list_reduce(list_transform(generate_series(0,47), b ->
+         |    CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |    (a, b) -> a*2 + b) AS sim48
+         |FROM h JOIN d0 ON h.doc_id = d0.doc_id ORDER BY h.doc_id""".stripMargin,
+    "dedup_docs_exact" ->
+      """WITH g AS (SELECT text, count(*) AS n, min(doc_id) AS keep_id,
+        |             list_sort(list(doc_id)) AS ids
+        |           FROM documents GROUP BY text HAVING count(*) > 1)
+        |SELECT n, keep_id, ids FROM g ORDER BY keep_id""".stripMargin,
+    "jaccard_pairs" ->
+      s"""WITH $duckShingles,
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM d),
+         |inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+         |          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT src, dst, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jac
+         |FROM inter JOIN sz sa ON sa.doc_id = src JOIN sz sb ON sb.doc_id = dst
+         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
+         |ORDER BY src, dst""".stripMargin,
+    "simhash_neardup" ->
+      s"""WITH $duckShingles,
+         |h AS (SELECT doc_id, list_transform(sh, t -> ${duckHash60.format("t")}) AS hs FROM d),
+         |s AS (SELECT doc_id, list_reduce(list_transform(generate_series(0,47), b ->
+         |        CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |        (a, b) -> a*2 + b) AS sim48 FROM h)
+         |SELECT l.doc_id AS src, r.doc_id AS dst, bit_count(xor(l.sim48, r.sim48)) AS hd
+         |FROM s l, s r WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sim48, r.sim48)) <= 8
+         |ORDER BY src, dst""".stripMargin,
+    "minhash_lsh_dedup" ->
+      s"""WITH $duckShingles,
+         |h AS (SELECT doc_id, list_transform(sh, t -> ${duckHash60.format("t")} % 2147483647) AS hs FROM d),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0,15), i ->
+         |          list_min(list_transform(hs, h -> ((2*i+1)*h + i*7919) % 2147483647))) AS sig FROM h),
+         |bands AS (SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4+1, b*4+4), '-')) AS bk
+         |          FROM sig, (SELECT unnest(generate_series(0,3)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+         |         FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+         |v AS (SELECT src, dst,
+         |        len(list_intersect(da.sh, db.sh)) AS i, len(da.sh) AS na, len(db.sh) AS nb
+         |      FROM cand JOIN d da ON da.doc_id = src JOIN d db ON db.doc_id = dst)
+         |SELECT src, dst, CAST(i AS DOUBLE)/(na + nb - i) AS jac
+         |FROM v WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5
+         |ORDER BY src, dst""".stripMargin,
+    "langid_trigram" ->
+      """WITH tri AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(text)-2),
+        |               i -> substr(text, i, 3))) AS tri FROM documents),
+        |prof AS (SELECT lang AS plang, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+        |top AS (SELECT plang, tri FROM (
+        |          SELECT plang, tri, row_number() OVER (PARTITION BY plang ORDER BY c DESC, tri) AS rn
+        |          FROM prof) WHERE rn <= 20),
+        |doctri AS (SELECT DISTINCT doc_id, tri FROM tri),
+        |scores AS (SELECT doc_id, plang, count(*) AS sc
+        |           FROM doctri JOIN top USING (tri) GROUP BY 1, 2),
+        |allp AS (SELECT doc_id, lang, plang
+        |         FROM documents CROSS JOIN (SELECT DISTINCT lang AS plang FROM documents)),
+        |scj AS (SELECT a.doc_id, a.lang, a.plang, coalesce(s.sc, 0) AS score
+        |        FROM allp a LEFT JOIN scores s ON a.doc_id = s.doc_id AND a.plang = s.plang),
+        |r AS (SELECT doc_id, lang, plang, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn FROM scj)
+        |SELECT doc_id, lang, plang AS pred_lang, score FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -14,7 +14,9 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     QueryModule(operators.Knn.queries, operators.Knn.oracles),
     QueryModule(operators.Similarity.queries, operators.Similarity.oracles),
-    QueryModule(operators.TextOps.queries, operators.TextOps.oracles)
+    QueryModule(operators.TextOps.queries, operators.TextOps.oracles),
+    QueryModule(operators.Relational.queries, operators.Relational.oracles),
+    QueryModule(operators.EventsOps.queries, operators.EventsOps.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -21,7 +21,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses
+    * to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as
+    * BIGINT and truncate to µs — exactly what DuckDB does natively, so
+    * oracle timestamps agree. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
 
   /** The vector corpus — the zvdb-equivalent table

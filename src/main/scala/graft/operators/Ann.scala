@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor scale path: LSH bucketing, IVF coarse
+  * quantization, and the HNSW-shaped hierarchical k-NN graph — the
+  * batch re-expressions of the reference's index (`src/hnsw.zig`).
+  *
+  * Where the reference builds a pointer graph under a global mutex and
+  * searches it greedily (`insert` `src/hnsw.zig:73-117`, `search`
+  * `:194-236`), the Spark engine builds *partitionable structures*:
+  *
+  *   - LSH: per-vector bucket keys from deterministic random-ish
+  *     projections → candidate generation is an equi-join on bucket,
+  *     turning the O(n²) similarity join into O(n·bands) shuffle.
+  *   - IVF: coarse centroids (the label centroids of
+  *     [[Similarity.nearestCentroid]] serve as the deterministic
+  *     codebook), vectors assigned to nearest centroid; a query probes
+  *     the `nprobe` nearest cells only.
+  *   - HNSW-shaped graph: geometric level assignment + per-level
+  *     windowed m-NN edges — the relational materialization of what
+  *     `insert`/`connect`/`shrinkConnections` build imperatively.
+  *
+  * Determinism without crypto randomness (the reference's
+  * `std.crypto.random` level draw, `src/hnsw.zig:172-180`, makes its
+  * index non-reproducible — SURVEY §2.2): all randomness here derives
+  * from md5 of ids/dimension indices, so every structure is exactly
+  * reproducible in both engines.
+  */
+object Ann {
+
+  private val hash60 = "CAST(conv(substr(md5(%s), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Deterministic pseudo-uniform in [-0.5, 0.5] from a string key. */
+  private def unitHash(key: String) =
+    s"((${hash60.format(key)} % 1000001) / 1000000.0 - 0.5)"
+
+  /** Geometric(p=0.5) level from trailing-zero bits of the id hash —
+    * integer-exact mirror of `randomLevel` (`src/hnsw.zig:172-180`,
+    * p=0.5, cap 31) with a seeded hash instead of crypto randomness. */
+  private val levelExpr = {
+    val h = hash60.format("CAST(vec_id AS STRING)")
+    // count trailing zero bits of h (h is uniform over 60 bits)
+    s"""least(31, CAST(aggregate(sequence(0, 31),
+       |  named_struct('done', false, 'n', 0),
+       |  (acc, b) -> CASE WHEN acc.done OR (($h >> b) & 1) = 1
+       |                   THEN named_struct('done', true, 'n', acc.n)
+       |                   ELSE named_struct('done', false, 'n', acc.n + 1) END,
+       |  acc -> acc.n) AS INT))""".stripMargin
+  }
+
+  /** Per-vector LSH bucket keys: `nProj` signed random projections,
+    * bucket = floor(dot(vec, proj)/w). Returns (vec_id, proj_id, bucket). */
+  def lshBuckets(s: SparkSession, d: String, nProj: Int = 8, w: Double = 2.0): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    // projection p, dim j component = unitHash("p|j"); dot via fold
+    val dotExpr = (p: Int) =>
+      s"""aggregate(zip_with(embedding, transform(sequence(0, 63),
+         |  j -> ${unitHash(s"concat('$p-', CAST(j AS STRING))")}),
+         |  (x, pr) -> x * pr), 0.0D, (acc, v) -> acc + v)""".stripMargin
+    val buckets = (0 until nProj).map { p =>
+      struct(lit(p).as("proj_id"),
+        floor(expr(dotExpr(p)) / w).cast("long").as("bucket"))
+    }
+    e.select(col("vec_id"), explode(array(buckets: _*)).as("pb"))
+      .select(col("vec_id"), col("pb.proj_id").as("proj_id"), col("pb.bucket").as("bucket"))
+      .orderBy(col("vec_id"), col("proj_id"))
+  }
+
+  /** LSH-accelerated approximate k-NN for queries (vec_id < nq):
+    * candidates = corpus vectors sharing ≥1 (proj, bucket) key with the
+    * query, then exact re-rank among candidates. The equi-join on
+    * bucket keys is the 100 TB path: no cross join anywhere. */
+  def annLsh(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val b = lshBuckets(s, d)
+    val qb = b.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("proj_id"), col("bucket"))
+    val cand = qb.join(b, Seq("proj_id", "bucket"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val withVecs = cand
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    withVecs
+      .select(col("query_id"), col("vec_id"),
+        squaredL2(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** IVF assignment: each vector → nearest label-centroid cell
+    * (deterministic codebook from [[Similarity]]'s decimal centroids). */
+  def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    val cent = Similarity.centroids(s, d) // (clabel, cvec)
+    val e = Tables.embeddings(s, d)
+    val w = Window.partitionBy("vec_id").orderBy(col("cdist"), col("clabel"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("clabel"),
+        squaredL2(col("embedding"), col("cvec")).as("cdist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"), col("cdist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF approximate k-NN: probe the `nprobe` nearest cells per query,
+    * exact re-rank within them. Scan cost drops from |corpus| to
+    * |probed cells| — the standard inverted-file trade. */
+  def annIvf(s: SparkSession, d: String, nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = Similarity.centroids(s, d)
+    val assign = ivfAssign(s, d).select(col("vec_id"), col("cell"))
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // nprobe nearest cells per query
+    val wq = Window.partitionBy("query_id").orderBy(col("cdist"), col("clabel"))
+    val probed = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("clabel"),
+        squaredL2(col("qv"), col("cvec")).as("cdist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("clabel").as("cell"))
+    // candidates = corpus vectors in probed cells
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    probed.join(assign, "cell")
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        squaredL2(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** HNSW-shaped hierarchical structure: geometric levels + per-level
+    * m-NN edges (m=16 as in every reference config, pruned per
+    * `shrinkConnections` semantics `src/hnsw.zig:143-170`, ties on id). */
+  def hnswLevels(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("level", expr(levelExpr))
+      .select(col("vec_id"), col("level"))
+      .orderBy(col("vec_id"))
+
+  def hnswEdges(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    val s_ = s
+    val lv = Tables.embeddings(s, d).withColumn("level", expr(levelExpr))
+    val maxLevel = 8 // levels above this are astronomically unlikely occupied by >1 node
+    val perLevel = (0 to maxLevel).map { l =>
+      val nodes = lv.filter(col("level") >= l)
+      BroadcastKnnJoin(s_, nodes, nodes, m, excludeSelf = true)
+        .select(lit(l).as("level"), col("query_id").as("src"),
+          col("vec_id").as("dst"), col("dist"), col("rnk"))
+    }
+    perLevel.reduce(_ union _).orderBy(col("level"), col("src"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
+    "ann_lsh"     -> ((s, d) => annLsh(s, d)),
+    "ivf_assign"  -> ((s, d) => ivfAssign(s, d)),
+    "ann_ivf"     -> ((s, d) => annIvf(s, d)),
+    "hnsw_levels" -> ((s, d) => hnswLevels(s, d)),
+    // oracle-omitted (driver records rows-only check): the union of 9
+    // windowed self-joins is beyond reasonable oracle SQL size.
+    "hnsw_edges"  -> ((s, d) => hnswEdges(s, d))
+  )
+
+  private val duckHash60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+  private def duckUnit(key: String) =
+    s"((${duckHash60.format(key)} % 1000001) / 1000000.0 - 0.5)"
+  private val duckSq = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+  val oracles: Map[String, String] = Map(
+    "lsh_buckets" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |pb AS (SELECT vec_id, p AS proj_id,
+         |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
+         |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 2.0) AS BIGINT) AS bucket
+         |  FROM e, (SELECT unnest(generate_series(0, 7)) AS p))
+         |SELECT vec_id, proj_id, bucket FROM pb ORDER BY vec_id, proj_id""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |pb AS (SELECT vec_id, p AS proj_id,
+         |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
+         |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 2.0) AS BIGINT) AS bucket
+         |  FROM e, (SELECT unnest(generate_series(0, 7)) AS p)),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+         |         FROM pb q JOIN pb b ON q.proj_id = b.proj_id AND q.bucket = b.bucket
+         |         WHERE q.vec_id < 10),
+         |dd AS (SELECT c.query_id, c.vec_id, ${duckSq.format("ev.v", "qv.v")} AS dist
+         |       FROM cand c JOIN e ev ON ev.vec_id = c.vec_id JOIN e qv ON qv.vec_id = c.query_id),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
+         |SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    "ivf_assign" ->
+      s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         |                   CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |cm AS (SELECT label AS clabel, pos,
+         |              CAST(sum(CAST(round(val, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS cv
+         |       FROM ex GROUP BY label, pos),
+         |cent AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY clabel),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |dd AS (SELECT e.vec_id, c.clabel, ${duckSq.format("e.v", "c.cvec")} AS cdist FROM e, cent c),
+         |r AS (SELECT vec_id, clabel, cdist,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY cdist, clabel) AS rn FROM dd)
+         |SELECT vec_id, clabel AS cell, cdist FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         |                   CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |cm AS (SELECT label AS clabel, pos,
+         |              CAST(sum(CAST(round(val, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS cv
+         |       FROM ex GROUP BY label, pos),
+         |cent AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY clabel),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT e.vec_id, c.clabel AS cell,
+         |            row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckSq.format("e.v", "c.cvec")}, c.clabel) AS rn
+         |          FROM e, cent c) WHERE rn = 1),
+         |probed AS (SELECT query_id, cell FROM (
+         |             SELECT q.vec_id AS query_id, c.clabel AS cell,
+         |               row_number() OVER (PARTITION BY q.vec_id ORDER BY ${duckSq.format("q.v", "c.cvec")}, c.clabel) AS rn
+         |             FROM e q, cent c WHERE q.vec_id < 10) WHERE rn <= 3),
+         |cand AS (SELECT p.query_id, a.vec_id FROM probed p JOIN asg a ON a.cell = p.cell),
+         |dd AS (SELECT c.query_id, c.vec_id, ${duckSq.format("ev.v", "qv.v")} AS dist
+         |       FROM cand c JOIN e ev ON ev.vec_id = c.vec_id JOIN e qv ON qv.vec_id = c.query_id),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
+         |SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    "hnsw_levels" ->
+      s"""WITH h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
+         |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
+         |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h)
+         |SELECT vec_id, level FROM lv ORDER BY vec_id""".stripMargin
+  )
+}

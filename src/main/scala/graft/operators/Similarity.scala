@@ -73,7 +73,9 @@ object Similarity {
     * aggregation; classification broadcasts 10 centroid arrays. All
     * corpus-sized work is map-only.
     */
-  def nearestCentroid(s: SparkSession, d: String): DataFrame = {
+  /** Per-label centroids as (clabel, cvec) — the deterministic decimal
+    * mean described in the class doc; also the IVF codebook in [[Ann]]. */
+  def centroids(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val ex = e.select(
       col("vec_id"), col("label"),
@@ -82,11 +84,15 @@ object Similarity {
       .groupBy(col("label").as("clabel"), col("pos"))
       .agg((sum(round(col("val"), 6).cast(DecimalType(38, 6))).cast("double") /
         count(lit(1))).as("cv"))
-    val cent = cm
-      .groupBy(col("clabel"))
+    cm.groupBy(col("clabel"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("cvec"))
+  }
+
+  def nearestCentroid(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = centroids(s, d)
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))
     e.crossJoin(broadcast(cent))
       .select(

@@ -16,7 +16,8 @@ object SparkEntry {
     QueryModule(operators.Similarity.queries, operators.Similarity.oracles),
     QueryModule(operators.TextOps.queries, operators.TextOps.oracles),
     QueryModule(operators.Relational.queries, operators.Relational.oracles),
-    QueryModule(operators.EventsOps.queries, operators.EventsOps.oracles)
+    QueryModule(operators.EventsOps.queries, operators.EventsOps.oracles),
+    QueryModule(operators.Ann.queries, operators.Ann.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `BINARY` columns with
+  * typed metadata, decoded / feature-extracted in batched
+  * per-partition passes.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly marked deterministic STUB ([[FakeDecoder]]) — what is real
+  * and tested is everything Spark-side: the binary column schema, the
+  * batched `mapPartitions` shape (the JVM twin of `mapInPandas`:
+  * iterate partitions in bounded batches, never materialize the whole
+  * partition), the metadata projection, and the handoff of extracted
+  * feature vectors into the vector operators ([[graft.operators]]).
+  *
+  * Scale: blobs never shuffle — metadata and features are computed in
+  * the scan stage and only the small derived columns move. For real
+  * media, the same pipeline reads a binary-file or parquet-BLOB table;
+  * partition sizing must account for blob width
+  * (`spark.sql.files.maxPartitionBytes`), which is why [[features]]
+  * processes in fixed-size batches rather than per-partition arrays.
+  */
+object Multimodal {
+
+  /** The fixture has no binary table; derive one deterministically from
+    * documents (utf-8 bytes as the "media payload"). */
+  def blobTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("blob"),
+      col("source").as("media_source"))
+
+  /** Declarative metadata over the binary column: true byte length and
+    * content hash, plus FAKE decoded dimensions (see [[FakeDecoder]] —
+    * derived from payload bytes so they are deterministic and
+    * oracle-checkable). */
+  def mediaMeta(s: SparkSession, d: String): DataFrame =
+    blobTable(s, d)
+      .select(
+        col("doc_id"),
+        octet_length(col("blob")).as("byte_len"),
+        sha2(col("blob"), 256).as("sha256"),
+        (expr("ascii(substr(CAST(blob AS STRING), 1, 1))") % 64 + 1).as("width"),
+        (expr("ascii(substr(CAST(blob AS STRING), 2, 1))") % 64 + 1).as("height"),
+        (octet_length(col("blob")) % 16 + 1).as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  /** Batched per-partition feature extraction: blob → Array[Float].
+    * Mirrors the mapInPandas batch shape — bounded batches, one
+    * decoder instance per partition. Feeds the ANN/k-NN operators. */
+  def features(s: SparkSession, d: String, dim: Int = 16, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    blobTable(s, d)
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        val decoder = new FakeDecoder(dim) // one per partition, like mapInPandas
+        iter.grouped(batchSize).flatMap { batch =>
+          decoder.decodeBatch(batch)
+        }
+      }
+      .toDF("doc_id", "feature")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> ((s, d) => mediaMeta(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  sha256(text) AS sha256,
+        |  ascii(substr(text, 1, 1)) % 64 + 1 AS width,
+        |  ascii(substr(text, 2, 1)) % 64 + 1 AS height,
+        |  octet_length(encode(text)) % 16 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
+
+/** STUB media decoder — the real implementation would wrap an image /
+  * audio codec here (none exists in this container). Deterministic:
+  * "features" are a rolling-hash projection of the payload bytes, so
+  * the downstream vector pipeline is fully testable. The interface —
+  * construct once per partition, decode in batches, emit fixed-dim
+  * float vectors — is the real contract a codec-backed decoder drops
+  * into. */
+final class FakeDecoder(dim: Int) {
+  def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Array[Float])] =
+    batch.map { case (id, bytes) => (id, decode(bytes)) }
+
+  private def decode(bytes: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](dim)
+    var h = 1125899906842597L // FNV-ish rolling hash
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31 + (bytes(i) & 0xff)
+      f(i % dim) += ((h >>> 16) & 0xffff).toFloat / 65536.0f - 0.5f
+      i += 1
+    }
+    f
+  }
+}

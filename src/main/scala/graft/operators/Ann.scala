@@ -56,7 +56,7 @@ object Ann {
 
   /** Per-vector LSH bucket keys: `nProj` signed random projections,
     * bucket = floor(dot(vec, proj)/w). Returns (vec_id, proj_id, bucket). */
-  def lshBuckets(s: SparkSession, d: String, nProj: Int = 8, w: Double = 2.0): DataFrame = {
+  def lshBuckets(s: SparkSession, d: String, nProj: Int = 8, w: Double = 0.1): DataFrame = {
     val e = Tables.embeddings(s, d)
     // projection p, dim j component = unitHash("p|j"); dot via fold
     val dotExpr = (p: Int) =>
@@ -181,14 +181,14 @@ object Ann {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |pb AS (SELECT vec_id, p AS proj_id,
          |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
-         |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 2.0) AS BIGINT) AS bucket
+         |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
          |  FROM e, (SELECT unnest(generate_series(0, 7)) AS p))
          |SELECT vec_id, proj_id, bucket FROM pb ORDER BY vec_id, proj_id""".stripMargin,
     "ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |pb AS (SELECT vec_id, p AS proj_id,
          |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
-         |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 2.0) AS BIGINT) AS bucket
+         |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
          |  FROM e, (SELECT unnest(generate_series(0, 7)) AS p)),
          |cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id
          |         FROM pb q JOIN pb b ON q.proj_id = b.proj_id AND q.bucket = b.bucket

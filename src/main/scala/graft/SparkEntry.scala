@@ -17,7 +17,9 @@ object SparkEntry {
     QueryModule(operators.TextOps.queries, operators.TextOps.oracles),
     QueryModule(operators.Relational.queries, operators.Relational.oracles),
     QueryModule(operators.EventsOps.queries, operators.EventsOps.oracles),
-    QueryModule(operators.Ann.queries, operators.Ann.oracles)
+    QueryModule(operators.Ann.queries, operators.Ann.oracles),
+    QueryModule(streaming.StreamingOps.queries, streaming.StreamingOps.oracles),
+    QueryModule(multimodal.Multimodal.queries, multimodal.Multimodal.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

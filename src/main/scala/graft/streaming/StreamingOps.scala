@@ -37,7 +37,8 @@ object StreamingOps {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val src = s.readStream
       .schema(schema)
-      .parquet(s"$d/events.parquet")
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(d)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val agg = src
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+/** Streaming behavior: bounded-stream equivalence with batch results,
+  * and stateful sessionization across micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streamingHourly equals the batch hourly aggregation") {
+    val d = "/root/testdata/sf0.001"
+    val stream = StreamingOps.streamingHourly(spark, d).collect()
+    val batch = operators.EventsOps.eventsHourly(spark, d)
+      .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
+      .collect()
+    assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    assert(stream.nonEmpty)
+  }
+
+  test("streamingSessionize closes sessions across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user_id, us)
+    val events = mem.toDF()
+      .select(col("_1").as("user_id"), expr("timestamp_micros(_2)").as("ts"))
+    val out = StreamingOps.streamingSessionize(spark, events)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_test").start()
+
+    val min = 60L * 1000000L
+    // batch 1: user 1 has two events 5 min apart (one open session)
+    mem.addData((1L, 0L), (1L, 5 * min))
+    q.processAllAvailable()
+    assert(spark.table("sess_test").count() == 0) // nothing closed yet
+
+    // batch 2: 45 min later -> gap closes session 1 (2 events, 5 min)
+    mem.addData((1L, 50 * min))
+    q.processAllAvailable()
+    val closed = spark.table("sess_test").as[StreamingOps.SessionOut].collect()
+    assert(closed.toSeq == Seq(StreamingOps.SessionOut(1L, 1L, 2L, 5 * min)))
+
+    // batch 3: another user, immediate gap close after two bursts
+    mem.addData((2L, 0L), (2L, 40 * min))
+    q.processAllAvailable()
+    val all = spark.table("sess_test").as[StreamingOps.SessionOut].collect()
+    assert(all.length == 2)
+    assert(all.exists(o => o.user_id == 2L && o.n_events == 1L))
+    q.stop()
+  }
+}
+
+/** Multimodal plumbing: schema, batching, determinism, ANN handoff. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("multimodal-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val d = "/root/testdata/sf0.001"
+
+  test("features: fixed dim, deterministic across runs, batched") {
+    val f1 = multimodal.Multimodal.features(spark, d).orderBy("doc_id").collect()
+    val f2 = multimodal.Multimodal.features(spark, d).orderBy("doc_id").collect()
+    assert(f1.length == 500)
+    assert(f1.forall(_.getSeq[Float](1).length == 16))
+    assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+  }
+
+  test("extracted features feed the exact k-NN operator") {
+    val feats = multimodal.Multimodal.features(spark, d)
+      .select(col("doc_id").as("vec_id"), col("feature").cast("array<double>").as("embedding"))
+    val q = feats.filter(col("vec_id") < 3)
+    val res = operators.BroadcastKnnJoin(spark, feats, q, 5)
+      .orderBy(col("query_id"), col("rnk")).collect()
+    assert(res.length == 15)
+    // self is always rank 1 at distance 0
+    assert(res.filter(_.getInt(3) == 1).forall(r => r.getLong(0) == r.getLong(1)))
+  }
+}

@@ -167,7 +167,7 @@ object BroadcastKnnJoin {
   * smallest k kept, worst element evicted first. Binary max-heap on
   * primitive arrays; O(log k) offer when full, O(1) reject.
   */
-final class BoundedTopK(k: Int) {
+final class BoundedTopK(k: Int) extends Serializable {
   private val dists = new Array[Double](k)
   private val ids = new Array[Long](k)
   private var size = 0

@@ -128,7 +128,9 @@ object TextOps {
   /** Exact shingle-set Jaccard similarity join (ground truth for the
     * approximate dedup operators): pairs with J ≥ 0.5. */
   def jaccardPairs(s: SparkSession, d: String, theta: Double = 0.5): DataFrame = {
-    val sh = shingled(s, d).select(col("doc_id"), col("sh"))
+    // The shingle HOF chain is interpreted (CodegenFallback); both join
+    // sides and the size table reuse it, so materialize it once.
+    val sh = shingled(s, d).select(col("doc_id"), col("sh")).cache()
     val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sz = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val inter = e.as("a").join(e.as("b"),
@@ -146,7 +148,7 @@ object TextOps {
 
   /** SimHash near-dup pairs: hamming(sim48) ≤ 8 over all pairs. */
   def simhashNearDup(s: SparkSession, d: String, maxHd: Int = 8): DataFrame = {
-    val f = docFingerprint(s, d).select(col("doc_id"), col("sim48"))
+    val f = docFingerprint(s, d).select(col("doc_id"), col("sim48")).cache()
     f.as("l").join(f.as("r"), col("l.doc_id") < col("r.doc_id"))
       .select(
         col("l.doc_id").as("src"), col("r.doc_id").as("dst"),
@@ -162,7 +164,7 @@ object TextOps {
     * is a map, the join output is candidate-pair sized, and only
     * candidates pay the verification cost. */
   def minhashLshDedup(s: SparkSession, d: String, theta: Double = 0.5): DataFrame = {
-    val sh = shingled(s, d).select(col("doc_id"), col("sh"))
+    val sh = shingled(s, d).select(col("doc_id"), col("sh")).cache()
     val sig = sh
       .withColumn("hs", expr(s"transform(sh, t -> ${hash60.format("t")} % 2147483647)"))
       .withColumn("sig", expr(

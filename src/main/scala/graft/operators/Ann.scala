@@ -160,7 +160,63 @@ object Ann {
     perLevel.reduce(_ union _).orderBy(col("level"), col("src"), col("rnk"))
   }
 
+  /** Greedy best-first search over the level-0 k-NN-graph edge table —
+    * the batch analogue of the reference's `search`
+    * (`src/hnsw.zig:194-236`: layer-0-only expansion from an entry
+    * point, visited set, expand-until-k). All queries advance together
+    * via iterative frontier joins against the edge DataFrame: each
+    * round, the frontier's unvisited out-neighbors are scored and the
+    * per-query candidate pool pruned to the best `beam` — a
+    * deterministic beam search (the reference keeps exactly one
+    * candidate, SURVEY §2.2.1 "greedy-1"; a beam strictly dominates).
+    *
+    * Approximate by construction (graph-reachable subset), so recall-
+    * tested in AnnSpec rather than hash-oracled. Scale: each round is
+    * one equi-join frontier×edges (frontier ≤ Q·beam rows) plus a
+    * window prune — graph size bounded by n·m edges, never densified.
+    */
+  def annGraphSearch(
+      s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    // level-0 adjacency (m=16) — the structure `insert` would build
+    val edges = BroadcastKnnJoin(s, e, e, 16, excludeSelf = true)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      .cache()
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // entry point: vec_id 0 — the reference's first-inserted entry node
+    val entry = e.filter(col("vec_id") === 0).select(col("embedding").as("ev"))
+    var pool = q.crossJoin(broadcast(entry))
+      .select(col("query_id"), col("qv"), lit(0L).as("vec_id"),
+        squaredL2(col("qv"), col("ev")).as("dist"))
+    val wPrune = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    var round = 0
+    while (round < rounds) {
+      val expanded = pool.join(edges, pool("vec_id") === edges("src"))
+        .join(e.select(col("vec_id").as("dst2"), col("embedding").as("dv")),
+          col("dst") === col("dst2"))
+        .select(col("query_id"), col("qv"), col("dst").as("vec_id"),
+          squaredL2(col("qv"), col("dv")).as("dist"))
+      pool = pool.union(expanded)
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(first(col("qv")).as("qv"), min(col("dist")).as("dist"))
+        .withColumn("rn", row_number().over(wPrune))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("qv"), col("vec_id"), col("dist"))
+        .localCheckpoint() // truncate the iterative lineage each round
+      round += 1
+    }
+    pool
+      .withColumn("rnk", row_number().over(wPrune))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("dist"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // approximate graph search: rows-only check (recall-tested in AnnSpec)
+    "ann_graph_search" -> ((s, d) => annGraphSearch(s, d)),
     "lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     "ann_lsh"     -> ((s, d) => annLsh(s, d)),
     "ivf_assign"  -> ((s, d) => ivfAssign(s, d)),

@@ -53,6 +53,14 @@ class AnnSpec extends AnyFunSuite {
     assert(r1.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("ann_graph_search recall@10 vs exact, beam search over the graph") {
+    val approx = Ann.annGraphSearch(spark, d).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rec = recallAtK(approx, exact)
+    info(f"graph-search recall@10 (beam=16, 4 rounds) = $rec%.3f")
+    assert(rec >= 0.3, f"graph search recall too low: $rec%.3f")
+  }
+
   test("hnsw levels are geometric-ish and edges bounded by m") {
     val lv = Ann.hnswLevels(spark, d).collect().map(_.getInt(1))
     assert(lv.length == 500)

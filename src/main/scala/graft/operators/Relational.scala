@@ -111,7 +111,31 @@ object Relational {
         col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Exact grouped quantiles (sort-based `percentile`, linearly
+    * interpolated). Rounded to 4 dp: Spark computes (1−g)·a + g·b,
+    * DuckDB a + (b−a)·g — algebraically equal, ±1 ulp apart; the
+    * quantile grid of 2-decimal inputs sits far from the 4 dp rounding
+    * boundary, so both engines round identically. */
+  def orderPriceQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr(
+        "transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D)), x -> round(x, 4))")
+        .as("qs"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Pivot: per-user event-type counts as columns (integer, dense). */
+  def userEventPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "order_price_quantiles" -> ((s, d) => orderPriceQuantiles(s, d)),
+    "user_event_pivot"    -> ((s, d) => userEventPivot(s, d)),
     "pricing_summary"     -> ((s, d) => pricingSummary(s, d)),
     "top_revenue_orders"  -> ((s, d) => topRevenueOrders(s, d)),
     "revenue_per_nation"  -> ((s, d) => revenuePerNation(s, d)),
@@ -121,6 +145,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "order_price_quantiles" ->
+      """SELECT o_orderstatus,
+        |  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS qs
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "user_event_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,

@@ -39,10 +39,17 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); fails += 1; continue
         # driver sorts columns by name then hashes values; compare
         # row-by-row in produced order (queries must be fully ordered)
+        def norm(v):
+            if hasattr(v, "tolist"):
+                v = v.tolist()
+            if isinstance(v, (list, tuple)):
+                return tuple(norm(x) for x in v)
+            return v
         ok, max_diff, bad_col = True, 0.0, None
         for c in gc:
             a, b = got[c].tolist(), want[c].tolist()
             for x, y in zip(a, b):
+                x, y = norm(x), norm(y)
                 if isinstance(x, float) or isinstance(y, float):
                     fx = float(x); fy = float(y)
                     if math.isnan(fx) and math.isnan(fy):

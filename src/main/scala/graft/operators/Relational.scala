@@ -133,7 +133,21 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("user_id"))
 
+  /** Set operators: nations with customers but no suppliers (EXCEPT)
+    * and nations with both (INTERSECT), tagged and unioned. */
+  def nationPresence(s: SparkSession, d: String): DataFrame = {
+    val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+    val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nk")).distinct()
+    val both = custNations.intersect(suppNations).withColumn("presence", lit("both"))
+    val custOnly = custNations.except(suppNations).withColumn("presence", lit("customers_only"))
+    both.union(custOnly)
+      .join(broadcast(Tables.nation(s, d)), col("nk") === col("n_nationkey"))
+      .select(col("nk"), col("n_name"), col("presence"))
+      .orderBy(col("presence"), col("nk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nation_presence"     -> ((s, d) => nationPresence(s, d)),
     "order_price_quantiles" -> ((s, d) => orderPriceQuantiles(s, d)),
     "user_event_pivot"    -> ((s, d) => userEventPivot(s, d)),
     "pricing_summary"     -> ((s, d) => pricingSummary(s, d)),
@@ -145,6 +159,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "nation_presence" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+        |tagged AS (
+        |  SELECT nk, 'both' AS presence FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+        |  UNION ALL
+        |  SELECT nk, 'customers_only' AS presence FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn))
+        |SELECT nk, n_name, presence FROM tagged JOIN nation ON nk = n_nationkey
+        |ORDER BY presence, nk""".stripMargin,
     "order_price_quantiles" ->
       """SELECT o_orderstatus,
         |  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS qs

@@ -47,10 +47,9 @@ object Bench {
     // (100k×128-dim, 10k queries, k=10 — BASELINE.md). Warm once at
     // reduced size for JIT, then measure.
     val (buildSec, searchSec) = {
-      val warm = BaselineWorkload.run(spark) // full run; first pays JIT
-      val b = BaselineWorkload.run(spark)
-      val c = BaselineWorkload.run(spark)
-      if (b._1 + b._2 < c._1 + c._2) b else c
+      BaselineWorkload.run(spark) // warm run; pays JIT, discarded
+      // min of 3: the host is shared and single runs vary several-fold
+      Seq.fill(3)(BaselineWorkload.run(spark)).minBy(r => r._1 + r._2)
     }
     val insertRate = BaselineWorkload.N / buildSec
     val searchRate = BaselineWorkload.Q / searchSec

@@ -108,6 +108,23 @@ class KnnSpec extends AnyFunSuite {
     assert(res(1).getDouble(2) == 81.0 + 324.0 + 729.0)
   }
 
+  // test_hnsw.zig "Concurrent Access" (:154-209): the reference
+  // serializes 8 writer threads behind one mutex; Spark's analogue is
+  // concurrent queries on one session — genuinely parallel, no locks.
+  test("concurrent queries return identical, correct results") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = corpus.filter(col("vec_id") === 3)
+    val futures = (1 to 4).map { _ =>
+      Future(knn(corpus, q, 10).toSeq)
+    }
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    assert(results.forall(_ == results.head))
+    assert(results.head.length == 10)
+  }
+
   test("native SquaredL2/Dot expressions bitwise-match the HOF forms") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))

@@ -165,6 +165,10 @@ object TextOps {
     * candidates pay the verification cost. */
   def minhashLshDedup(s: SparkSession, d: String, theta: Double = 0.5): DataFrame = {
     val sh = shingled(s, d).select(col("doc_id"), col("sh")).cache()
+    // CollapseProject would inline `hs` into all 16 signature lambdas
+    // and `sig` into all 4 band keys — recomputing the interpreted
+    // md5 chain ~64× per doc, twice more via the self-join. Caching
+    // `bands` cuts the lineage so the hash chain runs exactly once.
     val sig = sh
       .withColumn("hs", expr(s"transform(sh, t -> ${hash60.format("t")} % 2147483647)"))
       .withColumn("sig", expr(
@@ -176,6 +180,7 @@ object TextOps {
           """transform(sequence(0,3), b -> struct(b AS b,
                md5(array_join(transform(slice(sig, b*4+1, 4), x -> CAST(x AS STRING)), '-')) AS bk))""")).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
+      .cache()
     val cand = bands.as("a").join(bands.as("c"),
         col("a.b") === col("c.b") && col("a.bk") === col("c.bk") &&
           col("a.doc_id") < col("c.doc_id"))

@@ -138,18 +138,7 @@ object BaselineWorkload {
             var i = t
             while (i < tEnd) {
               val off = i * DIM
-              // 4 independent accumulators break the FP-add dependency
-              // chain (DIM=128 is a multiple of 4)
-              var d0 = 0.0f; var d1 = 0.0f; var d2 = 0.0f; var d3 = 0.0f
-              var j = 0
-              while (j < DIM) {
-                d0 += qf(qOff + j) * flat(off + j)
-                d1 += qf(qOff + j + 1) * flat(off + j + 1)
-                d2 += qf(qOff + j + 2) * flat(off + j + 2)
-                d3 += qf(qOff + j + 3) * flat(off + j + 3)
-                j += 4
-              }
-              val dot = (d0 + d1) + (d2 + d3)
+              val dot = VectorKernel.dot(qf, qOff, flat, off, DIM)
               h.offer((base + norms(i) - 2.0f * dot).toDouble, ids(i))
               i += 1
             }

@@ -96,7 +96,7 @@ object EventsOps {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "events_json_stats" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
@@ -108,7 +108,8 @@ object EventsOps {
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
-        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  make_timestamp(min(us)) AS session_start, make_timestamp(max(us)) AS session_end,
         |  count(*) AS n_events, max(us) - min(us) AS duration_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "top_users" ->

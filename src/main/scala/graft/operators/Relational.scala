@@ -119,9 +119,10 @@ object Relational {
   def orderPriceQuantiles(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
-      .agg(expr(
-        "transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D)), x -> round(x, 4))")
-        .as("qs"))
+      .agg(
+        expr("round(percentile(o_totalprice, 0.25D), 4)").as("q25"),
+        expr("round(percentile(o_totalprice, 0.5D), 4)").as("q50"),
+        expr("round(percentile(o_totalprice, 0.75D), 4)").as("q75"))
       .orderBy(col("o_orderstatus"))
 
   /** Pivot: per-user event-type counts as columns (integer, dense). */
@@ -170,7 +171,9 @@ object Relational {
         |ORDER BY presence, nk""".stripMargin,
     "order_price_quantiles" ->
       """SELECT o_orderstatus,
-        |  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS qs
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS q75
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "user_event_pivot" ->
       """SELECT user_id,

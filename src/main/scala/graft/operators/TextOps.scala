@@ -265,7 +265,7 @@ object TextOps {
         |FROM b ORDER BY doc_id""".stripMargin,
     "lang_stats" ->
       """WITH t AS (SELECT lang, n_chars, source, string_split(text, ' ') AS toks FROM documents)
-        |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
         |  count(DISTINCT source) AS n_sources,
         |  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avg_tokens

@@ -77,8 +77,11 @@ object BroadcastKnnJoin {
     // repartition would be an unnecessary full shuffle.
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val probeRaw = corpus.select(col(idCol), col(vecCol))
+    // toRdd reuses the analyzed plan's physical RDD lineage without the
+    // extra row-deserializer stage that `.rdd` would build per call.
     val probe =
-      if (probeRaw.rdd.getNumPartitions < p) probeRaw.repartition(p) else probeRaw
+      if (probeRaw.queryExecution.toRdd.getNumPartitions < p) probeRaw.repartition(p)
+      else probeRaw
 
     val partialTopK = probe
       .as[(Long, Array[Double])]
@@ -115,52 +118,6 @@ object BroadcastKnnJoin {
       .filter(col("rnk") <= kk)
   }
 
-  /** Broadcast ε-join: all (src, dst) pairs with squared-L2 distance
-    * below `eps`, src < dst. Same physical shape as [[apply]] — stream
-    * the corpus once against a broadcast build side, emit only matches.
-    * No shuffle at all: the threshold predicate needs no global merge.
-    *
-    * Exact and quadratic in compute (n·|build| distance evals) — the
-    * scale path for large n is the LSH-bucketed pre-filter in [[Ann]],
-    * which feeds candidate pairs to the same verification loop.
-    */
-  def epsilonJoin(
-      spark: SparkSession,
-      corpus: DataFrame,
-      eps: Double,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    import spark.implicits._
-
-    val build: Array[(Long, Array[Double])] =
-      corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Double])]
-        .collect().sortBy(_._1)
-    val bb = spark.sparkContext.broadcast(build)
-    val threshold = eps
-
-    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val probeRaw = corpus.select(col(idCol), col(vecCol))
-    val probe =
-      if (probeRaw.rdd.getNumPartitions < p) probeRaw.repartition(p) else probeRaw
-
-    probe.as[(Long, Array[Double])]
-      .mapPartitions { iter =>
-        val cand = bb.value
-        iter.flatMap { case (src, vec) =>
-          cand.iterator
-            .filter { case (dst, _) => src < dst }
-            .map { case (dst, dv) =>
-              val n = math.min(vec.length, dv.length)
-              var acc = 0.0
-              var i = 0
-              while (i < n) { val d = vec(i) - dv(i); acc += d * d; i += 1 }
-              (src, dst, acc)
-            }
-            .filter(_._3 < threshold)
-        }
-      }
-      .toDF("src", "dst", "dist")
-  }
 }
 
 /** Bounded top-k selector over (dist, id) with (dist, id) total order —

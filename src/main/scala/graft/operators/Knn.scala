@@ -67,10 +67,12 @@ object Knn {
   /** m-nearest-neighbor graph over the corpus — the relational
     * materialization of the HNSW adjacency after `shrinkConnections`
     * pruning to m (`src/hnsw.zig:143-170`), m=16 as in every reference
-    * config. Excludes self-edges. */
+    * config. Excludes self-edges. Both sides are the corpus, so this
+    * uses the block-partitioned self-join ([[BlockKnnJoin]]) — nothing
+    * is collected to the driver. */
   def knnGraph(s: SparkSession, d: String, m: Int = 16): DataFrame = {
     val e = corpus(s, d)
-    BroadcastKnnJoin(s, e, e, m, excludeSelf = true)
+    BlockKnnJoin.knnGraph(s, e, m)
       .select(
         col("query_id").as("src"), col("vec_id").as("dst"),
         col("dist"), col("rnk"))

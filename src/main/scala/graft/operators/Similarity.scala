@@ -57,10 +57,11 @@ object Similarity {
       .orderBy(col("keep_id"))
 
   /** Near-duplicate pairs: src < dst with squared L2 below `eps`.
-    * Exact broadcast ε-join ([[BroadcastKnnJoin.epsilonJoin]]); the
-    * approximate scale path is LSH bucketing in [[Ann]]. */
+    * Exact block-partitioned ε-join ([[BlockKnnJoin.epsilonJoin]] — no
+    * driver collect); the approximate scale path is LSH bucketing in
+    * [[Ann]]. */
   def nearDupPairs(s: SparkSession, d: String, eps: Double = 1.1): DataFrame =
-    BroadcastKnnJoin.epsilonJoin(s, Tables.embeddings(s, d), eps)
+    BlockKnnJoin.epsilonJoin(s, Tables.embeddings(s, d), eps)
       .orderBy(col("src"), col("dst"))
 
   /** Per-label centroids (deterministic decimal mean), then classify

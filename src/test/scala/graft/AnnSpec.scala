@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Ann, Knn}
+import graft.operators.{Ann, HnswLevel, Knn}
 
 /** Recall and structure tests for the approximate operators — the
   * engine's analogue of the reference's "Large Dataset" behavioral
@@ -58,7 +58,59 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val rec = recallAtK(approx, exact)
     info(f"graph-search recall@10 (beam=16, 4 rounds) = $rec%.3f")
-    assert(rec >= 0.3, f"graph search recall too low: $rec%.3f")
+    assert(rec >= 0.8, f"graph search recall too low: $rec%.3f")
+  }
+
+  test("ann_graph_search matches an independent in-test beam reference exactly") {
+    // Driver-side re-implementation from raw parquet: brute-force m=16
+    // graph + the documented pool recurrence — the engine's analogue of
+    // the reference's Consistency test (src/test_hnsw.zig:275-317),
+    // strengthened from "same across runs" to "equals a transparent
+    // single-threaded model, result-row for result-row".
+    val raw = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val vecs = raw.toMap
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+      acc
+    }
+    val adj: Map[Long, Array[Long]] = raw.map { case (id, v) =>
+      id -> raw.iterator.filter(_._1 != id)
+        .map { case (j, w) => (sq(v, w), j) }.toArray.sorted.take(16).map(_._2)
+    }.toMap
+    val expected = (0L until 10L).flatMap { qid =>
+      val qv = vecs(qid)
+      var pool: Seq[(Long, Double)] = Seq(0L -> sq(vecs(0L), qv))
+      for (_ <- 1 to 4) {
+        val cand = scala.collection.mutable.HashMap[Long, Double](pool: _*)
+        pool.foreach { case (id, _) =>
+          adj(id).foreach(nb => if (!cand.contains(nb)) cand(nb) = sq(vecs(nb), qv))
+        }
+        pool = cand.toSeq.sortBy { case (id, dd) => (dd, id) }.take(16)
+      }
+      pool.sortBy { case (id, dd) => (dd, id) }.take(10).zipWithIndex
+        .map { case ((id, dd), i) => (qid, id, dd, i + 1) }
+    }
+    val actual = Ann.annGraphSearch(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(actual == expected)
+  }
+
+  test("HnswLevel Scala twins match the SQL expressions bitwise") {
+    // levelOf vs the declarative levelExpr behind hnsw_levels
+    Ann.hnswLevels(spark, d).collect().foreach { r =>
+      assert(HnswLevel.levelOf(r.getLong(0)) == r.getInt(1),
+        s"level mismatch for vec_id ${r.getLong(0)}")
+    }
+    // hash60 (the only non-trivial step of unitHash) vs the SQL form
+    Seq("0-0", "3-17", "7-63").foreach { key =>
+      val sqlH = spark.sql(
+        s"SELECT CAST(conv(substr(md5('$key'), 1, 15), 16, 10) AS BIGINT)")
+        .head().getLong(0)
+      assert(sqlH == HnswLevel.hash60(key), s"hash60 mismatch for $key")
+    }
   }
 
   test("hnsw levels are geometric-ish and edges bounded by m") {

@@ -143,7 +143,7 @@ class KnnSpec extends AnyFunSuite {
 
   test("epsilonJoin matches brute force on the fixture") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val fast = BroadcastKnnJoin.epsilonJoin(spark, e, 1.2)
+    val fast = operators.BlockKnnJoin.epsilonJoin(spark, e, 1.2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val l = e.select(col("vec_id").as("src"), col("embedding").as("sv"))
     val r = e.select(col("vec_id").as("dst"), col("embedding").as("dv"))

@@ -67,7 +67,8 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> ((s, d) => mediaMeta(s, d))
+    "multimodal_meta"     -> ((s, d) => mediaMeta(s, d)),
+    "multimodal_features" -> ((s, d) => features(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -78,30 +79,33 @@ object Multimodal {
         |  ascii(substr(text, 1, 1)) % 64 + 1 AS width,
         |  ascii(substr(text, 2, 1)) % 64 + 1 AS height,
         |  octet_length(encode(text)) % 16 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // FakeDecoder re-implemented declaratively: DuckDB md5(VARCHAR)
+    // hashes the utf-8 bytes — exactly the blob the Spark side decodes.
+    "multimodal_features" ->
+      """SELECT doc_id, list_transform(generate_series(0, 15), j ->
+        |  CAST((CAST(('0x' || substr(md5(concat(md5(text), '-', CAST(j AS STRING))), 1, 15)) AS BIGINT)
+        |        % 1000001) / 1000000.0 - 0.5 AS FLOAT)) AS feature
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
 
 /** STUB media decoder — the real implementation would wrap an image /
   * audio codec here (none exists in this container). Deterministic:
-  * "features" are a rolling-hash projection of the payload bytes, so
-  * the downstream vector pipeline is fully testable. The interface —
-  * construct once per partition, decode in batches, emit fixed-dim
-  * float vectors — is the real contract a codec-backed decoder drops
-  * into. */
+  * each "feature" component is a pseudo-uniform value seeded by the
+  * payload's content hash (md5) and the component index, so the
+  * downstream vector pipeline is fully testable AND the whole decode
+  * is re-expressible in the DuckDB oracle (the correctness gate covers
+  * the multimodal path end-to-end). The interface — construct once per
+  * partition, decode in batches, emit fixed-dim float vectors — is the
+  * real contract a codec-backed decoder drops into. */
 final class FakeDecoder(dim: Int) {
   def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Array[Float])] =
     batch.map { case (id, bytes) => (id, decode(bytes)) }
 
   private def decode(bytes: Array[Byte]): Array[Float] = {
-    val f = new Array[Float](dim)
-    var h = 1125899906842597L // FNV-ish rolling hash
-    var i = 0
-    while (i < bytes.length) {
-      h = h * 31 + (bytes(i) & 0xff)
-      f(i % dim) += ((h >>> 16) & 0xffff).toFloat / 65536.0f - 0.5f
-      i += 1
-    }
-    f
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    Array.tabulate(dim)(j => graft.operators.HnswLevel.unitHash(s"$md5hex-$j").toFloat)
   }
 }

@@ -54,6 +54,22 @@ object Knn {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** [[knnTopK]] returning the STORED vectors alongside ids and
+    * distances — the reference's `search` result carries the point
+    * itself (`src/hnsw.zig:214`, asserted `src/test_hnsw.zig:55-68`).
+    * Same broadcast shape: the k-row result is joined back against the
+    * corpus; the big side never shuffles. */
+  def knnTopKWithVectors(s: SparkSession, d: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = corpus(s, d)
+    val q = e.filter(col("vec_id") === qid)
+    val topk = BroadcastKnnJoin(s, e, q, k)
+      .select(col("vec_id"), col("dist"))
+    broadcast(topk)
+      .join(e.select(col("vec_id"), col("label"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** Batch k-NN: for every query vector (vec_id < nq), its k nearest
     * corpus vectors — batch form of zvdb `search`. */
   def knnBatch(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
@@ -80,9 +96,10 @@ object Knn {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_topk"  -> ((s, d) => knnTopK(s, d)),
-    "knn_batch" -> ((s, d) => knnBatch(s, d)),
-    "knn_graph" -> ((s, d) => knnGraph(s, d))
+    "knn_topk"              -> ((s, d) => knnTopK(s, d)),
+    "knn_topk_with_vectors" -> ((s, d) => knnTopKWithVectors(s, d)),
+    "knn_batch"             -> ((s, d) => knnBatch(s, d)),
+    "knn_graph"             -> ((s, d) => knnGraph(s, d))
   )
 
   private val distExpr =
@@ -93,6 +110,11 @@ object Knn {
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, e.label, ${distExpr.format("e.v", "q.qv")} AS dist
+         |FROM e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_topk_with_vectors" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, e.v AS embedding, ${distExpr.format("e.v", "q.qv")} AS dist
          |FROM e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "knn_batch" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

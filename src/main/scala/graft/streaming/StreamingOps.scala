@@ -106,14 +106,55 @@ object StreamingOps {
       .toDF()
   }
 
+  /** [[streamingSessionize]] driven over the events parquet as a
+    * bounded stream (file source, AvailableNow), Append mode: the
+    * result is every session CLOSED by a later event — i.e. all but
+    * each user's final (still-open) session. That subset is exactly
+    * expressible in batch SQL, which makes the stateful
+    * `flatMapGroupsWithState` path hash-oracle-checkable. */
+  def streamingSessionizeQuery(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val src = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = "stream_sess_" + UUID.randomUUID().toString.replace("-", "")
+    val q = streamingSessionize(s, src).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("user_id"), col("session_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "streaming_hourly" -> ((s, d) => streamingHourly(s, d))
+    "streaming_hourly"    -> ((s, d) => streamingHourly(s, d)),
+    "streaming_sessionize" -> ((s, d) => streamingSessionizeQuery(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // batch sessionize (same recurrence as the `sessionize` oracle)
+    // minus each user's last — still open — session
+    "streaming_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+        |                     THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f),
+        |g AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |        count(*) AS n_events, max(us) - min(us) AS duration_us
+        |      FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, session_id, n_events, duration_us FROM g
+        |QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+        |ORDER BY user_id, session_id""".stripMargin
   )
 }

@@ -39,7 +39,7 @@ object Bench {
     // distinguish a plan regression from loadavg (r1→r2 swings of 100×
     // with identical code). The min is the least-noisy estimator of
     // the plan's intrinsic cost.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

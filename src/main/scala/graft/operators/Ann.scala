@@ -158,34 +158,39 @@ object Ann {
       .select(col("vec_id"), col("level"))
       .orderBy(col("vec_id"))
 
-  /** All-level HNSW edge table in ONE distributed pass: levels are
-    * computed per row with [[HnswLevel.levelOf]] (no per-level
-    * DataFrame), the corpus is block-partitioned against itself
-    * ([[BlockKnnJoin]]'s shape — no driver collect), and each block
-    * pair computes every pairwise distance ONCE, offering it to the
-    * bounded per-level heaps of the source row (a level-l node is a
-    * valid neighbor at levels 0..min(srcLevel, dstLevel)). A window
-    * merge per (level, src) then keeps the global top-m.
-    *
-    * This replaces the r2 plan of 9 per-level broadcast joins (9 driver
-    * collects, 9 full O(n²) scans, levelExpr re-evaluated per level —
-    * ~120 s at sf0.1) with one O(n²) scan and zero collects.
-    */
-  def hnswEdges(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+  /** A table's rows as (id, vector, level) — the node form shared by
+    * the level-aware edge builders. */
+  private def levelNodes(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Double], Int)] = {
     import s.implicits._
-    val maxLevel = 8 // levels above this are astronomically unlikely occupied by >1 node
-    val nBlocks = 8
-    val mm = m
-    val nodes = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Double])]
       .map { case (id, v) => (id, v, HnswLevel.levelOf(id)) }
-    val bl = nodes.groupByKey { case (id, _, _) => math.floorMod(id, nBlocks.toLong).toInt }
-      .mapGroups((blk: Int, it: Iterator[(Long, Array[Double], Int)]) => (blk, it.toArray))
-    val partial = bl.joinWith(bl, lit(true), "cross")
+  }
+
+  /** Partial per-level top-m candidates for every probe row against the
+    * corpus side, block-partitioned on both sides ([[BlockKnnJoin]]'s
+    * shape — no driver collect). Each block pair computes every
+    * pairwise distance ONCE, offering it to the bounded per-level
+    * heaps of the probe row (a level-l node is a valid neighbor at
+    * levels 0..min(srcLevel, dstLevel)). Output is partial — callers
+    * window-merge per (level, src) to the global top-m. */
+  private def levelEdgePartials(
+      s: SparkSession,
+      probe: org.apache.spark.sql.Dataset[(Long, Array[Double], Int)],
+      corpus: org.apache.spark.sql.Dataset[(Long, Array[Double], Int)],
+      m: Int, maxLevel: Int, nBlocks: Int): DataFrame = {
+    import s.implicits._
+    val mm = m
+    val ml = maxLevel
+    def blocked(ds: org.apache.spark.sql.Dataset[(Long, Array[Double], Int)]) =
+      ds.groupByKey { case (id, _, _) => math.floorMod(id, nBlocks.toLong).toInt }
+        .mapGroups((blk: Int, it: Iterator[(Long, Array[Double], Int)]) => (blk, it.toArray))
+    val partial = blocked(probe).joinWith(blocked(corpus), lit(true), "cross")
       .repartition(nBlocks * nBlocks)
       .flatMap { case ((_, lnodes), (_, rnodes)) =>
         lnodes.iterator.flatMap { case (sid, svec, slvl) =>
-          val lmax = math.min(slvl, maxLevel)
+          val lmax = math.min(slvl, ml)
           val heaps = Array.fill(lmax + 1)(new BoundedTopK(mm))
           var i = 0
           while (i < rnodes.length) {
@@ -204,8 +209,58 @@ object Ann {
         }
       }
       .toDF("level", "src", "dst", "dist")
+    partial
+  }
+
+  /** Global top-m per (level, src) over partial candidate rows. */
+  private def pruneLevelEdges(partial: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))
-    partial.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= mm)
+    partial.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= m)
+  }
+
+  // levels above this are astronomically unlikely occupied by >1 node
+  private val MaxLevel = 8
+  private val EdgeBlocks = 8
+
+  /** All-level HNSW edge table in ONE distributed pass — replaces the
+    * r2 plan of 9 per-level broadcast joins (9 driver collects, 9 full
+    * O(n²) scans, levelExpr re-evaluated per level — ~120 s at sf0.1)
+    * with one O(n²) scan and zero collects. */
+  def hnswEdges(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    val nodes = levelNodes(s, d)
+    pruneLevelEdges(levelEdgePartials(s, nodes, nodes, m, MaxLevel, EdgeBlocks), m)
+      .orderBy(col("level"), col("src"), col("rnk"))
+  }
+
+  /** Incremental insert — the delta path of the reference's
+    * insert-driven lifecycle (`src/hnsw.zig:73-117` grows the graph one
+    * point at a time; the engine otherwise batch-rebuilds). The corpus
+    * splits into base (90%) and a delta batch (vec_id ≡ 0 mod 10);
+    * `oldEdges` stands for the pre-existing index (in production read
+    * from storage, here rebuilt so the query is self-contained), and
+    * the incremental step computes ONLY:
+    *
+    *   - the delta nodes' neighbor lists: delta × (base ∪ delta)
+    *     distances — O(|Δ|·n), not O(n²);
+    *   - repairs to base lists: base × delta candidate edges merged
+    *     with the old lists and re-pruned to top-m (sound because
+    *     top-m(all) = top-m(top-m(base) ∪ top-m(delta)) under the
+    *     (dist, id) total order).
+    *
+    * The declared oracle is the FULL-REBUILD SQL ([[hnswEdgesOracle]])
+    * — the hash gate proves insert-then-repair ≡ rebuild exactly. */
+  def hnswInsertDelta(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    val all = levelNodes(s, d)
+    val base = all.filter(n => n._1 % 10 != 0)
+    val delta = all.filter(n => n._1 % 10 == 0)
+    val oldEdges = pruneLevelEdges(
+      levelEdgePartials(s, base, base, m, MaxLevel, EdgeBlocks), m)
+      .select(col("level"), col("src"), col("dst"), col("dist"))
+    val deltaEdges = pruneLevelEdges(
+      levelEdgePartials(s, delta, all, m, MaxLevel, EdgeBlocks), m)
+    val repairCand = levelEdgePartials(s, base, delta, m, MaxLevel, EdgeBlocks)
+    val repaired = pruneLevelEdges(oldEdges.unionByName(repairCand), m)
+    repaired.unionByName(deltaEdges)
       .orderBy(col("level"), col("src"), col("rnk"))
   }
 
@@ -281,7 +336,8 @@ object Ann {
     "ivf_assign"  -> ((s, d) => ivfAssign(s, d)),
     "ann_ivf"     -> ((s, d) => annIvf(s, d)),
     "hnsw_levels" -> ((s, d) => hnswLevels(s, d)),
-    "hnsw_edges"  -> ((s, d) => hnswEdges(s, d))
+    "hnsw_edges"  -> ((s, d) => hnswEdges(s, d)),
+    "hnsw_insert_delta" -> ((s, d) => hnswInsertDelta(s, d))
   )
 
   private val duckHash60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -350,6 +406,8 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "hnsw_edges" -> hnswEdgesOracle(m = 16, maxLevel = 8),
+    // incremental insert must equal a full rebuild — same oracle SQL
+    "hnsw_insert_delta" -> hnswEdgesOracle(m = 16, maxLevel = 8),
     "ann_graph_search" -> graphSearchOracle(nq = 10, k = 10, beam = 16, rounds = 4, m = 16),
     "lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -141,6 +141,30 @@ class KnnSpec extends AnyFunSuite {
     assert(g.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("integer element width round-trips through the operators") {
+    // The reference's generic HNSW(T) supports integer elements
+    // (src/test_hnsw.zig:239-273 exercises i32/f64). The engine
+    // canonicalizes ARRAY<DOUBLE>; this pins that an i32-valued corpus
+    // (exactly representable in double) survives the round trip and
+    // ranks identically to a driver-side integer-arithmetic oracle.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(x * 100) AS INT))").as("iv"))
+    val asDouble = e.select(col("vec_id"), col("iv").cast("array<double>").as("embedding"))
+    val q = asDouble.filter(col("vec_id") === 0)
+    val res = BroadcastKnnJoin(spark, asDouble, q, 5)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    // driver-side oracle in pure Long arithmetic
+    val rows = e.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toArray))
+    val qv = rows.find(_._1 == 0L).get._2
+    val brute = rows.map { case (id, v) =>
+      val dd = v.zip(qv).map { case (a, b) => val x = (a - b).toLong; x * x }.sum
+      (dd, id)
+    }.sorted.take(5).map { case (dd, id) => (id, dd.toDouble) }
+    assert(res.toSeq == brute.toSeq)
+  }
+
   test("epsilonJoin matches brute force on the fixture") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val fast = operators.BlockKnnJoin.epsilonJoin(spark, e, 1.2)

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Knn, Similarity, TextOps}
+
+/** Physical-plan audits: the scale contracts the operators claim are
+  * asserted against the actual executed plans, so a regression that
+  * re-introduces a cartesian product, an interpreted hash chain, or a
+  * dropped pushdown fails CI — not a 100×-slower bench three rounds
+  * later. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val d = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("simhash_neardup: banded equi-join, no nested-loop cartesian") {
+    val p = plan(TextOps.simhashNearDup(spark, d))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "cartesian is back")
+    assert(!p.contains("CartesianProduct"), "cartesian is back")
+  }
+
+  test("ann_lsh / lsh_buckets: no per-row md5 projection chain") {
+    // projections are literal arrays now; md5 must not appear in the plan
+    assert(!plan(Ann.lshBuckets(spark, d)).toLowerCase.contains("md5"))
+    assert(!plan(Ann.annLsh(spark, d)).toLowerCase.contains("md5"))
+  }
+
+  test("pricing_summary scan prunes columns and pushes the date filter") {
+    val p = plan(operators.Relational.pricingSummary(spark, d))
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    // full lineitem is 16 columns; the scan must read only what's used
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.nonEmpty && readSchema.count(_ == ',') < 10,
+      s"scan reads too many columns: $readSchema")
+  }
+
+  test("knn_batch / knn_graph: the corpus side never shuffles its vectors") {
+    // BroadcastKnnJoin emits (query_id, id, dist) partials; an Exchange
+    // of embedding arrays would mean the corpus is being shuffled.
+    val pBatch = plan(Knn.knnBatch(spark, d))
+    assert(!"Exchange [^\\n]*embedding".r.findFirstIn(pBatch).isDefined,
+      "corpus vectors cross an exchange in knn_batch")
+  }
+
+  test("ivf / centroid classification broadcast the codebook") {
+    assert(plan(Similarity.nearestCentroid(spark, d)).contains("BroadcastExchange"))
+    assert(plan(Ann.annIvf(spark, d)).contains("BroadcastExchange"))
+  }
+}

@@ -66,9 +66,18 @@ object Multimodal {
       .toDF("doc_id", "feature")
   }
 
+  /** Gate form of [[features]]: the feature vector exploded to
+    * (pos, val) rows — the correctness harness compares rows via pandas
+    * sorting, which cannot order array cells. Same content, dim rows
+    * per doc; [[features]] stays the programmatic (vector-typed) API. */
+  def featuresExploded(s: SparkSession, d: String, dim: Int = 16): DataFrame =
+    features(s, d, dim)
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("pos", "val")))
+      .orderBy(col("doc_id"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> ((s, d) => mediaMeta(s, d)),
-    "multimodal_features" -> ((s, d) => features(s, d))
+    "multimodal_features" -> ((s, d) => featuresExploded(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -83,10 +92,11 @@ object Multimodal {
     // FakeDecoder re-implemented declaratively: DuckDB md5(VARCHAR)
     // hashes the utf-8 bytes — exactly the blob the Spark side decodes.
     "multimodal_features" ->
-      """SELECT doc_id, list_transform(generate_series(0, 15), j ->
-        |  CAST((CAST(('0x' || substr(md5(concat(md5(text), '-', CAST(j AS STRING))), 1, 15)) AS BIGINT)
-        |        % 1000001) / 1000000.0 - 0.5 AS FLOAT)) AS feature
-        |FROM documents ORDER BY doc_id""".stripMargin
+      """SELECT doc_id, CAST(j.j AS INT) AS pos,
+        |  CAST((CAST(('0x' || substr(md5(concat(md5(text), '-', CAST(j.j AS STRING))), 1, 15)) AS BIGINT)
+        |        % 1000001) / 1000000.0 - 0.5 AS FLOAT) AS val
+        |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+        |ORDER BY doc_id, pos""".stripMargin
   )
 }
 
@@ -100,12 +110,30 @@ object Multimodal {
   * partition, decode in batches, emit fixed-dim float vectors — is the
   * real contract a codec-backed decoder drops into. */
 final class FakeDecoder(dim: Int) {
+  // one digest instance per decoder (= per partition), reset by digest()
+  private val md = java.security.MessageDigest.getInstance("MD5")
+  private val hexDigits = "0123456789abcdef".toCharArray
+
   def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Array[Float])] =
     batch.map { case (id, bytes) => (id, decode(bytes)) }
 
+  private def hex(dig: Array[Byte]): String = {
+    val out = new Array[Char](dig.length * 2)
+    var i = 0
+    while (i < dig.length) {
+      out(2 * i) = hexDigits((dig(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(dig(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   private def decode(bytes: Array[Byte]): Array[Float] = {
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes).map("%02x".format(_)).mkString
-    Array.tabulate(dim)(j => graft.operators.HnswLevel.unitHash(s"$md5hex-$j").toFloat)
+    val md5hex = hex(md.digest(bytes))
+    Array.tabulate(dim) { j =>
+      val dig = md.digest(s"$md5hex-$j".getBytes("UTF-8"))
+      ((graft.operators.HnswLevel.hash60FromDigest(dig) % 1000001L).toDouble
+        / 1000000.0 - 0.5).toFloat
+    }
   }
 }

@@ -18,9 +18,13 @@ private[graft] object HnswLevel extends Serializable {
   /** First 15 hex chars of md5(key) as a 60-bit non-negative long —
     * identical to SQL `CAST(conv(substr(md5(key),1,15),16,10) AS
     * BIGINT)` and DuckDB `CAST('0x'||substr(md5(key),1,15) AS BIGINT)`. */
-  def hash60(key: String): Long = {
-    val dig = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
+  def hash60(key: String): Long =
+    hash60FromDigest(java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")))
+
+  /** The 60-bit extraction alone, for callers that manage their own
+    * (reused) `MessageDigest` instance in hot per-row loops. */
+  def hash60FromDigest(dig: Array[Byte]): Long = {
     // 15 hex chars = bytes 0..6 plus the high nibble of byte 7
     var h = 0L
     var i = 0

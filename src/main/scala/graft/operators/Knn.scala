@@ -70,6 +70,18 @@ object Knn {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** Gate form of [[knnTopKWithVectors]]: the stored vector is exploded
+    * to (pos, val) rows so every declared column is scalar — the
+    * correctness harness compares rows via pandas sorting, which cannot
+    * order array cells. Same result content: k·dim rows instead of k
+    * array rows. The typed-array API above remains the programmatic
+    * surface. */
+  def knnTopKWithVectorsExploded(s: SparkSession, d: String, qid: Long = 0L, k: Int = 10): DataFrame =
+    knnTopKWithVectors(s, d, qid, k)
+      .select(col("vec_id"), col("label"), col("dist"),
+        posexplode(col("embedding")).as(Seq("pos", "val")))
+      .orderBy(col("dist"), col("vec_id"), col("pos"))
+
   /** Batch k-NN: for every query vector (vec_id < nq), its k nearest
     * corpus vectors — batch form of zvdb `search`. */
   def knnBatch(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
@@ -97,7 +109,7 @@ object Knn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_topk"              -> ((s, d) => knnTopK(s, d)),
-    "knn_topk_with_vectors" -> ((s, d) => knnTopKWithVectors(s, d)),
+    "knn_topk_with_vectors" -> ((s, d) => knnTopKWithVectorsExploded(s, d)),
     "knn_batch"             -> ((s, d) => knnBatch(s, d)),
     "knn_graph"             -> ((s, d) => knnGraph(s, d))
   )
@@ -113,9 +125,13 @@ object Knn {
          |FROM e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "knn_topk_with_vectors" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-         |SELECT e.vec_id, e.label, e.v AS embedding, ${distExpr.format("e.v", "q.qv")} AS dist
-         |FROM e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |topk AS (SELECT e.vec_id, e.label, e.v, ${distExpr.format("e.v", "q.qv")} AS dist
+         |         FROM e, q ORDER BY dist, vec_id LIMIT 10)
+         |SELECT t.vec_id, t.label, t.dist, CAST(j.j AS INT) AS pos,
+         |       list_extract(t.v, j.j + 1) AS val
+         |FROM topk t CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+         |ORDER BY t.dist, t.vec_id, pos""".stripMargin,
     "knn_batch" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

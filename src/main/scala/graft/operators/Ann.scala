@@ -275,24 +275,93 @@ object Ann {
     *           ranked by (dist, id);
     *   result = top-k of pool_rounds with rnk.
     *
-    * Physical design: the adjacency is built DISTRIBUTED (the same
-    * block self-join as [[hnswEdges]]' level 0); only the built index —
-    * n·m edge ids plus the n stored vectors — is collected and
-    * broadcast, which is the serving-side contract of any ANN index
-    * (a replica per executor; the reference holds the same structure in
-    * one process's heap). Each query then runs the whole search in a
-    * task-local loop: rounds·beam·m distance evals, zero shuffles,
-    * embarrassingly parallel in the number of queries — the shape that
-    * serves 10⁶ queries against a memory-resident index. For graphs
-    * too large to replicate, the iterative frontier equi-join form
-    * (r2, git history) is the fallback; it trades per-round shuffles
-    * for unbounded graph size.
+    * This declared form is FULLY DISTRIBUTED — frontier equi-joins, no
+    * corpus-sized collect anywhere:
+    *
+    *   - the adjacency is built by the same block self-join as
+    *     [[hnswEdges]]' level 0 and cached (it is probed once per
+    *     round);
+    *   - each round the pool — at most nq·beam rows, query-sized, never
+    *     corpus-sized — is BROADCAST against the stationary edge table
+    *     to expand, then the (also query-sized) candidate set is
+    *     broadcast against the stationary vector table to score. The
+    *     corpus sides never shuffle; per-round movement is
+    *     O(nq·beam·m) tuples;
+    *   - `localCheckpoint` after each round truncates the growing
+    *     lineage (the r2 form re-planned the whole history every round
+    *     — that, not data volume, was its 163 s cost).
+    *
+    * Rounds are a small constant, so the whole search is a fixed-depth
+    * chain of broadcast joins — the shape that survives a graph too
+    * large for any single heap. For bounded indexes there is also
+    * [[annGraphSearchReplica]], the serving-side pattern (index replica
+    * per executor, zero joins per query); it is deliberately NOT the
+    * declared query because its index load is driver-resident.
     */
   def annGraphSearch(
       s: SparkSession, d: String,
       nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val edges = BlockKnnJoin.knnGraph(s, e, 16)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      .cache()
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val entry = e.filter(col("vec_id") === 0L).select(col("embedding").as("ev"))
+    val wBeam = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    var pool = q.crossJoin(broadcast(entry))
+      .select(col("query_id"), lit(0L).as("vec_id"),
+        squaredL2(col("qv"), col("ev")).as("dist"))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val frontier = pool.select(col("query_id"), col("vec_id").as("src"))
+      val expanded = edges.join(broadcast(frontier), "src")
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .distinct()
+      val scored = e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(expanded), "vec_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          squaredL2(col("embedding"), col("qv")).as("dist"))
+      pool = pool.unionByName(scored)
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(min(col("dist")).as("dist"))
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beam)
+        .drop("rn")
+        .localCheckpoint()
+      r += 1
+    }
+    pool
+      .withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Serving-replica variant of [[annGraphSearch]] — identical results,
+    * different physics: the built index (n·m edge ids + the n stored
+    * vectors) is materialized once and replicated to every executor,
+    * and each query runs the whole beam search in a task-local loop —
+    * rounds·beam·m distance evals, zero shuffles, embarrassingly
+    * parallel in queries. This is the shape that serves 10⁶ queries/s
+    * against a memory-resident index (the reference holds the same
+    * structure in one process's heap).
+    *
+    * The index load necessarily passes through the driver
+    * (`collect` + `broadcast`), so the method REFUSES corpora beyond
+    * `maxReplicaRows` — callers with a bigger graph use the declared
+    * frontier-join form, which has no such bound. */
+  def annGraphSearchReplica(
+      s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 4,
+      maxReplicaRows: Long = 2000000L): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
+    val n = e.count()
+    require(n <= maxReplicaRows,
+      s"corpus has $n rows > maxReplicaRows=$maxReplicaRows: a replica " +
+        "would not fit one heap — use annGraphSearch (frontier joins)")
     val edges = BlockKnnJoin.knnGraph(s, e, 16)
       .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect()
     val adj: Map[Long, Array[Long]] =

@@ -98,6 +98,19 @@ class AnnSpec extends AnyFunSuite {
     assert(actual == expected)
   }
 
+  test("ann_graph_search replica variant equals the frontier-join form") {
+    val frontier = Ann.annGraphSearch(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val replica = Ann.annGraphSearchReplica(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(replica == frontier)
+    // and the guard refuses an index too big to replicate
+    val ex = intercept[IllegalArgumentException] {
+      Ann.annGraphSearchReplica(spark, d, maxReplicaRows = 10L)
+    }
+    assert(ex.getMessage.contains("maxReplicaRows"))
+  }
+
   test("HnswLevel Scala twins match the SQL expressions bitwise") {
     // levelOf vs the declarative levelExpr behind hnsw_levels
     Ann.hnswLevels(spark, d).collect().foreach { r =>

@@ -75,9 +75,31 @@ object Multimodal {
       .select(col("doc_id"), posexplode(col("feature")).as(Seq("pos", "val")))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** Frame sampling: every `stride`-th frame index of each media blob,
+    * with a deterministic per-frame content hash (the decode itself is
+    * the [[FakeDecoder]]-style stub — a real codec would emit the frame
+    * bytes here). The sampling plumbing is the real contract: frame
+    * count from metadata, `sequence`+`explode` to per-frame rows in the
+    * scan stage, blobs never shuffle — only (doc_id, frame_idx, hash)
+    * rows move. */
+  def frameSample(s: SparkSession, d: String, stride: Int = 4): DataFrame =
+    blobTable(s, d)
+      .select(
+        col("doc_id"),
+        (octet_length(col("blob")) % 16 + 1).as("n_frames"),
+        sha2(col("blob"), 256).as("content_sha"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"),
+        col("content_sha"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(concat(col("content_sha"), lit("-"), col("frame_idx").cast("string")))
+          .as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> ((s, d) => mediaMeta(s, d)),
-    "multimodal_features" -> ((s, d) => featuresExploded(s, d))
+    "multimodal_features" -> ((s, d) => featuresExploded(s, d)),
+    "multimodal_frames"   -> ((s, d) => frameSample(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -96,7 +118,17 @@ object Multimodal {
         |  CAST((CAST(('0x' || substr(md5(concat(md5(text), '-', CAST(j.j AS STRING))), 1, 15)) AS BIGINT)
         |        % 1000001) / 1000000.0 - 0.5 AS FLOAT) AS val
         |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+    // stride-4 sampling over 1..16 frames: {0,4,8,12} ∩ [0, n_frames)
+    "multimodal_frames" ->
+      """WITH b AS (SELECT doc_id,
+        |  octet_length(encode(text)) % 16 + 1 AS n_frames,
+        |  sha256(text) AS content_sha FROM documents)
+        |SELECT doc_id, n_frames, CAST(f.f AS INT) AS frame_idx,
+        |  md5(concat(content_sha, '-', CAST(f.f AS VARCHAR))) AS frame_md5
+        |FROM b CROSS JOIN (SELECT unnest(generate_series(0, 15, 4)) AS f) f
+        |WHERE f.f < n_frames
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
 

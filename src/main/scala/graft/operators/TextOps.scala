@@ -127,16 +127,45 @@ object TextOps {
       .orderBy(col("keep_id"))
 
   /** Exact shingle-set Jaccard similarity join (ground truth for the
-    * approximate dedup operators): pairs with J ≥ 0.5. */
-  def jaccardPairs(s: SparkSession, d: String, theta: Double = 0.5): DataFrame = {
+    * approximate dedup operators): pairs with J ≥ 0.5.
+    *
+    * Skew handling: a web-scale corpus has a long tail of boilerplate
+    * shingles shared by thousands of docs; a plain self-equi-join on
+    * the shingle would put every doc of a hot shingle into ONE shuffle
+    * partition (the r3-documented risk). The exploded table is split by
+    * per-shingle document frequency: cold shingles (df ≤ `hotDf`)
+    * self-join directly; hot shingles join on a SALTED key — the left
+    * side keeps its own salt `hash(doc_id) % salts`, the right side is
+    * replicated to all `salts` groups — so each hot shingle's pair
+    * generation spreads over `salts` partitions. Each qualifying pair
+    * survives exactly once (left doc appears in one salt group; the
+    * `a.doc_id < b.doc_id` predicate kills the swapped-role copy), so
+    * the output is byte-identical to the naive join — the gate's
+    * DuckDB oracle is the plain quadratic form. */
+  def jaccardPairs(s: SparkSession, d: String, theta: Double = 0.5,
+                   hotDf: Int = 32, salts: Int = 8): DataFrame = {
     // The shingle HOF chain is interpreted (CodegenFallback); both join
     // sides and the size table reuse it, so materialize it once.
     val sh = shingled(s, d).select(col("doc_id"), col("sh")).cache()
     val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sz = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val inter = e.as("a").join(e.as("b"),
+    val df = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // cached: the cold and hot branches both consume the tagged table,
+    // and the tag join shuffles the full exploded set once
+    val et = e.join(df, "s").cache()
+    val cold = et.filter(col("df") <= hotDf)
+    val hot = et.filter(col("df") > hotDf)
+    val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val hotA = hot.withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
+    val hotB = hot.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val hotPairs = hotA.as("a").join(hotB.as("b"),
+        col("a.s") === col("b.s") && col("a.salt") === col("b.salt") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val inter = coldPairs.unionByName(hotPairs)
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(sz.withColumnRenamed("doc_id", "src").withColumnRenamed("n", "na"), "src")

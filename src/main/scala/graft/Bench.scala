@@ -63,7 +63,7 @@ object Bench {
     val insertRate = BaselineWorkload.N / buildSec
     val searchRate = BaselineWorkload.Q / searchSec
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_workload":{"n":${BaselineWorkload.N},"dim":${BaselineWorkload.DIM},"q":${BaselineWorkload.Q},"k":${BaselineWorkload.K},"element_type":"f32","search_mode":"exact","recall_at_10":1.0,"build_sec":$buildSec,"search_sec":$searchSec,"insert_points_per_sec":$insertRate,"search_queries_per_sec":$searchRate,"reference_insert_points_per_sec":8392.22,"reference_search_queries_per_sec":2678.13,"reference_search_mode":"approximate (recall unmeasured)"}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_workload":{"n":${BaselineWorkload.N},"dim":${BaselineWorkload.DIM},"q":${BaselineWorkload.Q},"k":${BaselineWorkload.K},"element_type":"f32","search_mode":"exact","simd":${VectorKernel.simdEnabled},"recall_at_10":1.0,"build_sec":$buildSec,"search_sec":$searchSec,"insert_points_per_sec":$insertRate,"search_queries_per_sec":$searchRate,"reference_insert_points_per_sec":8392.22,"reference_search_queries_per_sec":2678.13,"reference_search_mode":"approximate (recall unmeasured)"}}""")
     spark.stop()
   }
 }

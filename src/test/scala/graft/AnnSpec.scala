@@ -98,6 +98,60 @@ class AnnSpec extends AnyFunSuite {
     assert(actual == expected)
   }
 
+  test("hnsw_search matches an independent in-test hierarchical reference exactly") {
+    // Single-threaded model of the documented semantics: per-level
+    // top-16 graphs over nodes with level >= l, entry = (max level,
+    // min id), one greedy argmin step per level 8..1, then 3 beam-16
+    // rounds on level 0 — the hierarchical analogue of the beam
+    // consistency test above (descent shape: the reference's insert,
+    // src/hnsw.zig:85-104; expansion shape: its search, :194-236).
+    val raw = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val vecs = raw.toMap
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+      acc
+    }
+    val level: Map[Long, Int] = raw.map { case (id, _) => id -> HnswLevel.levelOf(id) }.toMap
+    def adjAt(l: Int): Map[Long, Array[Long]] = {
+      val nodes = raw.filter { case (id, _) => level(id) >= l }
+      nodes.map { case (id, v) =>
+        id -> nodes.iterator.filter(_._1 != id)
+          .map { case (j, w) => (sq(v, w), j) }.toArray.sorted.take(16).map(_._2)
+      }.toMap
+    }
+    val adjByLevel: Map[Int, Map[Long, Array[Long]]] =
+      (0 to 8).map(l => l -> adjAt(l)).toMap
+    val entry = raw.map(_._1).minBy(id => (-level(id), id))
+    val expected = (0L until 10L).flatMap { qid =>
+      val qv = vecs(qid)
+      var cur: (Long, Double) = (entry, sq(vecs(entry), qv))
+      for (l <- 8 to 1 by -1) {
+        val cand = (cur._1 +: adjByLevel(l).getOrElse(cur._1, Array.empty[Long]).toSeq)
+          .distinct.map(id => (id, sq(vecs(id), qv)))
+        cur = cand.minBy { case (id, dd) => (dd, id) }
+      }
+      var pool: Seq[(Long, Double)] = Seq(cur._1 -> cur._2)
+      for (_ <- 1 to 3) {
+        val cand = scala.collection.mutable.HashMap[Long, Double](pool: _*)
+        pool.foreach { case (id, _) =>
+          adjByLevel(0)(id).foreach(nb => if (!cand.contains(nb)) cand(nb) = sq(vecs(nb), qv))
+        }
+        pool = cand.toSeq.sortBy { case (id, dd) => (dd, id) }.take(16)
+      }
+      pool.sortBy { case (id, dd) => (dd, id) }.take(10).zipWithIndex
+        .map { case ((id, dd), i) => (qid, id, dd, i + 1) }
+    }
+    val actual = Ann.hnswSearch(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(actual == expected)
+    val rec = recallAtK(actual.map(t => (t._1, t._2)).toArray, exact)
+    info(f"hnsw_search recall@10 (descent + beam=16, 3 rounds) = $rec%.3f")
+    assert(rec >= 0.7, f"hierarchical search recall too low: $rec%.3f")
+  }
+
   test("ann_graph_search replica variant equals the frontier-join form") {
     val frontier = Ann.annGraphSearch(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq

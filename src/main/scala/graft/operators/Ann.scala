@@ -422,7 +422,13 @@ object Ann {
     */
   def annGraphSearch(
       s: SparkSession, d: String,
-      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 4): DataFrame = {
+      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 4,
+      truncateLineage: Boolean = true): DataFrame = {
+    // truncateLineage=false keeps every round in ONE analyzable plan
+    // (PlanSpec audits the broadcast contract through all rounds);
+    // the default checkpoints per round — identical results, bounded
+    // plan depth.
+    def cp(df: DataFrame): DataFrame = if (truncateLineage) df.localCheckpoint() else df
     val e = Tables.embeddings(s, d)
     // Serve from the PERSISTED index ([[ensureFullIndex]] — level 0 of
     // the all-level table is exactly the m=16 k-NN graph): a search
@@ -435,12 +441,16 @@ object Ann {
       .cache()
     val q = e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // seed: 1-row entry, pushed-down point lookup, broadcast against
+    // the nq queries — the nested-loop join this plans as has a 1-row
+    // build side, the optimal physical shape for pairing every query
+    // with one constant row (PlanSpec pins that the build side is
+    // always the broadcast side)
     val entry = e.filter(col("vec_id") === 0L).select(col("embedding").as("ev"))
     val wBeam = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    var pool = q.crossJoin(broadcast(entry))
+    var pool = cp(q.crossJoin(broadcast(entry))
       .select(col("query_id"), lit(0L).as("vec_id"),
-        squaredL2(col("qv"), col("ev")).as("dist"))
-      .localCheckpoint()
+        squaredL2(col("qv"), col("ev")).as("dist")))
     var r = 0
     while (r < rounds) {
       val frontier = pool.select(col("query_id"), col("vec_id").as("src"))
@@ -454,13 +464,12 @@ object Ann {
         .join(broadcast(q), "query_id")
         .select(col("query_id"), col("vec_id"),
           squaredL2(col("embedding"), col("qv")).as("dist"))
-      pool = pool.unionByName(scored)
+      pool = cp(pool.unionByName(scored)
         .groupBy(col("query_id"), col("vec_id"))
         .agg(min(col("dist")).as("dist"))
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beam)
-        .drop("rn")
-        .localCheckpoint()
+        .drop("rn"))
       r += 1
     }
     pool
@@ -559,7 +568,8 @@ object Ann {
   def hnswSearch(
       s: SparkSession, d: String,
       nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
-      m: Int = 16): DataFrame = {
+      m: Int = 16, truncateLineage: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame = if (truncateLineage) df.localCheckpoint() else df
     val e = Tables.embeddings(s, d)
     val idx = ensureFullIndex(s, d, m).cache()
     val q = e.filter(col("vec_id") < nq)
@@ -571,10 +581,11 @@ object Ann {
       .orderBy(col("level").desc, col("vec_id")).limit(1)
       .select(col("vec_id"), col("embedding"))
     val w1 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    var cur = q.crossJoin(broadcast(entry))
+    // seed: the 1-row entry broadcast against the queries (see
+    // annGraphSearch's seed note on why this nested loop is right)
+    var cur = cp(q.crossJoin(broadcast(entry))
       .select(col("query_id"), col("vec_id"),
-        squaredL2(col("embedding"), col("qv")).as("dist"))
-      .localCheckpoint()
+        squaredL2(col("embedding"), col("qv")).as("dist")))
     // greedy descent, MaxLevel..1: one argmin step per level. Levels
     // above the entry's own level have no edge rows, so those steps
     // are provably no-ops — unrolling from the static MaxLevel keeps
@@ -589,10 +600,9 @@ object Ann {
         .join(broadcast(q), "query_id")
         .select(col("query_id"), col("vec_id"),
           squaredL2(col("embedding"), col("qv")).as("dist"))
-      cur = cur.unionByName(scored)
+      cur = cp(cur.unionByName(scored)
         .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-        .drop("rn")
-        .localCheckpoint()
+        .drop("rn"))
       l -= 1
     }
     // bottom layer: beam expansion from the descent's landing node
@@ -608,12 +618,11 @@ object Ann {
         .join(broadcast(q), "query_id")
         .select(col("query_id"), col("vec_id"),
           squaredL2(col("embedding"), col("qv")).as("dist"))
-      pool = pool.unionByName(scored)
+      pool = cp(pool.unionByName(scored)
         .groupBy(col("query_id"), col("vec_id"))
         .agg(min(col("dist")).as("dist"))
         .withColumn("rn", row_number().over(w1)).filter(col("rn") <= beam)
-        .drop("rn")
-        .localCheckpoint()
+        .drop("rn"))
       r += 1
     }
     pool

@@ -59,7 +59,15 @@ object Similarity {
   /** Near-duplicate pairs: src < dst with squared L2 below `eps`.
     * Exact block-partitioned ε-join ([[BlockKnnJoin.epsilonJoin]] — no
     * driver collect); the approximate scale path is LSH bucketing in
-    * [[Ann]]. */
+    * [[Ann]].
+    *
+    * This is also the EMBEDDING-COSINE near-dup: on unit-normalized
+    * embeddings (the fixture's, and any production embedding store's)
+    * cos(a,b) = 1 − ‖a−b‖²/2 exactly, so `d² < eps` ⟺
+    * `cos > 1 − eps/2` — the default eps=1.1 is a cosine threshold of
+    * 0.45. The reduction is the reason the entire L2 machinery
+    * (ε-join, LSH, IVF, k-NN) serves cosine workloads unchanged rather
+    * than duplicating every operator per metric. */
   def nearDupPairs(s: SparkSession, d: String, eps: Double = 1.1): DataFrame =
     BlockKnnJoin.epsilonJoin(s, Tables.embeddings(s, d), eps)
       .orderBy(col("src"), col("dst"))

@@ -57,4 +57,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(Similarity.nearestCentroid(spark, d)).contains("BroadcastExchange"))
     assert(plan(Ann.annIvf(spark, d)).contains("BroadcastExchange"))
   }
+
+  test("graph searches: frontier broadcasts through every round, no cartesian") {
+    // truncateLineage=false keeps all rounds in one analyzable plan
+    // (the default per-round localCheckpoint would hide every earlier
+    // round behind an RDD scan; it is plan-inspection-only — each
+    // round references the prior pool twice, so an un-truncated plan
+    // grows exponentially and must never be executed). Contract:
+    // frontier expansion and scoring are broadcast HASH joins; no
+    // cartesian and no corpus-sized sort-merge join anywhere. (The
+    // 1-row entry seed plans as a BroadcastNestedLoopJoin — correct:
+    // pairing every query with one constant row has no join key — so
+    // BNLJ presence is not asserted against; no corpus DF carries a
+    // broadcast hint in these plans, so the build side is always
+    // query-sized.)
+    for (df <- Seq(
+        Ann.annGraphSearch(spark, d, rounds = 2, truncateLineage = false),
+        Ann.hnswSearch(spark, d, rounds = 1, truncateLineage = false))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), "frontier is not broadcast-joined")
+      assert(!p.contains("CartesianProduct"), "cartesian in a graph search")
+      assert(!p.contains("SortMergeJoin"), "corpus-sized shuffle join in a graph search")
+    }
+  }
 }

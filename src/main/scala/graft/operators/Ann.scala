@@ -586,11 +586,14 @@ object Ann {
     var cur = cp(q.crossJoin(broadcast(entry))
       .select(col("query_id"), col("vec_id"),
         squaredL2(col("embedding"), col("qv")).as("dist")))
-    // greedy descent, MaxLevel..1: one argmin step per level. Levels
-    // above the entry's own level have no edge rows, so those steps
-    // are provably no-ops — unrolling from the static MaxLevel keeps
-    // operator and oracle in lockstep without a data-dependent bound.
-    var l = MaxLevel
+    // greedy descent, one argmin step per level. The oracle unrolls
+    // from the static MaxLevel; the engine starts at the top OCCUPIED
+    // level instead (one scalar max() on the cached edge table — an
+    // AQE-style statistic, not a corpus collect): levels above it have
+    // no edge rows, so those rounds are provably no-ops on both sides
+    // and skipping them changes nothing but the job count.
+    val topLevel = idx.agg(max(col("level"))).head().getInt(0)
+    var l = math.min(MaxLevel, topLevel)
     while (l >= 1) {
       val nbrs = idx.filter(col("level") === l)
         .join(broadcast(cur.select(col("query_id"), col("vec_id").as("src"))), "src")

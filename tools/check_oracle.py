@@ -37,8 +37,17 @@ def main():
         got, want = got[gc], want[wc]
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); fails += 1; continue
-        # driver sorts columns by name then hashes values; compare
-        # row-by-row in produced order (queries must be fully ordered)
+        # The driver sorts rows via pandas sort_values over all columns
+        # before hashing — which raises TypeError on non-empty ARRAY
+        # columns (unhashable ndarray). Mimic it exactly so an
+        # unsortable declared output fails HERE, not in the gate.
+        try:
+            got = got.sort_values(by=gc, kind="mergesort").reset_index(drop=True)
+            want = want.sort_values(by=wc, kind="mergesort").reset_index(drop=True)
+        except TypeError as e:
+            print(f"FAIL {name}: driver-style sort errs (gate would record err): {e}")
+            fails += 1; continue
+        # compare row-by-row in sorted order
         def norm(v):
             if hasattr(v, "tolist"):
                 v = v.tolist()

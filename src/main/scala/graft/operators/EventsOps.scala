@@ -70,6 +70,65 @@ object EventsOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** As-of join — for every event, the latest order of the same
+    * customer at or before the event time (ties on equal order date
+    * broken by max orderkey). Spark has no ASOF JOIN operator; the
+    * naive form (theta-join on `t <= ts` + per-event top-1) explodes
+    * to |events|·|orders-per-user| rows before pruning. This is the
+    * scalable re-expression: UNION both tables tagged by side, ONE
+    * shuffle on the join key, and a sorted carry-forward window
+    * (`last(..., ignoreNulls)` over rows-unbounded-preceding) that
+    * pins each event row to the most recent order row sorted before
+    * it. Order rows sort before event rows at equal time (inclusive
+    * as-of), ascending orderkey makes `last` pick the max-key tie.
+    * Cost is sort-merge over |events|+|orders| rows — no pair
+    * explosion at any scale; a 1000-executor cluster shuffles each
+    * row exactly once. */
+  def asofOrderJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orderSide = Tables.orders(s, d).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+      lit(1).as("is_order"), col("o_orderkey"), col("o_totalprice"),
+      lit(null).cast("long").as("event_id"))
+    val eventSide = ev.select(
+      col("user_id"), col("ts").as("t"), lit(0).as("is_order"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("is_order").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    orderSide.unionByName(eventSide)
+      .withColumn("ord_key",
+        last(when(col("is_order") === 1, col("o_orderkey")), ignoreNulls = true).over(w))
+      .withColumn("ord_price",
+        last(when(col("is_order") === 1, col("o_totalprice")), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0)
+      .select(col("event_id"), col("user_id"), col("t").as("ts"),
+        col("ord_key"), col("ord_price"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Rolling 1-hour per-user value sum/count — a RANGE-frame window
+    * over event time (each row aggregates its user's trailing hour).
+    * One shuffle on user_id; the frame walks each partition sorted
+    * once. Sums go through DECIMAL(18,6): a RANGE frame's contents are
+    * order-free sets, so determinism needs the exact accumulator. */
+  def rollingUserValue(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast(DecimalType(18, 6)).as("dv"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-hourUs, 0)
+    e.withColumn("roll_sum", sum(col("dv")).over(w).cast("double"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("roll_sum"), col("roll_n"))
+      .orderBy(col("event_id"))
+  }
+
   /** Top-10 users by purchase count (count desc, user asc). */
   def topUsers(s: SparkSession, d: String, k: Int = 10): DataFrame =
     Tables.events(s, d)
@@ -82,10 +141,12 @@ object EventsOps {
       .limit(k)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_hourly"     -> ((s, d) => eventsHourly(s, d)),
-    "events_json_stats" -> ((s, d) => eventsJsonStats(s, d)),
-    "sessionize"        -> ((s, d) => sessionize(s, d)),
-    "top_users"         -> ((s, d) => topUsers(s, d))
+    "events_hourly"      -> ((s, d) => eventsHourly(s, d)),
+    "events_json_stats"  -> ((s, d) => eventsJsonStats(s, d)),
+    "sessionize"         -> ((s, d) => sessionize(s, d)),
+    "top_users"          -> ((s, d) => topUsers(s, d)),
+    "events_asof_order"  -> ((s, d) => asofOrderJoin(s, d)),
+    "rolling_user_value" -> ((s, d) => rollingUserValue(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -116,6 +177,28 @@ object EventsOps {
       """SELECT user_id, count(*) AS n_purchases,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY user_id ORDER BY n_purchases DESC, user_id LIMIT 10""".stripMargin
+        |GROUP BY user_id ORDER BY n_purchases DESC, user_id LIMIT 10""".stripMargin,
+    // oracle is the naive as-of: per event, rank matching orders by
+    // (date DESC, orderkey DESC) and keep rank 1 — the quadratic form
+    // the engine's union+carry-forward window is proven against
+    "events_asof_order" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, ts, o_orderkey AS ord_key,
+        |       o_totalprice AS ord_price
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "rolling_user_value" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+        |                  CAST(value AS DECIMAL(18,6)) AS dv FROM events)
+        |SELECT event_id, user_id, ts,
+        |  CAST(sum(dv) OVER w AS DOUBLE) AS roll_sum,
+        |  count(*) OVER w AS roll_n
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -253,6 +253,75 @@ object TextOps {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** TF-IDF top-k terms per document. tf = in-doc term count, df =
+    * docs containing the term, score = tf·N/df (a rational idf — no
+    * log, so the score is ONE exact integer product divided once,
+    * bit-deterministic in both engines). Shape: two hash aggregations
+    * (map-side partial) + a broadcast of the 1-row corpus count + a
+    * per-doc window top-k — each token row shuffles twice, nothing is
+    * quadratic, and the df table is token-cardinality-sized. */
+  def tfidfTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val tok = toks(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // tf already has one row per (doc, token), so df is a count over it
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Dedup clustering: connected components over the exact-Jaccard
+    * near-dup graph ([[jaccardPairs]], J ≥ θ) by iterative min-label
+    * propagation — every doc labeled with the smallest doc_id in its
+    * component (the canonical representative a dedup pipeline keeps;
+    * `keep ⟺ doc_id = cluster_id`), plus the component size.
+    *
+    * Each round is one equi-join (edges × labels) + a per-node min —
+    * label data moves, never documents — followed by a `localCheckpoint`
+    * to cut the growing lineage and a SCALAR convergence probe
+    * (`limit(1).count()` — a driver-side boolean, not a corpus
+    * collect). Rounds = component diameter; near-dup components are
+    * band-generated quasi-cliques, so diameter is small (2 at sf0.01)
+    * regardless of corpus size. For adversarially long path-shaped
+    * components the standard fix is alternating large-star/small-star
+    * steps (same join shape, O(log n) rounds); min-propagation keeps
+    * the declared query's plan the simplest correct form. */
+  def dedupClusters(s: SparkSession, d: String, theta: Double = 0.5): DataFrame = {
+    val pairs = jaccardPairs(s, d, theta).select(col("src"), col("dst"))
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var labels = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("ncl")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("ncl")).as("nmin"))
+        .withColumnRenamed("src", "doc_id")
+      val upd = labels.join(nbrMin, Seq("doc_id"), "left")
+        .withColumn("new_cluster",
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))))
+        .localCheckpoint()
+      changed = upd.filter(col("new_cluster") =!= col("cluster")).limit(1).count()
+      labels = upd.select(col("doc_id"), col("new_cluster").as("cluster"))
+    }
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- langid
 
   /** Character-trigram language ID: per-lang top-20 trigram profiles
@@ -293,7 +362,9 @@ object TextOps {
     "jaccard_pairs"     -> ((s, d) => jaccardPairs(s, d)),
     "simhash_neardup"   -> ((s, d) => simhashNearDup(s, d)),
     "minhash_lsh_dedup" -> ((s, d) => minhashLshDedup(s, d)),
-    "langid_trigram"    -> ((s, d) => langidTrigram(s, d))
+    "langid_trigram"    -> ((s, d) => langidTrigram(s, d)),
+    "tfidf_topk"        -> ((s, d) => tfidfTopk(s, d)),
+    "dedup_clusters"    -> ((s, d) => dedupClusters(s, d))
   )
 
   private val duckShingles =
@@ -381,6 +452,39 @@ object TextOps {
          |SELECT src, dst, CAST(i AS DOUBLE)/(na + nb - i) AS jac
          |FROM v WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5
          |ORDER BY src, dst""".stripMargin,
+    "tfidf_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |         CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df AS score
+        |       FROM tf JOIN dfq USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+        |      FROM sc)
+        |SELECT doc_id, token, tf, df, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
+    // connected components as a recursive reachability fixpoint: the
+    // engine's iterative min-propagation must land on the same exact
+    // min-of-component labels
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM d),
+         |inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+         |          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT src, dst
+         |          FROM inter JOIN sz sa ON sa.doc_id = src JOIN sz sb ON sb.doc_id = dst
+         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5),
+         |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+         |reach(id, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT eg.dst, r.root FROM reach r JOIN edges eg ON eg.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+         |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+         |SELECT l.doc_id, l.cluster_id, s2.cluster_size
+         |FROM lab l JOIN szs s2 USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
     "langid_trigram" ->
       """WITH tri AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(text)-2),
         |               i -> substr(text, i, 3))) AS tri FROM documents),

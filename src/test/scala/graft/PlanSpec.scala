@@ -58,6 +58,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(Ann.annIvf(spark, d)).contains("BroadcastExchange"))
   }
 
+  test("events_asof_order: union + one window pass, no join operator at all") {
+    // the as-of is a union + carry-forward window; any Join node means
+    // the quadratic theta-join form crept back in
+    val p = plan(operators.EventsOps.asofOrderJoin(spark, d))
+    assert(!p.contains("Join"), s"as-of join plans a join:\n$p")
+    assert(p.contains("Window"), "as-of join lost its window")
+  }
+
   test("graph searches: frontier broadcasts through every round, no cartesian") {
     // truncateLineage=false keeps all rounds in one analyzable plan
     // (the default per-round localCheckpoint would hide every earlier

@@ -333,12 +333,20 @@ object TextOps {
     val tri = docs.select(
       col("doc_id"), col("lang"),
       explode(expr("transform(sequence(1, CAST(length(text) AS INT)-2), i -> substr(text, i, 3))")).as("tri"))
-    val prof = tri.groupBy(col("lang").as("plang"), col("tri"))
+    // ONE shuffle of the exploded trigrams: the per-(doc, trigram)
+    // counts feed both the language profiles (second-stage agg of
+    // already-reduced rows) and the distinct doc-trigram pairs (free —
+    // the groupBy IS the distinct), instead of exploding and shuffling
+    // the corpus twice
+    val docTriCnt = tri.groupBy(col("doc_id"), col("lang"), col("tri"))
       .agg(count(lit(1)).as("c"))
+      .cache()
+    val prof = docTriCnt.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(sum(col("c")).as("c"))
     val wTop = Window.partitionBy("plang").orderBy(col("c").desc, col("tri"))
     val top = prof.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 20)
       .select(col("plang"), col("tri"))
-    val docTri = tri.select(col("doc_id"), col("tri")).distinct()
+    val docTri = docTriCnt.select(col("doc_id"), col("tri"))
     val scores = docTri.join(top, "tri")
       .groupBy(col("doc_id"), col("plang"))
       .agg(count(lit(1)).as("sc"))

@@ -75,6 +75,24 @@ object Multimodal {
       .select(col("doc_id"), posexplode(col("feature")).as(Seq("pos", "val")))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** The decode → search handoff: the extracted feature vectors fed
+    * straight into the exact vector-search operator — the end-to-end
+    * pipeline (binary blob → decode → embed → k-NN) a multimodal
+    * corpus runs, all under the hash gate because [[FakeDecoder]] is
+    * oracle-re-expressible. Same physics as `knn_topk`: the 1-row
+    * query broadcast against the feature table, `TakeOrderedAndProject`
+    * top-k — the corpus-side blobs are decoded in the scan stage and
+    * never shuffle. */
+  def multimodalKnn(s: SparkSession, d: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.squaredL2
+    val f = features(s, d).withColumn("fv", col("feature").cast("array<double>"))
+    val q = f.filter(col("doc_id") === qid).select(col("fv").as("qv"))
+    f.crossJoin(broadcast(q))
+      .select(col("doc_id"), squaredL2(col("fv"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Frame sampling: every `stride`-th frame index of each media blob,
     * with a deterministic per-frame content hash (the decode itself is
     * the [[FakeDecoder]]-style stub — a real codec would emit the frame
@@ -99,7 +117,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> ((s, d) => mediaMeta(s, d)),
     "multimodal_features" -> ((s, d) => featuresExploded(s, d)),
-    "multimodal_frames"   -> ((s, d) => frameSample(s, d))
+    "multimodal_frames"   -> ((s, d) => frameSample(s, d)),
+    "multimodal_knn"      -> ((s, d) => multimodalKnn(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +138,19 @@ object Multimodal {
         |        % 1000001) / 1000000.0 - 0.5 AS FLOAT) AS val
         |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
         |ORDER BY doc_id, pos""".stripMargin,
+    // the decoded-feature table rebuilt declaratively (the same md5
+    // chain as multimodal_features, as lists), then exact top-k by
+    // squared L2 — float features cast to DOUBLE before the fold in
+    // both engines
+    "multimodal_knn" ->
+      """WITH f AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+        |    CAST(CAST((CAST(('0x' || substr(md5(concat(md5(text), '-', CAST(j AS STRING))), 1, 15)) AS BIGINT)
+        |         % 1000001) / 1000000.0 - 0.5 AS FLOAT) AS DOUBLE)) AS v
+        |  FROM documents),
+        |q AS (SELECT v AS qv FROM f WHERE doc_id = 0)
+        |SELECT f.doc_id,
+        |  list_sum(list_transform(list_zip(f.v, q.qv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |FROM f, q ORDER BY dist, doc_id LIMIT 10""".stripMargin,
     // stride-4 sampling over 1..16 frames: {0,4,8,12} ∩ [0, n_frames)
     "multimodal_frames" ->
       """WITH b AS (SELECT doc_id,

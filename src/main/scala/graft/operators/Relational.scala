@@ -111,6 +111,37 @@ object Relational {
         col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** CUBE over (status, priority) — all four grouping sets in one
+    * pass, disambiguated by the grouping_id bitmask (MSB = first
+    * grouping column in both engines). Same partial+final hash-agg
+    * shape as [[ordersRollup]]: the fact table shuffles once on the
+    * widest grouping set; coarser sets aggregate the reduced rows. */
+  def ordersCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec("o_totalprice", 12, 2)).cast("double").as("total"))
+      .orderBy(
+        col("gid"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Navigation + distribution window functions: per customer, order
+    * sequence number, days since the previous order (lag + datediff)
+    * and the ntile(4) spend quartile — one shuffle on the customer,
+    * all three windows share the same sorted run. */
+  def customerOrderGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("gap_days", datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
   /** Exact grouped quantiles (sort-based `percentile`, linearly
     * interpolated). Rounded to 4 dp: Spark computes (1−g)·a + g·b,
     * DuckDB a + (b−a)·g — algebraically equal, ±1 ulp apart; the
@@ -156,7 +187,9 @@ object Relational {
     "revenue_per_nation"  -> ((s, d) => revenuePerNation(s, d)),
     "customer_top_orders" -> ((s, d) => customerTopOrders(s, d)),
     "customers_no_orders" -> ((s, d) => customersNoOrders(s, d)),
-    "orders_rollup"       -> ((s, d) => ordersRollup(s, d))
+    "orders_rollup"       -> ((s, d) => ordersRollup(s, d)),
+    "orders_cube"         -> ((s, d) => ordersCube(s, d)),
+    "customer_order_gaps" -> ((s, d) => customerOrderGaps(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -227,6 +260,21 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "orders_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "customer_order_gaps" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  row_number() OVER w AS order_seq,
+        |  CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+        |                 CAST(o_orderdate AS DATE)) AS INT) AS gap_days,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin
   )
 }

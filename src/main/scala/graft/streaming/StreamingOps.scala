@@ -131,9 +131,46 @@ object StreamingOps {
     s.table(name).orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Stream-static join: the event stream enriched per-row with a
+    * static per-customer order profile (broadcast each micro-batch —
+    * the standard dimension-enrichment shape), then aggregated by
+    * event type. Stateless join + low-cardinality aggregate; decimal
+    * accumulation makes the final table batch-identical regardless of
+    * batch boundaries. */
+  def streamingEnrichQuery(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val src = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    val dim = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).as("spend"))
+    val agg = src.join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("sum_user_orders"),
+        sum(coalesce(col("spend"), lit(0).cast(DecimalType(12, 2))))
+          .cast("double").as("sum_user_spend"))
+    val name = "stream_enrich_" + UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_hourly"    -> ((s, d) => streamingHourly(s, d)),
-    "streaming_sessionize" -> ((s, d) => streamingSessionizeQuery(s, d))
+    "streaming_sessionize" -> ((s, d) => streamingSessionizeQuery(s, d)),
+    "streaming_enrich"    -> ((s, d) => streamingEnrichQuery(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,6 +192,15 @@ object StreamingOps {
         |      FROM s GROUP BY user_id, session_id)
         |SELECT user_id, session_id, n_events, duration_us FROM g
         |QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+    "streaming_enrich" ->
+      """WITH dim AS (SELECT o_custkey AS user_id, count(*) AS n_orders,
+        |               sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+        |             FROM orders GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS sum_user_orders,
+        |  CAST(sum(coalesce(spend, CAST(0 AS DECIMAL(12,2)))) AS DOUBLE) AS sum_user_spend
+        |FROM events LEFT JOIN dim USING (user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -68,6 +68,20 @@ object TextOps {
           least(col("n_tokens"), lit(50)) / 50.0 * 0.2, 6))
       .orderBy("doc_id")
 
+  /** The filtering step of a training-data pipeline: each document
+    * tagged keep / too_short / low_quality from the [[textStats]]
+    * score. Pure per-doc map over the stats plan — the verdict column
+    * is what a 100 TB pipeline partitions its output by. */
+  def qualityFilter(s: SparkSession, d: String,
+                    minTokens: Int = 20, minQuality: Double = 0.7): DataFrame =
+    textStats(s, d)
+      .withColumn("verdict",
+        when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("quality") < minQuality, lit("low_quality"))
+          .otherwise(lit("keep")))
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("verdict"))
+      .orderBy(col("doc_id"))
+
   def langStats(s: SparkSession, d: String): DataFrame =
     toks(s, d)
       .groupBy("lang")
@@ -372,7 +386,8 @@ object TextOps {
     "minhash_lsh_dedup" -> ((s, d) => minhashLshDedup(s, d)),
     "langid_trigram"    -> ((s, d) => langidTrigram(s, d)),
     "tfidf_topk"        -> ((s, d) => tfidfTopk(s, d)),
-    "dedup_clusters"    -> ((s, d) => dedupClusters(s, d))
+    "dedup_clusters"    -> ((s, d) => dedupClusters(s, d)),
+    "quality_filter"    -> ((s, d) => qualityFilter(s, d))
   )
 
   private val duckShingles =
@@ -460,6 +475,21 @@ object TextOps {
          |SELECT src, dst, CAST(i AS DOUBLE)/(na + nb - i) AS jac
          |FROM v WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5
          |ORDER BY src, dst""".stripMargin,
+    "quality_filter" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) / len(toks) AS ttr,
+        |  len(list_filter(toks, t -> t IN ('a','the'))) / len(toks) AS stop_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id, n_tokens,
+        |  round(ttr*0.5 + (1.0 - stop_ratio)*0.3 + least(n_tokens, 50)/50.0*0.2, 6) AS quality
+        |  FROM b)
+        |SELECT doc_id, n_tokens, quality,
+        |  CASE WHEN n_tokens < 20 THEN 'too_short'
+        |       WHEN quality < 0.7 THEN 'low_quality'
+        |       ELSE 'keep' END AS verdict
+        |FROM q ORDER BY doc_id""".stripMargin,
     "tfidf_topk" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2),

@@ -66,6 +66,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), "as-of join lost its window")
   }
 
+  test("bucketed tables co-locate the join: no shuffle, buckets pruned") {
+    // the 100 TB co-located-join path: both sides bucketed on the key
+    // with the same bucket count join with ZERO exchanges — the join
+    // reads matching buckets in place. Single-node proof of the
+    // layout the engine would give a large deployment.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
+    for (t <- Seq("b1", "b2")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      e.write.format("parquet").option("path", s"$tmp/$t")
+        .bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(t)
+    }
+    // disable auto-broadcast: at fixture size the planner would rather
+    // broadcast (also correct), hiding the co-location this test pins
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b1").join(spark.table("b2"), "vec_id")
+      val p = plan(joined)
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
+      assert(joined.count() == e.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.documents(spark, d)
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val scan = spark.read.parquet(tmp).filter(col("lang") === "en")
+    val p = plan(scan)
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]*\\]".r.findFirstIn(p).isDefined,
+      s"lang filter did not become a partition filter:\n$p")
+    val enCount = Tables.documents(spark, d).filter(col("lang") === "en").count()
+    assert(scan.count() == enCount)
+  }
+
   test("graph searches: frontier broadcasts through every round, no cartesian") {
     // truncateLineage=false keeps all rounds in one analyzable plan
     // (the default per-round localCheckpoint would hide every earlier

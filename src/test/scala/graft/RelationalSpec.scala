@@ -54,6 +54,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(perStatus.toSeq == expected.toSeq)
   }
 
+  test("sources: documents round-trip through JSON-lines and CSV sinks") {
+    // the engine is parquet-first, but a pipeline's edges speak
+    // JSON/CSV; prove the same DataFrame survives both formats
+    // byte-identically (text columns contain spaces/punctuation, so
+    // this exercises quoting/escaping and multi-line CSV reads)
+    val docs = Tables.documents(spark, d)
+    val schema = docs.schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sources").toString
+    docs.write.mode("overwrite").json(s"$tmp/json")
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(s"$tmp/csv")
+    val fromJson = spark.read.schema(schema).json(s"$tmp/json")
+    val fromCsv = spark.read.schema(schema)
+      .option("header", "true").option("escape", "\"").option("multiLine", "true")
+      .csv(s"$tmp/csv")
+    for ((rt, fmt) <- Seq((fromJson, "json"), (fromCsv, "csv"))) {
+      assert(rt.count() == docs.count(), s"$fmt row count")
+      assert(rt.except(docs).count() == 0 && docs.except(rt).count() == 0,
+        s"$fmt round-trip altered rows")
+    }
+  }
+
   test("set ops: presence tags are disjoint and cover customer nations") {
     val res = operators.Relational.nationPresence(spark, d).collect()
     val byTag = res.groupBy(_.getString(2)).view.mapValues(_.map(_.getInt(0)).toSet).toMap

@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash48"),
       info("simhash48", "simhash48(hashes) - 48-bit SimHash of an ARRAY<BIGINT>"),
       (args: Seq[Expression]) => SimHash48(args(0))))
+    // the whole-operator integration: KnnJoinPlan → KnnJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.KnnJoinStrategy)
   }
 }
 

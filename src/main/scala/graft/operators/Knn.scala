@@ -83,11 +83,15 @@ object Knn {
       .orderBy(col("dist"), col("vec_id"), col("pos"))
 
   /** Batch k-NN: for every query vector (vec_id < nq), its k nearest
-    * corpus vectors — batch form of zvdb `search`. */
+    * corpus vectors — batch form of zvdb `search`. Routes through the
+    * first-class Catalyst operator ([[graft.plans.KnnJoinPlan]] →
+    * `KnnJoinExec`): same algorithm and bit-identical results as
+    * [[BroadcastKnnJoin]] (KnnSpec pins the parity; the gate proves it
+    * against DuckDB), planned as a custom physical node. */
   def knnBatch(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
     val e = corpus(s, d)
     val q = e.filter(col("vec_id") < nq)
-    BroadcastKnnJoin(s, e, q, k)
+    graft.plans.KnnJoin.exact(e, q, k)
       .select(col("query_id"), col("vec_id"), col("dist"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }

@@ -86,6 +86,21 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("KnnJoinExec operator ≡ BroadcastKnnJoin function, bitwise") {
+    val d = "/root/testdata/sf0.01"
+    val corpus = Tables.embeddings(spark, d)
+    val q = corpus.filter(col("vec_id") < 10)
+    val viaOperator = graft.plans.KnnJoin.exact(corpus, q, 10)
+      .select("query_id", "vec_id", "dist", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(r => (r._1, r._4))
+    val viaFunction = operators.BroadcastKnnJoin(spark, corpus, q, 10)
+      .select("query_id", "vec_id", "dist", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(r => (r._1, r._4))
+    assert(viaOperator.toSeq == viaFunction.toSeq)
+  }
+
   // test_hnsw.zig "Consistency" (:275-317)
   test("repeated identical searches return identical results") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -46,11 +46,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("knn_batch / knn_graph: the corpus side never shuffles its vectors") {
-    // BroadcastKnnJoin emits (query_id, id, dist) partials; an Exchange
+    // the k-NN join emits (query_id, id, dist) partials; an Exchange
     // of embedding arrays would mean the corpus is being shuffled.
     val pBatch = plan(Knn.knnBatch(spark, d))
     assert(!"Exchange [^\\n]*embedding".r.findFirstIn(pBatch).isDefined,
       "corpus vectors cross an exchange in knn_batch")
+    // knn_batch plans through the first-class Catalyst operator
+    // (the plan string renders KnnJoinExec as "KnnJoin" — Spark strips
+    // the Exec suffix — and must NOT carry the "!" invalid-node marker)
+    assert("(?m)\\bKnnJoin\\b".r.findFirstIn(pBatch).isDefined,
+      s"knn_batch no longer plans the custom operator:\n$pBatch")
+    assert(!pBatch.contains("!KnnJoin"),
+      s"KnnJoinExec is marked invalid in the plan:\n$pBatch")
   }
 
   test("ivf / centroid classification broadcast the codebook") {

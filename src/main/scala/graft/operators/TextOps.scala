@@ -267,6 +267,23 @@ object TextOps {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Deterministic train/val/test split (98/1/1) by hash bucket of the
+    * doc id — the assignment step of a training pipeline. Hash-based
+    * (not `sample()`): the split is a pure function of the id, so it
+    * is stable across runs, engines, partitionings and re-shards —
+    * the property that keeps a holdout set leak-free when the corpus
+    * is rebuilt. Shuffle-free map. */
+  def docSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        expr(hash60.format("concat('split-', CAST(doc_id AS STRING))") + " % 100"))
+      .withColumn("split",
+        when(col("bucket") < 98, lit("train"))
+          .when(col("bucket") < 99, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** TF-IDF top-k terms per document. tf = in-doc term count, df =
     * docs containing the term, score = tf·N/df (a rational idf — no
     * log, so the score is ONE exact integer product divided once,
@@ -387,7 +404,8 @@ object TextOps {
     "langid_trigram"    -> ((s, d) => langidTrigram(s, d)),
     "tfidf_topk"        -> ((s, d) => tfidfTopk(s, d)),
     "dedup_clusters"    -> ((s, d) => dedupClusters(s, d)),
-    "quality_filter"    -> ((s, d) => qualityFilter(s, d))
+    "quality_filter"    -> ((s, d) => qualityFilter(s, d)),
+    "doc_split"         -> ((s, d) => docSplit(s, d))
   )
 
   private val duckShingles =
@@ -475,6 +493,15 @@ object TextOps {
          |SELECT src, dst, CAST(i AS DOUBLE)/(na + nb - i) AS jac
          |FROM v WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5
          |ORDER BY src, dst""".stripMargin,
+    "doc_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${duckHash60.format("concat('split-', CAST(doc_id AS STRING))")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 98 THEN 'train'
+         |       WHEN bucket < 99 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "quality_filter" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
         |b AS (SELECT doc_id,

@@ -131,6 +131,49 @@ object StreamingOps {
     s.table(name).orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Watermarked hourly aggregation — the append-mode streaming shape:
+    * `withWatermark` bounds state (a window's state is dropped once
+    * the watermark passes its end, so state size is O(windows within
+    * the lateness horizon), not O(stream length)) and rows later than
+    * the watermark are dropped. The transform alone, for spec-driven
+    * MemoryStream tests ([[streamingLateHourlyQuery]] wires it to the
+    * file source for the gate). */
+  def lateHourlyAgg(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+
+  /** [[lateHourlyAgg]] over the events parquet as a bounded stream,
+    * APPEND mode: only FINALIZED windows — those whose end the final
+    * watermark (max event time − delay) has passed — are emitted.
+    * That subset is exactly expressible in batch SQL, which puts the
+    * watermark semantics themselves under the hash gate. */
+  def streamingLateHourlyQuery(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val src = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = "stream_late_" + UUID.randomUUID().toString.replace("-", "")
+    val q = lateHourlyAgg(src).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(
+        col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** Stream-static join: the event stream enriched per-row with a
     * static per-customer order profile (broadcast each micro-batch —
     * the standard dimension-enrichment shape), then aggregated by
@@ -170,7 +213,8 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_hourly"    -> ((s, d) => streamingHourly(s, d)),
     "streaming_sessionize" -> ((s, d) => streamingSessionizeQuery(s, d)),
-    "streaming_enrich"    -> ((s, d) => streamingEnrichQuery(s, d))
+    "streaming_enrich"    -> ((s, d) => streamingEnrichQuery(s, d)),
+    "streaming_late_hourly" -> ((s, d) => streamingLateHourlyQuery(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,6 +237,16 @@ object StreamingOps {
         |SELECT user_id, session_id, n_events, duration_us FROM g
         |QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
         |ORDER BY user_id, session_id""".stripMargin,
+    // append mode emits exactly the windows whose end <= final
+    // watermark (max event time − 10 min); the batch restatement of
+    // the eviction rule
+    "streaming_late_hourly" ->
+      """WITH a AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |           FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, n, sum_value FROM a
+        |WHERE hour + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |ORDER BY hour, event_type""".stripMargin,
     "streaming_enrich" ->
       """WITH dim AS (SELECT o_custkey AS user_id, count(*) AS n_orders,
         |               sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend

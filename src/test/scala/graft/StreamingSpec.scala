@@ -29,6 +29,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("watermark: windows finalize in order, late rows are dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)] // (us, type_tag, value)
+    val events = mem.toDF()
+      .select(expr("timestamp_micros(_1)").as("ts"),
+        concat(lit("t"), col("_2")).as("event_type"), col("_3").as("value"))
+    val out = graft.streaming.StreamingOps.lateHourlyAgg(events, "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_test").start()
+    def table() = spark.table("late_test")
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    val min = 60L * 1000000L
+    // batch 1: hour 0 gets 2 rows, then an hour-1 row advances event
+    // time to 01:30 -> watermark (01:20) passes hour 0's end
+    mem.addData((5 * min, 1L, 1.0), (10 * min, 1L, 2.0), (90 * min, 1L, 4.0))
+    q.processAllAvailable()
+    // batch 2: a LATE hour-0 row (ts 00:20 < watermark) must be
+    // dropped, not resurrect the finalized window
+    mem.addData((20 * min, 1L, 100.0))
+    q.processAllAvailable()
+    // batch 3: advance far enough to finalize hour 1 too
+    mem.addData((200 * min, 1L, 8.0))
+    q.processAllAvailable()
+    val rows = table()
+    assert(rows.map(x => (x._1, x._2, x._3, x._4)).toSeq == Seq(
+      (0L, "t1", 2L, 3.0),                 // late 100.0 NOT included
+      (3600L * 1000, "t1", 1L, 4.0)))      // hour 1 finalized by batch 3
+    q.stop()
+  }
+
   test("streamingSessionize closes sessions across micro-batches") {
     val s = spark
     import s.implicits._

@@ -79,6 +79,25 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** TPC-H Q14-shaped: monthly revenue share of PROMO-type parts.
+    * part is broadcast; lineitem shuffles only on the month key after
+    * map-side partial aggregation. Both sums are decimal-exact; the
+    * share is one double expression over identical operands. */
+  def promoRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+    val revenue = dec("l_extendedprice", 10, 2) * (lit(1) - dec("l_discount", 4, 2))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0).cast(DecimalType(10, 2))))
+          .cast("double").as("promo_revenue"),
+        sum(revenue).cast("double").as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+      .orderBy(col("month"))
+  }
+
   /** Window: top-3 orders by totalprice per customer. */
   def customerTopOrders(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val o = Tables.orders(s, d)
@@ -189,7 +208,8 @@ object Relational {
     "customers_no_orders" -> ((s, d) => customersNoOrders(s, d)),
     "orders_rollup"       -> ((s, d) => ordersRollup(s, d)),
     "orders_cube"         -> ((s, d) => ordersCube(s, d)),
-    "customer_order_gaps" -> ((s, d) => customerOrderGaps(s, d))
+    "customer_order_gaps" -> ((s, d) => customerOrderGaps(s, d)),
+    "promo_revenue"       -> ((s, d) => promoRevenue(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,6 +288,18 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "promo_revenue" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |        ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+        |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |        ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY month""".stripMargin,
     "customer_order_gaps" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  row_number() OVER w AS order_seq,

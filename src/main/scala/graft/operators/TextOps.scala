@@ -267,6 +267,28 @@ object TextOps {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Redaction scrub — the PII-removal step of a training pipeline,
+    * parameterized by pattern (production patterns target emails /
+    * phones / ids; the fixture corpus has no digits, so the default
+    * pattern redacts a term set to exercise the machinery with real
+    * hits). Reports per-doc hit count, the scrubbed text's hash (the
+    * scrub output itself, gate-comparable without shipping the full
+    * text twice) and length delta. Pure per-doc map: `regexp_count` +
+    * `regexp_replace` in the scan stage, codegen'd, shuffle-free. */
+  def textScrub(s: SparkSession, d: String,
+                pattern: String = "\\b(customer|order)\\b",
+                replacement: String = "[REDACTED]"): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        // Column API, not expr(): a SQL string literal would re-parse
+        // the pattern's backslashes ('\b' → backspace)
+        regexp_count(col("text"), lit(pattern)).as("n_hits"),
+        md5(regexp_replace(col("text"), pattern, replacement)).as("scrubbed_md5"),
+        (length(regexp_replace(col("text"), pattern, replacement)) - length(col("text")))
+          .as("len_delta"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic train/val/test split (98/1/1) by hash bucket of the
     * doc id — the assignment step of a training pipeline. Hash-based
     * (not `sample()`): the split is a pure function of the id, so it
@@ -405,7 +427,8 @@ object TextOps {
     "tfidf_topk"        -> ((s, d) => tfidfTopk(s, d)),
     "dedup_clusters"    -> ((s, d) => dedupClusters(s, d)),
     "quality_filter"    -> ((s, d) => qualityFilter(s, d)),
-    "doc_split"         -> ((s, d) => docSplit(s, d))
+    "doc_split"         -> ((s, d) => docSplit(s, d)),
+    "text_scrub"        -> ((s, d) => textScrub(s, d))
   )
 
   private val duckShingles =
@@ -493,6 +516,12 @@ object TextOps {
          |SELECT src, dst, CAST(i AS DOUBLE)/(na + nb - i) AS jac
          |FROM v WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5
          |ORDER BY src, dst""".stripMargin,
+    "text_scrub" ->
+      raw"""SELECT doc_id,
+           |  len(regexp_extract_all(text, '\b(customer|order)\b')) AS n_hits,
+           |  md5(regexp_replace(text, '\b(customer|order)\b', '[REDACTED]', 'g')) AS scrubbed_md5,
+           |  CAST(len(regexp_replace(text, '\b(customer|order)\b', '[REDACTED]', 'g')) - len(text) AS INT) AS len_delta
+           |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_split" ->
       s"""WITH b AS (SELECT doc_id,
          |  ${duckHash60.format("concat('split-', CAST(doc_id AS STRING))")} % 100 AS bucket

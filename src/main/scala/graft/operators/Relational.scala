@@ -98,6 +98,23 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** TPC-H Q15-shaped: top-10 suppliers by quarterly revenue
+    * (ship-date-filtered at the scan, supplier broadcast). */
+  def topSuppliers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    val revenue = dec("l_extendedprice", 10, 2) * (lit(1) - dec("l_discount", 4, 2))
+    li.groupBy(col("l_suppkey"))
+      .agg(sum(revenue).cast("double").as("total_revenue"), count(lit(1)).as("n_items"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("suppkey"), col("s_name"),
+        col("total_revenue"), col("n_items"))
+      .orderBy(col("total_revenue").desc, col("suppkey"))
+      .limit(k)
+  }
+
   /** Window: top-3 orders by totalprice per customer. */
   def customerTopOrders(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val o = Tables.orders(s, d)
@@ -209,7 +226,8 @@ object Relational {
     "orders_rollup"       -> ((s, d) => ordersRollup(s, d)),
     "orders_cube"         -> ((s, d) => ordersCube(s, d)),
     "customer_order_gaps" -> ((s, d) => customerOrderGaps(s, d)),
-    "promo_revenue"       -> ((s, d) => promoRevenue(s, d))
+    "promo_revenue"       -> ((s, d) => promoRevenue(s, d)),
+    "top_suppliers"       -> ((s, d) => topSuppliers(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -288,6 +306,14 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "top_suppliers" ->
+      """SELECT l_suppkey AS suppkey, s_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |GROUP BY l_suppkey, s_name
+        |ORDER BY total_revenue DESC, suppkey LIMIT 10""".stripMargin,
     "promo_revenue" ->
       """SELECT date_trunc('month', l_shipdate) AS month,
         |  CAST(sum(CASE WHEN p_type = 'PROMO'

@@ -633,6 +633,75 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** SQ8 scalar quantization: each dimension linearly mapped to an
+    * int8 code by its corpus-wide [min, max] — the 4×-smaller storage
+    * representation every vector store ships (f32 → u8; here the
+    * fixture's doubles quantize the same way). Declared exploded
+    * (vec_id, pos, code) for the scalar-only gate contract. Shape:
+    * posexplode (a flatMap), a 64-row min/max aggregate broadcast
+    * back, and a per-element map — corpus-sized work is map-only. */
+  def sq8Codes(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+    val dims = ex.groupBy(col("pos"))
+      .agg(min(col("val")).as("dmin"), max(col("val")).as("dmax"))
+    ex.join(broadcast(dims), "pos")
+      .withColumn("code",
+        when(col("dmax") === col("dmin"), lit(0)).otherwise(
+          least(lit(255), greatest(lit(0),
+            round((col("val") - col("dmin")) / (col("dmax") - col("dmin")) * 255)
+              .cast("int")))))
+      .select(col("vec_id"), col("pos"), col("code"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  /** Approximate k-NN over the SQ8-quantized corpus: distances are
+    * computed against RECONSTRUCTED vectors (code/255·(max−min)+min),
+    * queries stay exact — the asymmetric-distance convention. The
+    * reconstruction is a per-row array fold (strict left-to-right, so
+    * the dist is bit-deterministic and oracle-checkable); at serving
+    * scale the codes table is the resident index at ¼ the footprint,
+    * and the 2×64-value dim bounds ride along as a broadcast. */
+  def annSq8(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val codes = sq8Codes(s, d)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    val dimsArr = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("pos"))
+      .agg(min(col("val")).as("dmin"), max(col("val")).as("dmax"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("dmin")))),
+          x => x.getField("dmin")).as("dmin_a"),
+        transform(array_sort(collect_list(struct(col("pos"), col("dmax")))),
+          x => x.getField("dmax")).as("dmax_a"))
+    val rec = codes.crossJoin(broadcast(dimsArr))
+      // 255.0D: a bare 255.0 parses as DECIMAL(4,1) in Spark SQL and
+      // the division would round in decimal arithmetic (~1e-6 error vs
+      // the IEEE double division DuckDB performs)
+      .withColumn("rv", expr(
+        s"""transform(sequence(1, $Dim), i ->
+           |  CASE WHEN element_at(dmax_a, i) = element_at(dmin_a, i)
+           |       THEN element_at(dmin_a, i)
+           |       ELSE element_at(codes, i) / 255.0D
+           |            * (element_at(dmax_a, i) - element_at(dmin_a, i))
+           |            + element_at(dmin_a, i) END)""".stripMargin))
+      .select(col("vec_id"), col("rv"))
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    rec.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        squaredL2(col("rv"), col("qv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_graph_search" -> ((s, d) => annGraphSearch(s, d)),
     "lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
@@ -642,7 +711,9 @@ object Ann {
     "hnsw_levels" -> ((s, d) => hnswLevels(s, d)),
     "hnsw_edges"  -> ((s, d) => hnswEdges(s, d)),
     "hnsw_insert_delta" -> ((s, d) => hnswInsertDelta(s, d)),
-    "hnsw_search" -> ((s, d) => hnswSearch(s, d))
+    "hnsw_search" -> ((s, d) => hnswSearch(s, d)),
+    "sq8_codes"   -> ((s, d) => sq8Codes(s, d)),
+    "ann_sq8"     -> ((s, d) => annSq8(s, d))
   )
 
   private val duckHash60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -842,6 +913,37 @@ object Ann {
       s"""WITH h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
          |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
          |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h)
-         |SELECT vec_id, level FROM lv ORDER BY vec_id""".stripMargin
+         |SELECT vec_id, level FROM lv ORDER BY vec_id""".stripMargin,
+    // pos is 0-based in the engine (posexplode); generate_subscripts
+    // is 1-based, hence the pos - 1 on output
+    "sq8_codes" ->
+      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |                   CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+        |dims AS (SELECT pos, min(val) AS dmin, max(val) AS dmax FROM ex GROUP BY pos)
+        |SELECT vec_id, CAST(ex.pos - 1 AS INT) AS pos,
+        |  CASE WHEN dmax = dmin THEN 0
+        |       ELSE least(255, greatest(0, CAST(round((val - dmin)/(dmax - dmin)*255, 0) AS INT))) END AS code
+        |FROM ex JOIN dims USING (pos) ORDER BY vec_id, pos""".stripMargin,
+    "ann_sq8" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |       CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |dims AS (SELECT pos, min(val) AS dmin, max(val) AS dmax FROM ex GROUP BY pos),
+         |qz AS (SELECT vec_id, ex.pos,
+         |         CASE WHEN dmax = dmin THEN 0
+         |              ELSE least(255, greatest(0, CAST(round((val - dmin)/(dmax - dmin)*255, 0) AS INT))) END AS code
+         |       FROM ex JOIN dims USING (pos)),
+         |codes AS (SELECT vec_id, list(code ORDER BY pos) AS codes FROM qz GROUP BY vec_id),
+         |da AS (SELECT list(dmin ORDER BY pos) AS dmin_a, list(dmax ORDER BY pos) AS dmax_a FROM dims),
+         |rec AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
+         |          CASE WHEN dmax_a[i] = dmin_a[i] THEN dmin_a[i]
+         |               ELSE codes[i] / 255.0 * (dmax_a[i] - dmin_a[i]) + dmin_a[i] END) AS rv
+         |        FROM codes, da),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |dd AS (SELECT q.query_id, rec.vec_id, ${duckSq.format("rec.rv", "q.qv")} AS dist FROM rec, q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
+         |SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
   )
 }

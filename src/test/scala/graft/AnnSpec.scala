@@ -53,6 +53,17 @@ class AnnSpec extends AnyFunSuite {
     assert(r1.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("ann_sq8: 8-bit quantized search keeps high recall; codes in range") {
+    val approx = Ann.annSq8(spark, d).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rec = recallAtK(approx, exact)
+    info(f"SQ8 recall@10 = $rec%.3f")
+    assert(rec >= 0.8, f"SQ8 recall too low: $rec%.3f")
+    val codes = Ann.sq8Codes(spark, d).select("code").collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    assert(codes.exists(_ > 0), "all-zero codes: quantization degenerate")
+  }
+
   test("ann_graph_search recall@10 vs exact, beam search over the graph") {
     val approx = Ann.annGraphSearch(spark, d).select("query_id", "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -702,6 +702,56 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Binary quantization: one SIGN BIT per dimension, packed into two
+    * 32-bit halves (a single 64-bit a·2+b fold would overflow the
+    * signed long under ANSI mode) — the 64×-smaller representation
+    * whose Hamming distance approximates angular distance on
+    * centered data. Map-only. */
+  def bqCodes(s: SparkSession, d: String): DataFrame = {
+    def half(lo: Int, hi: Int) = expr(
+      s"""aggregate(sequence($lo, $hi), 0L,
+         |  (acc, i) -> acc * 2L + CASE WHEN element_at(embedding, i) > 0D
+         |                              THEN 1L ELSE 0L END)""".stripMargin)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), half(1, 32).as("b0"), half(33, 64).as("b1"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Binary-quantized search: Hamming pre-ranking over the packed sign
+    * bits selects `cand` candidates per query, exact re-rank recovers
+    * the final top-k — the standard two-stage BQ serving shape (the
+    * first stage touches 16 bytes/vector, the second only
+    * `cand` full vectors). The fixture-scale candidate generation is
+    * a code-only broadcast cross join (3 longs per corpus row); at
+    * index scale the first stage becomes a multi-index banded
+    * equi-join over code chunks — the [[TextOps.simhashNearDup]] plan
+    * shape, pigeonhole over bands. */
+  def annBq(s: SparkSession, d: String,
+            nq: Int = 10, k: Int = 10, cand: Int = 50): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val c = bqCodes(s, d)
+    val qc = c.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("b0").as("qb0"), col("b1").as("qb1"))
+    val wHam = Window.partitionBy("query_id").orderBy(col("ham"), col("vec_id"))
+    val candidates = c.crossJoin(broadcast(qc))
+      .select(col("query_id"), col("vec_id"),
+        (expr("bit_count(b0 ^ qb0)") + expr("bit_count(b1 ^ qb1)")).as("ham"))
+      .withColumn("hrnk", row_number().over(wHam))
+      .filter(col("hrnk") <= cand)
+      .select(col("query_id"), col("vec_id"))
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    candidates
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        squaredL2(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_graph_search" -> ((s, d) => annGraphSearch(s, d)),
     "lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
@@ -713,7 +763,9 @@ object Ann {
     "hnsw_insert_delta" -> ((s, d) => hnswInsertDelta(s, d)),
     "hnsw_search" -> ((s, d) => hnswSearch(s, d)),
     "sq8_codes"   -> ((s, d) => sq8Codes(s, d)),
-    "ann_sq8"     -> ((s, d) => annSq8(s, d))
+    "ann_sq8"     -> ((s, d) => annSq8(s, d)),
+    "bq_codes"    -> ((s, d) => bqCodes(s, d)),
+    "ann_bq"      -> ((s, d) => annBq(s, d))
   )
 
   private val duckHash60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -914,6 +966,42 @@ object Ann {
          |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
          |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h)
          |SELECT vec_id, level FROM lv ORDER BY vec_id""".stripMargin,
+    "bq_codes" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  list_reduce(list_transform(generate_series(1, 32),
+        |    i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+        |    (a, b) -> a*2 + b) AS b0,
+        |  list_reduce(list_transform(generate_series(33, 64),
+        |    i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+        |    (a, b) -> a*2 + b) AS b1
+        |FROM e ORDER BY vec_id""".stripMargin,
+    "ann_bq" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c AS (SELECT vec_id,
+         |  list_reduce(list_transform(generate_series(1, 32),
+         |    i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |    (a, b) -> a*2 + b) AS b0,
+         |  list_reduce(list_transform(generate_series(33, 64),
+         |    i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |    (a, b) -> a*2 + b) AS b1
+         |  FROM e),
+         |qc AS (SELECT vec_id AS query_id, b0 AS qb0, b1 AS qb1 FROM c WHERE vec_id < 10),
+         |ham AS (SELECT qc.query_id, c.vec_id,
+         |          bit_count(xor(c.b0, qc.qb0)) + bit_count(xor(c.b1, qc.qb1)) AS ham
+         |        FROM c, qc),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ham, vec_id) AS hrnk
+         |  FROM ham) WHERE hrnk <= 50),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |dd AS (SELECT cand.query_id, cand.vec_id, ${duckSq.format("ev.v", "q.qv")} AS dist
+         |       FROM cand JOIN e ev ON ev.vec_id = cand.vec_id
+         |       JOIN q ON q.query_id = cand.query_id),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
+         |SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
     // pos is 0-based in the engine (posexplode); generate_subscripts
     // is 1-based, hence the pos - 1 on output
     "sq8_codes" ->

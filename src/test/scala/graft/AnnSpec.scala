@@ -64,6 +64,19 @@ class AnnSpec extends AnyFunSuite {
     assert(codes.exists(_ > 0), "all-zero codes: quantization degenerate")
   }
 
+  test("ann_bq: sign-bit Hamming pre-rank + exact re-rank; self found") {
+    val approx = Ann.annBq(spark, d).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rec = recallAtK(approx, exact)
+    info(f"BQ recall@10 (cand=50/500) = $rec%.3f")
+    assert(rec >= 0.4, f"BQ recall too low: $rec%.3f")
+    // a query's own code is Hamming-0 from itself, so self survives the
+    // pre-rank and lands at rank 1 (distance 0)
+    val r1 = Ann.annBq(spark, d).filter(col("rnk") === 1)
+      .select("query_id", "vec_id").collect()
+    assert(r1.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("ann_graph_search recall@10 vs exact, beam search over the graph") {
     val approx = Ann.annGraphSearch(spark, d).select("query_id", "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

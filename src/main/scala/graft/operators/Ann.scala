@@ -752,6 +752,93 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  private val PqSubs = 8   // subspaces (64 dims / 8)
+  private val PqSubDim = 8 // dims per subspace
+  private val PqK = 16     // codewords per subspace
+
+  /** Deterministic PQ codebook: codeword c of subspace s = the s-th
+    * 8-dim slice of corpus vector c (vec_id < 16) — a sampled codebook
+    * (the degenerate-but-valid variant of the usual per-subspace
+    * k-means training; sampling keeps it a pure function of the corpus
+    * so both engines derive the identical codebook). 128 rows total,
+    * broadcast everywhere it is used. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame = {
+    val subs = (0 until PqSubs).map { sub =>
+      struct(lit(sub).as("sub"),
+        slice(col("embedding"), sub * PqSubDim + 1, PqSubDim).as("cw"))
+    }
+    Tables.embeddings(s, d).filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("code"), explode(array(subs: _*)).as("sc"))
+      .select(col("sc.sub").as("sub"), col("code"), col("sc.cw").as("cw"))
+  }
+
+  /** Product quantization: each vector → 8 sub-codes (one per 8-dim
+    * subspace), code = argmin by (subdistance, code) over the 16
+    * broadcast codewords of that subspace — 64 doubles become 8 small
+    * ints, a 16× compression with per-subspace resolution (vs [[annBq]]'s
+    * 1 bit/dim and [[sq8Codes]]' per-dim linear map). Shape: slice is
+    * per-row (map-only), the codebook broadcasts, and the argmin is a
+    * map-side partial `min(struct(cd, code))` — the corpus shuffles
+    * once as (vec_id, sub) partials, never the crossed ×16 rows. */
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cb = pqCodebook(s, d)
+    val subs = (0 until PqSubs).map { sub =>
+      struct(lit(sub).as("sub"),
+        slice(col("embedding"), sub * PqSubDim + 1, PqSubDim).as("sv"))
+    }
+    val sv = e.select(col("vec_id"), explode(array(subs: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.sv").as("sv"))
+    sv.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        squaredL2(col("sv"), col("cw")).as("cd"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("cd"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
+  /** PQ approximate k-NN via asymmetric distance computation (ADC):
+    * per query, a 8×16 lookup table of exact subspace distances to
+    * every codeword; per corpus vector, dist ≈ Σ_s LUT[s][code_s] — a
+    * strict left fold over the flattened LUT, so bit-deterministic and
+    * oracle-checkable. The serving shape every PQ store uses: the
+    * corpus is touched only through its 8-byte code rows, the LUT is
+    * query-sized and broadcasts, and the scan is map-only + top-k. */
+  def annPq(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cb = pqCodebook(s, d)
+    val codes = pqCodes(s, d).groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    val qsubs = (0 until PqSubs).map { sub =>
+      struct(lit(sub).as("sub"),
+        slice(col("embedding"), sub * PqSubDim + 1, PqSubDim).as("qsv"))
+    }
+    val qsv = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), explode(array(qsubs: _*)).as("sc"))
+      .select(col("query_id"), col("sc.sub").as("sub"), col("sc.qsv").as("qsv"))
+    // flattened sub-major, code-minor: LUT[(s-1)*16 + code + 1]
+    val lut = qsv.join(broadcast(cb), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        squaredL2(col("qsv"), col("cw")).as("ld"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("ld")))),
+        x => x.getField("ld")).as("lut"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    codes.crossJoin(broadcast(lut))
+      .withColumn("dist", expr(
+        s"""aggregate(sequence(1, $PqSubs), 0D, (acc, s) ->
+           |  acc + element_at(lut,
+           |    (CAST(s AS INT) - 1) * $PqK + element_at(codes, CAST(s AS INT)) + 1))""".stripMargin))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_graph_search" -> ((s, d) => annGraphSearch(s, d)),
     "lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
@@ -765,7 +852,9 @@ object Ann {
     "sq8_codes"   -> ((s, d) => sq8Codes(s, d)),
     "ann_sq8"     -> ((s, d) => annSq8(s, d)),
     "bq_codes"    -> ((s, d) => bqCodes(s, d)),
-    "ann_bq"      -> ((s, d) => annBq(s, d))
+    "ann_bq"      -> ((s, d) => annBq(s, d)),
+    "pq_codes"    -> ((s, d) => pqCodes(s, d)),
+    "ann_pq"      -> ((s, d) => annPq(s, d))
   )
 
   private val duckHash60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1032,6 +1121,43 @@ object Ann {
          |r AS (SELECT query_id, vec_id, dist,
          |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
          |SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= 10
-         |ORDER BY query_id, rnk""".stripMargin
+         |ORDER BY query_id, rnk""".stripMargin,
+    "pq_codes" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |ss AS (SELECT unnest(range(8)) AS sub),
+         |cb AS (SELECT sub, CAST(vec_id AS INT) AS code,
+         |         list_slice(v, sub*8+1, sub*8+8) AS cw FROM e, ss WHERE vec_id < 16),
+         |sv AS (SELECT vec_id, sub, list_slice(v, sub*8+1, sub*8+8) AS sv FROM e, ss),
+         |dd AS (SELECT sv.vec_id, sv.sub, cb.code, ${duckSq.format("sv.sv", "cb.cw")} AS cd
+         |       FROM sv JOIN cb USING (sub))
+         |SELECT vec_id, CAST(sub AS INT) AS sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY cd, code) AS rn FROM dd)
+         |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+    "ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |ss AS (SELECT unnest(range(8)) AS sub),
+         |cb AS (SELECT sub, CAST(vec_id AS INT) AS code,
+         |         list_slice(v, sub*8+1, sub*8+8) AS cw FROM e, ss WHERE vec_id < 16),
+         |sv AS (SELECT vec_id, sub, list_slice(v, sub*8+1, sub*8+8) AS sv FROM e, ss),
+         |qz AS (SELECT vec_id, sub, code FROM (
+         |         SELECT sv.vec_id, sv.sub, cb.code,
+         |           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+         |             ORDER BY ${duckSq.format("sv.sv", "cb.cw")}, cb.code) AS rn
+         |         FROM sv JOIN cb USING (sub)) WHERE rn = 1),
+         |codes AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM qz GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+         |qsv AS (SELECT query_id, sub, list_slice(v, sub*8+1, sub*8+8) AS qsv FROM q, ss),
+         |ldt AS (SELECT query_id, sub, code, ${duckSq.format("qsv", "cw")} AS ld
+         |        FROM qsv JOIN cb USING (sub)),
+         |lut AS (SELECT query_id, list(ld ORDER BY sub, code) AS lut FROM ldt GROUP BY query_id),
+         |ad AS (SELECT l.query_id, c.vec_id,
+         |         list_sum(list_transform(range(1, 9),
+         |           s -> l.lut[(s-1)*16 + c.codes[s] + 1])) AS dist
+         |       FROM codes c, lut l)
+         |SELECT query_id, vec_id, dist, rnk FROM (
+         |  SELECT query_id, vec_id, dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM ad)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   )
 }

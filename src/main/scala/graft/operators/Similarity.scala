@@ -99,6 +99,46 @@ object Similarity {
         x => x.getField("cv")).as("cvec"))
   }
 
+  /** One Lloyd iteration of k-means over the corpus — the clustering
+    * step of a training-data curation pipeline (cluster, then sample /
+    * dedup / balance per cluster), seeded from the deterministic label
+    * centroids ([[centroids]] is iteration 0's codebook):
+    *
+    *   assign: each vector → argmin by (dist, clabel) over the 10
+    *           broadcast centroids — computed as a map-side partial
+    *           `min(struct(dist, clabel))` aggregate, so the corpus
+    *           shuffles ONCE as (vec_id → 1 row), not the ×10
+    *           crossed rows;
+    *   update: new centroid component = decimal-exact mean of member
+    *           components (the [[centroids]] determinism treatment),
+    *           exploded to scalar (cluster, pos) rows for the gate.
+    *
+    * Output: (cluster, pos, n, cv) — cluster sizes ride along, so the
+    * result is the full iteration state. Further iterations are the
+    * same plan with `cent` swapped for this output. */
+  def kmeansRefine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = centroids(s, d)
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("clabel"),
+        squaredL2(col("embedding"), col("cvec")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct(col("dist"), col("clabel"))).as("m"),
+        // every crossed row of a vec_id carries the identical embedding,
+        // so first() is value-deterministic here
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("m.clabel").as("cluster"), col("embedding"))
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("val"), 6).cast(DecimalType(38, 6))).cast("double") /
+          count(lit(1))).as("cv"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+
   def nearestCentroid(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cent = centroids(s, d)
@@ -117,7 +157,8 @@ object Similarity {
     "cosine_topk"      -> ((s, d) => cosineTopK(s, d)),
     "dedup_exact_vec"  -> ((s, d) => dedupExactVec(s, d)),
     "neardup_pairs"    -> ((s, d) => nearDupPairs(s, d)),
-    "nearest_centroid" -> ((s, d) => nearestCentroid(s, d))
+    "nearest_centroid" -> ((s, d) => nearestCentroid(s, d)),
+    "kmeans_refine"    -> ((s, d) => kmeansRefine(s, d))
   )
 
   private val sq = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
@@ -155,6 +196,25 @@ object Similarity {
          |r AS (SELECT vec_id, label, clabel, dist,
          |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM dd)
          |SELECT vec_id, label, clabel AS pred_label, dist FROM r WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+    "kmeans_refine" ->
+      s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         |                   CAST(unnest(embedding) AS DOUBLE) AS val
+         |            FROM embeddings),
+         |cm AS (SELECT label AS clabel, pos,
+         |              CAST(sum(CAST(round(val, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS cv
+         |       FROM ex GROUP BY label, pos),
+         |cent AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY clabel),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |dd AS (SELECT e.vec_id, c.clabel, ${sq.format("e.v", "c.cvec")} AS dist
+         |       FROM e, cent c),
+         |a AS (SELECT vec_id, clabel AS cluster FROM (
+         |        SELECT vec_id, clabel,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM dd)
+         |      WHERE rn = 1),
+         |ex2 AS (SELECT a.cluster, ex.pos, ex.val FROM ex JOIN a ON a.vec_id = ex.vec_id)
+         |SELECT cluster, CAST(pos - 1 AS INT) AS pos, count(*) AS n,
+         |  CAST(sum(CAST(round(val, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS cv
+         |FROM ex2 GROUP BY cluster, pos ORDER BY cluster, pos""".stripMargin
   )
 }

@@ -375,6 +375,26 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The collapse step of the dedup pipeline: [[dedupClusters]]'
+    * connected components reduced to ONE representative each — the
+    * member with the best [[textStats]] quality score (ties → min
+    * doc_id). Output is the deduplicated corpus manifest (kept doc +
+    * cluster provenance): cluster → filter → keep-best is exactly the
+    * shape a 100 TB curation run materializes. Labels join quality
+    * scores doc-for-doc (equi-join on doc_id, both sides corpus-sized
+    * but narrow); the keep choice is a per-cluster rank-1 window. */
+  def dedupKeepBest(s: SparkSession, d: String, theta: Double = 0.5): DataFrame = {
+    val clusters = dedupClusters(s, d, theta)
+    val quality = textStats(s, d).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("keep_doc_id"), col("quality"))
+      .orderBy(col("cluster_id"))
+  }
+
   // ---------------------------------------------------------------- langid
 
   /** Character-trigram language ID: per-lang top-20 trigram profiles
@@ -426,6 +446,7 @@ object TextOps {
     "langid_trigram"    -> ((s, d) => langidTrigram(s, d)),
     "tfidf_topk"        -> ((s, d) => tfidfTopk(s, d)),
     "dedup_clusters"    -> ((s, d) => dedupClusters(s, d)),
+    "dedup_keep_best"   -> ((s, d) => dedupKeepBest(s, d)),
     "quality_filter"    -> ((s, d) => qualityFilter(s, d)),
     "doc_split"         -> ((s, d) => docSplit(s, d)),
     "text_scrub"        -> ((s, d) => textScrub(s, d))
@@ -579,6 +600,39 @@ object TextOps {
          |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
          |SELECT l.doc_id, l.cluster_id, s2.cluster_size
          |FROM lab l JOIN szs s2 USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
+    // dedup_clusters' reachability fixpoint + quality_filter's score,
+    // collapsed to the per-cluster best row
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM d),
+         |inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+         |          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT src, dst
+         |          FROM inter JOIN sz sa ON sa.doc_id = src JOIN sz sb ON sb.doc_id = dst
+         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5),
+         |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+         |reach(id, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT eg.dst, r.root FROM reach r JOIN edges eg ON eg.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+         |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id),
+         |tq AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+         |bq AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) / len(toks) AS ttr,
+         |  len(list_filter(toks, t -> t IN ('a','the'))) / len(toks) AS stop_ratio
+         |  FROM tq),
+         |qq AS (SELECT doc_id,
+         |  round(ttr*0.5 + (1.0 - stop_ratio)*0.3 + least(n_tokens, 50)/50.0*0.2, 6) AS quality
+         |  FROM bq),
+         |j AS (SELECT l.doc_id, l.cluster_id, s2.cluster_size, qq.quality
+         |      FROM lab l JOIN szs s2 USING (cluster_id) JOIN qq USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+         |      FROM j)
+         |SELECT cluster_id, cluster_size, doc_id AS keep_doc_id, quality FROM r WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
     "langid_trigram" ->
       """WITH tri AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(text)-2),
         |               i -> substr(text, i, 3))) AS tri FROM documents),

@@ -210,11 +210,43 @@ object StreamingOps {
     s.table(name).orderBy(col("event_type"))
   }
 
+  /** Streaming exact dedup — ingestion-time dedup of a document feed,
+    * the streaming twin of [[graft.operators.TextOps]]' batch
+    * `dedup_docs_exact`: the documents parquet driven as a bounded
+    * stream, `dropDuplicates` on the content hash, Append mode (each
+    * key's first arrival emits; subsequent duplicates are swallowed by
+    * the state store). Declared output is the distinct key set — the
+    * only arrival-order-independent projection, which is what makes a
+    * stateful streaming dedup hash-oracle-checkable. State is O(unique
+    * keys); an unbounded production feed bounds it with
+    * `dropDuplicatesWithinWatermark` (same plan + a ts watermark,
+    * dedup guaranteed only within the lateness horizon). */
+  def streamingDedupQuery(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val src = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val name = "stream_dedup_" + UUID.randomUUID().toString.replace("-", "")
+    val q = src
+      .select(md5(col("text")).as("content_hash"))
+      .dropDuplicates("content_hash")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("content_hash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_hourly"    -> ((s, d) => streamingHourly(s, d)),
     "streaming_sessionize" -> ((s, d) => streamingSessionizeQuery(s, d)),
     "streaming_enrich"    -> ((s, d) => streamingEnrichQuery(s, d)),
-    "streaming_late_hourly" -> ((s, d) => streamingLateHourlyQuery(s, d))
+    "streaming_late_hourly" -> ((s, d) => streamingLateHourlyQuery(s, d)),
+    "streaming_dedup"     -> ((s, d) => streamingDedupQuery(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -255,6 +287,11 @@ object StreamingOps {
         |  CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS sum_user_orders,
         |  CAST(sum(coalesce(spend, CAST(0 AS DECIMAL(12,2)))) AS DOUBLE) AS sum_user_spend
         |FROM events LEFT JOIN dim USING (user_id)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the distinct key set is arrival-order-independent, so the batch
+    // restatement of a streaming dedup is plain DISTINCT
+    "streaming_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents
+        |ORDER BY content_hash""".stripMargin
   )
 }

@@ -204,6 +204,59 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_codes: self-coding on the codebook vectors; codes in range") {
+    val codes = Ann.pqCodes(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // 8 sub-codes per vector, every code a valid codeword index
+    assert(codes.length == 500 * 8)
+    assert(codes.forall { case (_, sub, c) => sub >= 0 && sub < 8 && c >= 0 && c < 16 })
+    // a codebook vector's own subvector is at distance 0 from its own
+    // codeword, so vec_id < 16 self-codes at every subspace
+    codes.filter(_._1 < 16).foreach { case (id, sub, c) =>
+      assert(c == id.toInt, s"vec $id sub $sub coded $c, expected self")
+    }
+  }
+
+  test("ann_pq: ADC search over the sampled codebook has useful recall") {
+    val approx = Ann.annPq(spark, d).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rec = recallAtK(approx, exact)
+    info(f"PQ recall@10 (8 subs x 16 sampled codewords) = $rec%.3f")
+    assert(rec >= 0.15, f"PQ recall too low: $rec%.3f")
+  }
+
+  test("kmeans_refine: one Lloyd iteration does not increase the objective") {
+    import graft.operators.Similarity
+    val raw = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v", "label")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+      acc
+    }
+    val refined = Similarity.kmeansRefine(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // full iteration state: 10 clusters x 64 components, sizes sum to n
+    assert(refined.length == 10 * 64)
+    assert(refined.filter(_._2 == 0).map(_._3).sum == 500L)
+    val newCent: Map[Int, Array[Double]] = refined.groupBy(_._1).map {
+      case (cl, rows) => (cl, rows.sortBy(_._2).map(_._4))
+    }
+    val initCent: Map[Int, Array[Double]] = Similarity.centroids(spark, d).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+    // Lloyd: reassign (argmin over initCent) then re-center can only
+    // shrink the summed squared distance vs the label partition
+    val costInit = raw.map { case (_, v, lbl) => sq(v, initCent(lbl)) }.sum
+    val costNew = raw.map { case (_, v, _) =>
+      newCent.values.map(c => sq(v, c)).min
+    }.sum
+    info(f"kmeans objective: label partition $costInit%.2f -> refined $costNew%.2f")
+    // +0.1 absorbs the 6-dp centroid rounding (≤ 5e-7/component over
+    // 500 vectors × 64 dims ≈ 0.03 worst-case cost perturbation)
+    assert(costNew <= costInit + 0.1)
+  }
+
   test("hnsw levels are geometric-ish and edges bounded by m") {
     val lv = Ann.hnswLevels(spark, d).collect().map(_.getInt(1))
     assert(lv.length == 500)

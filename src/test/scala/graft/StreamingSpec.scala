@@ -94,6 +94,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.exists(o => o.user_id == 2L && o.n_events == 1L))
     q.stop()
   }
+
+  test("streaming dedup swallows duplicates across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = mem.toDF()
+      .select(md5(col("value")).as("content_hash"))
+      .dropDuplicates("content_hash")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_test").start()
+
+    mem.addData("doc a", "doc b", "doc a") // in-batch duplicate
+    q.processAllAvailable()
+    assert(spark.table("dedup_test").count() == 2)
+
+    mem.addData("doc b", "doc c") // cross-batch duplicate vs new key
+    q.processAllAvailable()
+    val rows = spark.table("dedup_test").collect().map(_.getString(0))
+    assert(rows.length == 3)
+    assert(rows.distinct.length == 3)
+    q.stop()
+  }
 }
 
 /** Multimodal plumbing: schema, batching, determinism, ANN handoff. */

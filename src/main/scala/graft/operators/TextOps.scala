@@ -395,6 +395,45 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** Decontamination scan — the benchmark-leak check a training
+    * pipeline runs before a data release: every (document, probe)
+    * hit where the document contains a probe shingle. The probe set
+    * here is derived in-corpus (the `nProbes` highest-df shingles,
+    * ties by shingle) for self-containedness; in production it is an
+    * external benchmark shingle list — the plan is identical: the
+    * probe set broadcasts (benchmark suites are tiny), the corpus
+    * explodes its shingles once, and the scan is a broadcast semi-ish
+    * equi-join emitting only hits. No pair enumeration, no corpus
+    * shuffle; (doc, probe) rows are unique by construction because
+    * shingle sets are per-doc distinct. */
+  def contaminationScan(s: SparkSession, d: String, nProbes: Int = 5): DataFrame = {
+    val sh = shingled(s, d).select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val probes = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle")).limit(nProbes)
+      .select(col("shingle").as("probe"))
+    sh.join(broadcast(probes), sh("shingle") === probes("probe"))
+      .select(col("doc_id"), col("probe"))
+      .orderBy(col("doc_id"), col("probe"))
+  }
+
+  /** Stratified deterministic sampling: the `perLang` docs per
+    * language with the smallest seeded id-hash — the balanced-subset
+    * step a curation pipeline runs after filtering (equal
+    * representation per stratum regardless of raw frequencies).
+    * Hash-ordering makes the sample a pure function of the corpus (no
+    * RNG state), so it is reproducible, stable under re-partitioning,
+    * and oracle-checkable. Map + per-stratum top-k window: one shuffle
+    * of (lang, hash, id) tuples, never the documents themselves. */
+  def stratifiedSample(s: SparkSession, d: String, perLang: Int = 20): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("hk", md5(concat(lit("samp-"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perLang)
+      .select(col("lang"), col("rk"), col("doc_id"), col("hk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   // ---------------------------------------------------------------- langid
 
   /** Character-trigram language ID: per-lang top-20 trigram profiles
@@ -449,7 +488,9 @@ object TextOps {
     "dedup_keep_best"   -> ((s, d) => dedupKeepBest(s, d)),
     "quality_filter"    -> ((s, d) => qualityFilter(s, d)),
     "doc_split"         -> ((s, d) => docSplit(s, d)),
-    "text_scrub"        -> ((s, d) => textScrub(s, d))
+    "text_scrub"        -> ((s, d) => textScrub(s, d)),
+    "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "contamination_scan" -> ((s, d) => contaminationScan(s, d))
   )
 
   private val duckShingles =
@@ -600,6 +641,20 @@ object TextOps {
          |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
          |SELECT l.doc_id, l.cluster_id, s2.cluster_size
          |FROM lab l JOIN szs s2 USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
+    "contamination_scan" ->
+      s"""WITH $duckShingles,
+         |ee AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+         |dfq AS (SELECT shingle, count(*) AS df FROM ee GROUP BY 1),
+         |probes AS (SELECT shingle AS probe FROM dfq ORDER BY df DESC, shingle LIMIT 5)
+         |SELECT ee.doc_id, p.probe FROM ee JOIN probes p ON ee.shingle = p.probe
+         |ORDER BY doc_id, probe""".stripMargin,
+    "stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |             md5('samp-' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |r AS (SELECT lang, doc_id, hk,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk FROM h)
+        |SELECT lang, rk, doc_id, hk FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
     // dedup_clusters' reachability fixpoint + quality_filter's score,
     // collapsed to the per-cluster best row
     "dedup_keep_best" ->

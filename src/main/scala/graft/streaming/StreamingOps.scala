@@ -210,6 +210,48 @@ object StreamingOps {
     s.table(name).orderBy(col("event_type"))
   }
 
+  /** STREAM-STREAM inner join with an event-time range condition — the
+    * attribution query (each purchase matched to same-user views in
+    * the preceding 30 minutes), the last Structured Streaming join
+    * category the suite didn't declare. Both sides carry watermarks
+    * and the join has a two-sided time bound, so each side's buffered
+    * state is evicted once the other side's watermark passes the
+    * range — state is O(events within the watermark horizon), not
+    * O(stream length). On the bounded AvailableNow run the file source
+    * delivers one micro-batch, so no row can arrive behind the
+    * watermark and the final table equals the batch interval join —
+    * which is what makes a stream-stream join hash-oracle-checkable. */
+  def streamingJoinQuery(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val src = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("event_id").as("buy_id"),
+        col("value"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    val joined = views.join(buys,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("buy_id"), col("value"))
+    val name = "stream_join_" + UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
   /** Streaming exact dedup — ingestion-time dedup of a document feed,
     * the streaming twin of [[graft.operators.TextOps]]' batch
     * `dedup_docs_exact`: the documents parquet driven as a bounded
@@ -246,7 +288,8 @@ object StreamingOps {
     "streaming_sessionize" -> ((s, d) => streamingSessionizeQuery(s, d)),
     "streaming_enrich"    -> ((s, d) => streamingEnrichQuery(s, d)),
     "streaming_late_hourly" -> ((s, d) => streamingLateHourlyQuery(s, d)),
-    "streaming_dedup"     -> ((s, d) => streamingDedupQuery(s, d))
+    "streaming_dedup"     -> ((s, d) => streamingDedupQuery(s, d)),
+    "streaming_join"      -> ((s, d) => streamingJoinQuery(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -292,6 +335,17 @@ object StreamingOps {
     // restatement of a streaming dedup is plain DISTINCT
     "streaming_dedup" ->
       """SELECT DISTINCT md5(text) AS content_hash FROM documents
-        |ORDER BY content_hash""".stripMargin
+        |ORDER BY content_hash""".stripMargin,
+    // single-batch AvailableNow -> nothing falls behind the watermark,
+    // so the streaming interval join's final table IS the batch join
+    "streaming_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS buy_id, value, ts AS buy_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, view_id, buy_id, value
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 30 MINUTE
+        |ORDER BY v.user_id, view_id, buy_id""".stripMargin
   )
 }

@@ -95,6 +95,43 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream interval join buffers state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vmem = MemoryStream[(Long, Long, Long)] // (user, view_id, us)
+    val pmem = MemoryStream[(Long, Long, Long)] // (user, buy_id, us)
+    val views = vmem.toDF()
+      .select(col("_1").as("user_id"), col("_2").as("view_id"),
+        expr("timestamp_micros(_3)").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = pmem.toDF()
+      .select(col("_1").as("buy_user"), col("_2").as("buy_id"),
+        expr("timestamp_micros(_3)").as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    val joined = views.join(buys,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("buy_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("join_test").start()
+    val min = 60L * 1000000L
+    val base = 1700000000L * 1000000L // 2023-11-14, clear of epoch-0 clamps
+    vmem.addData((1L, 10L, base)) // batch 1: a view, no purchase yet
+    q.processAllAvailable()
+    assert(spark.table("join_test").count() == 0)
+    pmem.addData((1L, 20L, base + 10 * min)) // batch 2: joins the BUFFERED view
+    q.processAllAvailable()
+    val rows = spark.table("join_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 10L, 20L)))
+    pmem.addData((1L, 21L, base + 50 * min)) // batch 3: outside the 30-min bound
+    q.processAllAvailable()
+    assert(spark.table("join_test").count() == 1)
+    q.stop()
+  }
+
   test("streaming dedup swallows duplicates across micro-batches") {
     val s = spark
     import s.implicits._

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{DotProduct, SimHash48, SquaredL2Distance}
+import graft.functions.expressions.{DotProduct, SimHash, SquaredL2Distance}
 
 /** SQL surface for the native expressions, via
   * `SparkSessionExtensions` — so `spark.sql("SELECT squared_l2(a, b)")`
@@ -35,7 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash48"),
       info("simhash48", "simhash48(hashes) - 48-bit SimHash of an ARRAY<BIGINT>"),
-      (args: Seq[Expression]) => SimHash48(args(0))))
+      (args: Seq[Expression]) => SimHash(args(0), 48)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 64-bit SimHash of an ARRAY<BIGINT>"),
+      (args: Seq[Expression]) => SimHash(args(0), 64)))
     // the whole-operator integration: KnnJoinPlan → KnnJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.KnnJoinStrategy)
   }
@@ -50,6 +54,8 @@ object GraftExtensions {
     r.createOrReplaceTempFunction("dot_product",
       (args: Seq[Expression]) => DotProduct(args(0), args(1)), "scala_udf")
     r.createOrReplaceTempFunction("simhash48",
-      (args: Seq[Expression]) => SimHash48(args(0)), "scala_udf")
+      (args: Seq[Expression]) => SimHash(args(0), 48), "scala_udf")
+    r.createOrReplaceTempFunction("simhash64",
+      (args: Seq[Expression]) => SimHash(args(0), 64), "scala_udf")
   }
 }

@@ -112,31 +112,35 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** 48-bit SimHash (Charikar) over an ARRAY<BIGINT> of element hashes:
-  * per bit b ∈ [0,48), vote +1/−1 by bit b of each hash; output packs
-  * votes>0 as bits, bit 0 most significant (matches the
-  * `aggregate(transform(sequence(0,47),...))` HOF spec and the DuckDB
-  * `list_reduce` oracle bit-for-bit).
+/** `bits`-wide SimHash (Charikar) over an ARRAY<BIGINT> of element
+  * hashes: per bit b ∈ [0,bits), vote +1/−1 by bit b of each hash;
+  * output packs votes>0 as bits, bit 0 most significant (matches the
+  * `aggregate(transform(sequence(0,bits-1),...))` HOF spec and the
+  * DuckDB `list_reduce` oracle bit-for-bit). At bits=64 the top vote
+  * bit lands in the sign position — the packed value is the two's
+  * complement reinterpretation, which xor/bit_count Hamming arithmetic
+  * is oblivious to on both engines.
   *
-  * One pass over the array instead of 48 interpreted lambda folds —
-  * the HOF form measured ~0.5 s/doc interpreted; this is O(len·48)
+  * One pass over the array instead of `bits` interpreted lambda folds —
+  * the HOF form measured ~0.5 s/doc interpreted; this is O(len·bits)
   * primitive ops inside codegen.
   */
-case class SimHash48(child: Expression)
+case class SimHash(child: Expression, bits: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"simhash width must be in [1,64], got $bits")
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = true
-  override def prettyName: String = "simhash48"
+  override def prettyName: String = s"simhash$bits"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val votes = new Array[Int](48)
+    val votes = new Array[Int](bits)
     var i = 0
     while (i < n) {
       val h = arr.getLong(i)
       var b = 0
-      while (b < 48) {
+      while (b < bits) {
         if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
@@ -144,7 +148,7 @@ case class SimHash48(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 48) { out = out * 2 + (if (votes(b) > 0) 1L else 0L); b += 1 }
+    while (b < bits) { out = out * 2 + (if (votes(b) > 0) 1L else 0L); b += 1 }
     out
   }
 
@@ -156,18 +160,23 @@ case class SimHash48(child: Expression)
       val h = ctx.freshName("h")
       val out = ctx.freshName("out")
       s"""
-        int[] $votes = new int[48];
+        int[] $votes = new int[$bits];
         for (int $i = 0; $i < $arr.numElements(); $i++) {
           long $h = $arr.getLong($i);
-          for (int $b = 0; $b < 48; $b++) {
+          for (int $b = 0; $b < $bits; $b++) {
             if ((($h >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
           }
         }
         long $out = 0L;
-        for (int $b = 0; $b < 48; $b++) { $out = $out * 2 + ($votes[$b] > 0 ? 1L : 0L); }
+        for (int $b = 0; $b < $bits; $b++) { $out = $out * 2 + ($votes[$b] > 0 ? 1L : 0L); }
         ${ev.value} = $out;
       """
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Back-compat constructor for the canonical 48-bit form. */
+object SimHash48 {
+  def apply(child: Expression): SimHash = SimHash(child, 48)
 }

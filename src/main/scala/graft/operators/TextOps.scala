@@ -198,10 +198,10 @@ object TextOps {
     * no cross join — and are verified with the exact hamming predicate.
     *
     * Scale note: candidate volume is Σ_b pairs-per-bucket; with 5–6-bit
-    * bands that is the price of the tight hd≤8 contract on 48 bits. A
-    * production corpus would carry 64-bit fingerprints with hd≤3
-    * (4×16-bit bands), shrinking buckets 2¹⁰×; the plan shape here is
-    * exactly that one. */
+    * bands that is the price of the tight hd≤8 contract on 48 bits —
+    * this variant is the TIGHT-RADIUS form. The production
+    * parameterization is [[simhash64NearDup]]: 64-bit fingerprints,
+    * hd≤3, 4×16-bit bands — 2¹⁰× smaller buckets, same plan shape. */
   def simhashNearDup(s: SparkSession, d: String, maxHd: Int = 8): DataFrame = {
     val f = docFingerprint(s, d).select(col("doc_id"), col("sim48")).cache()
     val widths = Seq(6, 6, 6, 5, 5, 5, 5, 5, 5)
@@ -218,6 +218,51 @@ object TextOps {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("src"), col("r.doc_id").as("dst"),
         col("l.sim48").as("s1"), col("r.sim48").as("s2"))
+      .distinct()
+    cand
+      .select(col("src"), col("dst"), expr("bit_count(s1 ^ s2)").as("hd"))
+      .filter(col("hd") <= maxHd)
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** 64-bit doc fingerprint: SimHash over per-shingle 64-bit hashes
+    * assembled from two independent 60-bit md5 hashes (low 32 bits of
+    * each half; md5 has no 64-hex-digit integer cast in either
+    * engine, so the width is built by composition). Bit b of an
+    * element hash: b<32 → bit b of h1, b≥32 → bit b−32 of h2 — the
+    * parity contract the DuckDB oracle reproduces bit-for-bit. */
+  private def fingerprint64(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge.{column, expression}
+    import graft.functions.expressions.SimHash
+    val h1 = hash60.format("t")
+    val h2 = hash60.format("concat('s2:', t)")
+    val hs64 = expr(s"transform(sh, t -> ($h1 & 4294967295L) | shiftleft($h2, 32))")
+    shingled(s, d)
+      .select(col("doc_id"), column(SimHash(expression(hs64), 64)).as("sim64"))
+  }
+
+  /** The SCALE-SAFE simhash near-dup declared for production: 64-bit
+    * fingerprint, Hamming ≤ 3, candidates from 4 bands × 16 bits
+    * (pigeonhole: ≤3 flips leave ≥1 of 4 bands intact). Each band
+    * value ranges over 2¹⁶ buckets — at n docs a band bucket holds
+    * ~n/65536 docs, so the banded equi-join emits ~4·n²/2¹⁶ ≈ n²/2¹⁴
+    * candidate pairs on random fingerprints vs [[simhashNearDup]]'s
+    * ~n²/2⁵: the 2¹¹× shrink that makes the plan hold at 100×. The
+    * hd≤8/48 variant remains as the tight-radius test surface; this
+    * is the parameterization a web-corpus dedup run declares. */
+  def simhash64NearDup(s: SparkSession, d: String, maxHd: Int = 3): DataFrame = {
+    val f = fingerprint64(s, d).cache()
+    val bandCols = (0 until 4).map { bi =>
+      struct(lit(bi).as("bi"), expr(s"(sim64 >> ${bi * 16}) & 65535").as("bv"))
+    }
+    val bands = f
+      .select(col("doc_id"), col("sim64"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("sim64"), col("bd.bi").as("bi"), col("bd.bv").as("bv"))
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.bi") === col("r.bi") && col("l.bv") === col("r.bv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("src"), col("r.doc_id").as("dst"),
+        col("l.sim64").as("s1"), col("r.sim64").as("s2"))
       .distinct()
     cand
       .select(col("src"), col("dst"), expr("bit_count(s1 ^ s2)").as("hd"))
@@ -462,8 +507,11 @@ object TextOps {
     val scores = docTri.join(top, "tri")
       .groupBy(col("doc_id"), col("plang"))
       .agg(count(lit(1)).as("sc"))
+    // broadcast: the distinct-language side is tiny but POST-AGGREGATE
+    // (no stats), so without the hint Catalyst may plan a two-sided
+    // CartesianProductExec; the hint pins a broadcast nested loop
     val allPairs = docs.select(col("doc_id"), col("lang"))
-      .crossJoin(docs.select(col("lang").as("plang")).distinct())
+      .crossJoin(broadcast(docs.select(col("lang").as("plang")).distinct()))
     val sc = allPairs.join(scores, Seq("doc_id", "plang"), "left")
       .withColumn("score", coalesce(col("sc"), lit(0L)))
     val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
@@ -481,6 +529,7 @@ object TextOps {
     "dedup_docs_exact"  -> ((s, d) => dedupDocsExact(s, d)),
     "jaccard_pairs"     -> ((s, d) => jaccardPairs(s, d)),
     "simhash_neardup"   -> ((s, d) => simhashNearDup(s, d)),
+    "simhash64_neardup" -> ((s, d) => simhash64NearDup(s, d)),
     "minhash_lsh_dedup" -> ((s, d) => minhashLshDedup(s, d)),
     "langid_trigram"    -> ((s, d) => langidTrigram(s, d)),
     "tfidf_topk"        -> ((s, d) => tfidfTopk(s, d)),
@@ -562,6 +611,26 @@ object TextOps {
          |        (a, b) -> a*2 + b) AS sim48 FROM h)
          |SELECT l.doc_id AS src, r.doc_id AS dst, bit_count(xor(l.sim48, r.sim48)) AS hd
          |FROM s l, s r WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sim48, r.sim48)) <= 8
+         |ORDER BY src, dst""".stripMargin,
+    // fingerprint packing: 64 vote bits accumulated as HUGEINT (a·2+b
+    // overflows signed BIGINT when bit 0 votes positive), then mapped
+    // to the two's-complement BIGINT Spark's LongType carries; Hamming
+    // via bit_count(xor(...)) is representation-blind on both engines
+    "simhash64_neardup" ->
+      s"""WITH $duckShingles,
+         |h AS (SELECT doc_id, list_transform(sh, t -> [
+         |        ${duckHash60.format("t")},
+         |        ${duckHash60.format("concat('s2:', t)")}]) AS hs FROM d),
+         |fp AS (SELECT doc_id, list_reduce(list_transform(generate_series(0,63), b ->
+         |        CASE WHEN list_sum(list_transform(hs, p ->
+         |          CASE WHEN ((CASE WHEN b < 32 THEN p[1] >> b ELSE p[2] >> (b-32) END) & 1) = 1
+         |               THEN 1 ELSE -1 END)) > 0
+         |        THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END),
+         |        (a, b) -> a*2 + b) AS f FROM h),
+         |s AS (SELECT doc_id, CAST(CASE WHEN f >= 9223372036854775808
+         |        THEN f - 18446744073709551616 ELSE f END AS BIGINT) AS sim64 FROM fp)
+         |SELECT l.doc_id AS src, r.doc_id AS dst, bit_count(xor(l.sim64, r.sim64)) AS hd
+         |FROM s l, s r WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sim64, r.sim64)) <= 3
          |ORDER BY src, dst""".stripMargin,
     "minhash_lsh_dedup" ->
       s"""WITH $duckShingles,

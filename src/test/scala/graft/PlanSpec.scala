@@ -30,6 +30,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian is back")
   }
 
+  test("simhash64_neardup: banded equi-join with 2^16-ary band buckets") {
+    val df = TextOps.simhash64NearDup(spark, d)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "cartesian is back")
+    assert(!p.contains("CartesianProduct"), "cartesian is back")
+    // the scale contract: band values span 16 bits (mask 65535), not
+    // the 5–6-bit bands of the hd<=8/48 test variant (masks 31/63)
+    assert(p.contains("65535"), s"band mask is not 16-bit:\n$p")
+    assert(!p.contains("& 31)") && !p.contains("& 63)"),
+      "narrow band masks crept back into the declared plan")
+  }
+
+  test("langid_trigram: the doc x language grid is broadcast, not cartesian") {
+    val p = plan(TextOps.langidTrigram(spark, d))
+    assert(!p.contains("CartesianProduct"), s"langid grid plans a cartesian:\n$p")
+  }
+
   test("ann_lsh / lsh_buckets: no per-row md5 projection chain") {
     // projections are literal arrays now; md5 must not appear in the plan
     assert(!plan(Ann.lshBuckets(spark, d)).toLowerCase.contains("md5"))

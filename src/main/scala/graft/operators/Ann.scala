@@ -87,7 +87,7 @@ object Ann {
     * query, then exact re-rank among candidates. The equi-join on
     * bucket keys is the 100 TB path: no cross join anywhere. The
     * bucket table feeds both join sides, so it is cached once. */
-  def annLsh(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+  private[operators] def annLshRaw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, d)
     val b = bucketsRaw(s, d, nProj = 8, w = 0.1).cache()
     val qb = b.filter(col("vec_id") < nq)
@@ -103,12 +103,14 @@ object Ann {
         squaredL2(col("embedding"), col("qv")).as("dist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .orderBy(col("query_id"), col("rnk"))
   }
+
+  def annLsh(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame =
+    annLshRaw(s, d, nq, k).orderBy(col("query_id"), col("rnk"))
 
   /** IVF assignment: each vector → nearest label-centroid cell
     * (deterministic codebook from [[Similarity]]'s decimal centroids). */
-  def ivfAssign(s: SparkSession, d: String): DataFrame = {
+  private def ivfAssignRaw(s: SparkSession, d: String): DataFrame = {
     val cent = Similarity.centroids(s, d) // (clabel, cvec)
     val e = Tables.embeddings(s, d)
     val w = Window.partitionBy("vec_id").orderBy(col("cdist"), col("clabel"))
@@ -118,16 +120,18 @@ object Ann {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("clabel").as("cell"), col("cdist"))
-      .orderBy(col("vec_id"))
   }
+
+  def ivfAssign(s: SparkSession, d: String): DataFrame =
+    ivfAssignRaw(s, d).orderBy(col("vec_id"))
 
   /** IVF approximate k-NN: probe the `nprobe` nearest cells per query,
     * exact re-rank within them. Scan cost drops from |corpus| to
     * |probed cells| — the standard inverted-file trade. */
-  def annIvf(s: SparkSession, d: String, nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame = {
+  private[operators] def annIvfRaw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cent = Similarity.centroids(s, d)
-    val assign = ivfAssign(s, d).select(col("vec_id"), col("cell"))
+    val assign = ivfAssignRaw(s, d).select(col("vec_id"), col("cell"))
     val q = e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     // nprobe nearest cells per query
@@ -146,8 +150,10 @@ object Ann {
         squaredL2(col("embedding"), col("qv")).as("dist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .orderBy(col("query_id"), col("rnk"))
   }
+
+  def annIvf(s: SparkSession, d: String, nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame =
+    annIvfRaw(s, d, nq, k, nprobe).orderBy(col("query_id"), col("rnk"))
 
   /** HNSW-shaped hierarchical structure: geometric levels + per-level
     * m-NN edges (m=16 as in every reference config, pruned per
@@ -420,7 +426,7 @@ object Ann {
     * per executor, zero joins per query); it is deliberately NOT the
     * declared query because its index load is driver-resident.
     */
-  def annGraphSearch(
+  private[operators] def annGraphSearchRaw(
       s: SparkSession, d: String,
       nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 4,
       truncateLineage: Boolean = true): DataFrame = {
@@ -475,8 +481,14 @@ object Ann {
     pool
       .withColumn("rnk", row_number().over(wBeam))
       .filter(col("rnk") <= k)
-      .orderBy(col("query_id"), col("rnk"))
   }
+
+  def annGraphSearch(
+      s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 4,
+      truncateLineage: Boolean = true): DataFrame =
+    annGraphSearchRaw(s, d, nq, k, beam, rounds, truncateLineage)
+      .orderBy(col("query_id"), col("rnk"))
 
   /** Serving-replica variant of [[annGraphSearch]] — identical results,
     * different physics: the built index (n·m edge ids + the n stored
@@ -565,7 +577,7 @@ object Ann {
     * never transits the driver. Descent rounds are a fixed small
     * count, so the whole search is a bounded chain of broadcast joins
     * that holds at any corpus size. */
-  def hnswSearch(
+  private[operators] def hnswSearchRaw(
       s: SparkSession, d: String,
       nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
       m: Int = 16, truncateLineage: Boolean = true): DataFrame = {
@@ -634,8 +646,14 @@ object Ann {
     }
     pool
       .withColumn("rnk", row_number().over(w1)).filter(col("rnk") <= k)
-      .orderBy(col("query_id"), col("rnk"))
   }
+
+  def hnswSearch(
+      s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
+      m: Int = 16, truncateLineage: Boolean = true): DataFrame =
+    hnswSearchRaw(s, d, nq, k, beam, rounds, m, truncateLineage)
+      .orderBy(col("query_id"), col("rnk"))
 
   /** SQ8 scalar quantization: each dimension linearly mapped to an
     * int8 code by its corpus-wide [min, max] — the 4×-smaller storage
@@ -666,15 +684,17 @@ object Ann {
     * the dist is bit-deterministic and oracle-checkable); at serving
     * scale the codes table is the resident index at ¼ the footprint,
     * and the 2×64-value dim bounds ride along as a broadcast. */
-  def annSq8(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+  private[operators] def annSq8Raw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val codes = sq8Codes(s, d)
-      .groupBy(col("vec_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("code")))),
-        x => x.getField("code")).as("codes"))
-    val dimsArr = Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+    // ONE corpus aggregation derives the 64 (dmin, dmax) bounds and
+    // collapses them to a 1-row broadcast of two arrays; encode AND
+    // reconstruct then happen in a single map over the corpus — the
+    // quantize→reconstruct round trip is a per-element expression, so
+    // no posexplode of the corpus, no explode→collect_list reassembly
+    // shuffles (the r4 shape scanned embeddings three times and
+    // shuffled 64n scalar rows twice for identical output).
+    val dimsArr = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "val")))
       .groupBy(col("pos"))
       .agg(min(col("val")).as("dmin"), max(col("val")).as("dmax"))
       .groupBy()
@@ -683,15 +703,19 @@ object Ann {
           x => x.getField("dmin")).as("dmin_a"),
         transform(array_sort(collect_list(struct(col("pos"), col("dmax")))),
           x => x.getField("dmax")).as("dmax_a"))
-    val rec = codes.crossJoin(broadcast(dimsArr))
-      // 255.0D: a bare 255.0 parses as DECIMAL(4,1) in Spark SQL and
-      // the division would round in decimal arithmetic (~1e-6 error vs
-      // the IEEE double division DuckDB performs)
+    // 255.0D: a bare 255.0 parses as DECIMAL(4,1) in Spark SQL and
+    // the division would round in decimal arithmetic (~1e-6 error vs
+    // the IEEE double division DuckDB performs)
+    val rec = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(dimsArr))
       .withColumn("rv", expr(
         s"""transform(sequence(1, $Dim), i ->
            |  CASE WHEN element_at(dmax_a, i) = element_at(dmin_a, i)
            |       THEN element_at(dmin_a, i)
-           |       ELSE element_at(codes, i) / 255.0D
+           |       ELSE least(255, greatest(0,
+           |              CAST(round((element_at(embedding, i) - element_at(dmin_a, i))
+           |                   / (element_at(dmax_a, i) - element_at(dmin_a, i)) * 255) AS INT)))
+           |            / 255.0D
            |            * (element_at(dmax_a, i) - element_at(dmin_a, i))
            |            + element_at(dmin_a, i) END)""".stripMargin))
       .select(col("vec_id"), col("rv"))
@@ -703,8 +727,10 @@ object Ann {
         squaredL2(col("rv"), col("qv")).as("dist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .orderBy(col("query_id"), col("rnk"))
   }
+
+  def annSq8(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame =
+    annSq8Raw(s, d, nq, k).orderBy(col("query_id"), col("rnk"))
 
   /** Binary quantization: one SIGN BIT per dimension, packed into two
     * 32-bit halves (a single 64-bit a·2+b fold would overflow the
@@ -730,7 +756,7 @@ object Ann {
     * index scale the first stage becomes a multi-index banded
     * equi-join over code chunks — the [[TextOps.simhashNearDup]] plan
     * shape, pigeonhole over bands. */
-  def annBq(s: SparkSession, d: String,
+  private[operators] def annBqRaw(s: SparkSession, d: String,
             nq: Int = 10, k: Int = 10, cand: Int = 50): DataFrame = {
     val e = Tables.embeddings(s, d)
     val c = bqCodes(s, d)
@@ -753,8 +779,11 @@ object Ann {
         squaredL2(col("embedding"), col("qv")).as("dist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .orderBy(col("query_id"), col("rnk"))
   }
+
+  def annBq(s: SparkSession, d: String,
+            nq: Int = 10, k: Int = 10, cand: Int = 50): DataFrame =
+    annBqRaw(s, d, nq, k, cand).orderBy(col("query_id"), col("rnk"))
 
   private val PqSubs = 8   // subspaces (64 dims / 8)
   private val PqSubDim = 8 // dims per subspace
@@ -771,9 +800,20 @@ object Ann {
       struct(lit(sub).as("sub"),
         slice(col("embedding"), sub * PqSubDim + 1, PqSubDim).as("cw"))
     }
-    Tables.embeddings(s, d).filter(col("vec_id") < PqK)
+    val cb = Tables.embeddings(s, d).filter(col("vec_id") < PqK)
       .select(col("vec_id").cast("int").as("code"), explode(array(subs: _*)).as("sc"))
       .select(col("sc.sub").as("sub"), col("code"), col("sc.cw").as("cw"))
+    // the sampled-codebook contract assumes vec_ids 0..PqK-1 exist and
+    // are contiguous; a re-keyed or smaller corpus would otherwise
+    // yield a silently incomplete codebook that annPq's fixed
+    // PqK-stride LUT indexing reads out of — fail loudly instead
+    // (a PqK-row pruned point-lookup scan, negligible next to the
+    // query it guards)
+    val n = cb.count()
+    require(n == PqSubs.toLong * PqK,
+      s"PQ codebook incomplete: expected ${PqSubs * PqK} (sub, code) rows, " +
+        s"got $n — corpus must contain contiguous vec_ids 0..${PqK - 1}")
+    cb
   }
 
   /** Product quantization: each vector → 8 sub-codes (one per 8-dim
@@ -784,7 +824,7 @@ object Ann {
     * per-row (map-only), the codebook broadcasts, and the argmin is a
     * map-side partial `min(struct(cd, code))` — the corpus shuffles
     * once as (vec_id, sub) partials, never the crossed ×16 rows. */
-  def pqCodes(s: SparkSession, d: String): DataFrame = {
+  private def pqCodesRaw(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cb = pqCodebook(s, d)
     val subs = (0 until PqSubs).map { sub =>
@@ -799,8 +839,10 @@ object Ann {
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("cd"), col("code"))).as("m"))
       .select(col("vec_id"), col("sub"), col("m.code").as("code"))
-      .orderBy(col("vec_id"), col("sub"))
   }
+
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqCodesRaw(s, d).orderBy(col("vec_id"), col("sub"))
 
   /** PQ approximate k-NN via asymmetric distance computation (ADC):
     * per query, a 8×16 lookup table of exact subspace distances to
@@ -809,10 +851,10 @@ object Ann {
     * oracle-checkable. The serving shape every PQ store uses: the
     * corpus is touched only through its 8-byte code rows, the LUT is
     * query-sized and broadcasts, and the scan is map-only + top-k. */
-  def annPq(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+  private[operators] def annPqRaw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cb = pqCodebook(s, d)
-    val codes = pqCodes(s, d).groupBy(col("vec_id"))
+    val codes = pqCodesRaw(s, d).groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
         x => x.getField("code")).as("codes"))
@@ -840,27 +882,53 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("dist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .orderBy(col("query_id"), col("rnk"))
   }
 
+  def annPq(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame =
+    annPqRaw(s, d, nq, k).orderBy(col("query_id"), col("rnk"))
+
+  /** Arm names of the recall report, alphabetical (= output order). */
+  private[operators] val RecallArms: Seq[String] =
+    Seq("bq", "graph", "hnsw", "ivf", "lsh", "pq", "sq8")
+
   /** Recall@k self-evaluation — the measurement every ANN deployment
-    * ships next to its index: per query, |approx ∩ exact| / k, with
-    * the LSH path as the approximate arm and the exact batch k-NN as
-    * ground truth. Both arms are existing declared plans; the
-    * intersection is an equi-join of two k-row-per-query sets, so the
-    * report adds one query-sized join regardless of corpus size. */
+    * ships next to its index: per (arm, query), |approx ∩ exact| / k,
+    * for EVERY approximate serving arm (bq, graph, hnsw, ivf, lsh, pq,
+    * sq8) against the exact batch k-NN as ground truth — the published
+    * search-quality evidence the reference never measured
+    * (`benchmarks/benchmark.md:107-113`, "approximate, recall
+    * unmeasured"). All arms are existing declared plans composed on
+    * their UNSORTED internal forms (the declared forms' global sorts
+    * would be dead work under the join); the intersection per arm is
+    * an equi-join of two k-row-per-query sets, so the whole report
+    * adds arm-count query-sized joins regardless of corpus size. */
   def annRecallReport(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
-    val approx = annLsh(s, d, nq, k).select(col("query_id"), col("vec_id"))
-    val exact = Knn.knnBatch(s, d, nq, k).select(col("query_id"), col("vec_id"))
+    val e = Tables.embeddings(s, d)
+    val exact = graft.plans.KnnJoin.exact(e, e.filter(col("vec_id") < nq), k)
+      .select(col("query_id"), col("vec_id"))
+    val arms: Seq[(String, DataFrame)] = Seq(
+      "bq"    -> annBqRaw(s, d, nq, k),
+      "graph" -> annGraphSearchRaw(s, d, nq, k),
+      "hnsw"  -> hnswSearchRaw(s, d, nq, k),
+      "ivf"   -> annIvfRaw(s, d, nq, k),
+      "lsh"   -> annLshRaw(s, d, nq, k),
+      "pq"    -> annPqRaw(s, d, nq, k),
+      "sq8"   -> annSq8Raw(s, d, nq, k))
+    require(arms.map(_._1) == RecallArms, "arm list drifted from RecallArms")
+    val approx = arms.map { case (n, df) =>
+      df.select(lit(n).as("arm"), col("query_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
     val hits = approx.join(exact, Seq("query_id", "vec_id"))
-      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-    val q = Tables.embeddings(s, d).filter(col("vec_id") < nq)
-      .select(col("vec_id").as("query_id"))
-    q.join(hits, Seq("query_id"), "left")
-      .select(col("query_id"),
+      .groupBy(col("arm"), col("query_id")).agg(count(lit(1)).as("hits"))
+    // (arm × query) grid, map-only, so arms with zero hits still report
+    val grid = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"),
+        explode(array(RecallArms.map(lit): _*)).as("arm"))
+    grid.join(hits, Seq("arm", "query_id"), "left")
+      .select(col("arm"), col("query_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
-      .orderBy(col("query_id"))
+      .orderBy(col("arm"), col("query_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1011,7 +1079,7 @@ object Ann {
          |  FROM p$rounds) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private lazy val baseOracles: Map[String, String] = Map(
     "hnsw_edges" -> hnswEdgesOracle(m = 16, maxLevel = 8),
     "hnsw_search" -> hnswSearchOracle(
       nq = 10, k = 10, beam = 16, rounds = 3, m = 16, maxLevel = 8),
@@ -1184,36 +1252,43 @@ object Ann {
          |  SELECT query_id, vec_id, dist,
          |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM ad)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-    // the ann_lsh approximate arm joined against the knn_batch exact
-    // arm — both oracles' CTE chains, composed
-    "ann_recall_report" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |pb AS (SELECT vec_id, p AS proj_id,
-         |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
-         |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
-         |  FROM e, (SELECT unnest(generate_series(0, 7)) AS p)),
-         |cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id
-         |         FROM pb q JOIN pb b ON q.proj_id = b.proj_id AND q.bucket = b.bucket
-         |         WHERE q.vec_id < 10),
-         |dd AS (SELECT c.query_id, c.vec_id, ${duckSq.format("ev.v", "qv.v")} AS dist
-         |       FROM cand c JOIN e ev ON ev.vec_id = c.vec_id JOIN e qv ON qv.vec_id = c.query_id),
-         |ax AS (SELECT query_id, vec_id FROM (
-         |         SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
-         |       WHERE rnk <= 10),
-         |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-         |d2 AS (SELECT q2.query_id, e.vec_id, ${duckSq.format("e.v", "q2.qv")} AS dist FROM e, q2),
-         |xact AS (SELECT query_id, vec_id FROM (
-         |          SELECT query_id, vec_id,
-         |            row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM d2)
-         |        WHERE rnk <= 10),
-         |hits AS (SELECT a.query_id, count(*) AS hits
-         |         FROM ax a JOIN xact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
-         |         GROUP BY a.query_id),
-         |ql AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 10)
-         |SELECT ql.query_id, coalesce(hits.hits, 0) AS hits,
-         |  coalesce(hits.hits, 0) / CAST(10 AS DOUBLE) AS recall
-         |FROM ql LEFT JOIN hits ON hits.query_id = ql.query_id
-         |ORDER BY ql.query_id""".stripMargin
   )
+
+  val oracles: Map[String, String] =
+    baseOracles + ("ann_recall_report" -> recallReportOracle)
+
+  /** Every arm's own (already hash-green) oracle, embedded verbatim as
+    * a nested-WITH derived table, intersected with the knn_batch exact
+    * oracle — so the recall numbers the driver artifact publishes are
+    * themselves oracle-derived, not copied from the engine. */
+  private lazy val recallReportOracle: String = {
+    val armSql: Map[String, String] = Map(
+      "bq"    -> baseOracles("ann_bq"),
+      "graph" -> baseOracles("ann_graph_search"),
+      "hnsw"  -> baseOracles("hnsw_search"),
+      "ivf"   -> baseOracles("ann_ivf"),
+      "lsh"   -> baseOracles("ann_lsh"),
+      "pq"    -> baseOracles("ann_pq"),
+      "sq8"   -> baseOracles("ann_sq8"))
+    val armCtes = RecallArms.map { a =>
+      s"a_$a AS (SELECT query_id, vec_id FROM (${armSql(a)}))"
+    }.mkString(",\n")
+    val appr = RecallArms.map { a =>
+      s"SELECT '$a' AS arm, query_id, vec_id FROM a_$a"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH x_exact AS (SELECT query_id, vec_id FROM (${Knn.oracles("knn_batch")})),
+       |$armCtes,
+       |appr AS ($appr),
+       |hits AS (SELECT arm, a.query_id, count(*) AS hits
+       |         FROM appr a JOIN x_exact x
+       |           ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+       |         GROUP BY arm, a.query_id),
+       |grid AS (SELECT arm, vec_id AS query_id FROM embeddings,
+       |           (SELECT unnest([${RecallArms.map("'" + _ + "'").mkString(",")}]) AS arm)
+       |         WHERE vec_id < 10)
+       |SELECT g.arm, g.query_id, coalesce(h.hits, 0) AS hits,
+       |  coalesce(h.hits, 0) / CAST(10 AS DOUBLE) AS recall
+       |FROM grid g LEFT JOIN hits h ON h.arm = g.arm AND h.query_id = g.query_id
+       |ORDER BY g.arm, g.query_id""".stripMargin
+  }
 }

@@ -132,19 +132,29 @@ object Similarity {
     * Output: (cluster, pos, n, cv) — cluster sizes ride along, so the
     * result is the full iteration state. Further iterations are the
     * same plan with `cent` swapped for this output. */
-  def kmeansRefine(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val cent = centroids(s, d)
-    val assigned = e.crossJoin(broadcast(cent))
+  def kmeansRefine(s: SparkSession, d: String): DataFrame =
+    updateStats(assignTo(Tables.embeddings(s, d), centroids(s, d)))
+      .orderBy(col("cluster"), col("pos"))
+
+  /** One Lloyd assignment step: each vector → argmin (dist, clabel)
+    * over the broadcast `cent` codebook, as a map-side partial
+    * `min(struct(...))` aggregate (the corpus shuffles once as
+    * 1-row-per-vec partials, never the ×k crossed rows). */
+  private def assignTo(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("clabel"),
         squaredL2(col("embedding"), col("cvec")).as("dist"))
       .groupBy(col("vec_id"))
       .agg(
         min(struct(col("dist"), col("clabel"))).as("m"),
-        // every crossed row of a vec_id carries the identical embedding,
-        // so first() is value-deterministic here
         first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("m.clabel").as("cluster"), col("embedding"))
+      .select(col("vec_id"), col("m.clabel").as("cluster"),
+        col("m.dist").as("dist"), col("embedding"))
+
+  /** Lloyd update step as exploded per-(cluster, pos) stats — the
+    * decimal-exact mean of member components (determinism treatment of
+    * the class doc) plus cluster sizes. */
+  private def updateStats(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "val")))
       .groupBy(col("cluster"), col("pos"))
@@ -152,7 +162,72 @@ object Similarity {
         count(lit(1)).as("n"),
         (sum(round(col("val"), 6).cast(DecimalType(38, 6))).cast("double") /
           count(lit(1))).as("cv"))
-      .orderBy(col("cluster"), col("pos"))
+
+  /** MULTI-iteration Lloyd k-means — [[kmeansRefine]] run to a
+    * fixpoint (≤ `iters` rounds), completing the curation-pipeline
+    * clustering story: output is the final iteration's exploded
+    * centroid state (cluster, pos, n, cv), identical schema to the
+    * single-step form.
+    *
+    * Each round is the same two-shuffle plan as [[kmeansRefine]]
+    * (broadcast codebook → map-side partial argmin; posexplode →
+    * decimal agg), with a `localCheckpoint` cutting the growing
+    * lineage and a SCALAR convergence probe (`limit(1).count()` over
+    * changed assignments — a driver boolean, not a corpus collect).
+    * Early stop is EXACT, not approximate: if round i's assignments
+    * equal round i−1's, every later assign/update pair recomputes the
+    * identical values (all arithmetic is deterministic), so stopping
+    * changes nothing — which is why the DuckDB oracle can always
+    * unroll the full `iters` rounds and still hash-match. The SSE
+    * objective is monotone non-increasing by Lloyd's argument (each
+    * step minimizes SSE given the other); pinned in AnnSpec via
+    * [[kmeansIterObjectives]]. */
+  def kmeansIter(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    var cent = centroids(s, d)
+    var stats: DataFrame = null
+    var prev: DataFrame = null
+    var it = 0
+    var done = false
+    while (it < iters && !done) {
+      val assigned = assignTo(e, cent)
+        .select(col("vec_id"), col("cluster"), col("embedding"))
+        .localCheckpoint()
+      if (prev != null) {
+        val changed = assigned.as("a")
+          .join(prev.as("p"), "vec_id")
+          .filter(col("a.cluster") =!= col("p.cluster"))
+          .limit(1).count()
+        if (changed == 0L) done = true
+      }
+      if (!done) {
+        stats = updateStats(assigned).localCheckpoint()
+        cent = stats.groupBy(col("cluster").as("clabel"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+        prev = assigned
+        it += 1
+      }
+    }
+    stats.orderBy(col("cluster"), col("pos"))
+  }
+
+  /** Per-iteration SSE (Σ min-dist) of [[kmeansIter]]'s rounds — the
+    * monotonicity evidence; driver-side list of `iters` doubles. */
+  def kmeansIterObjectives(s: SparkSession, d: String, iters: Int = 3): Seq[Double] = {
+    val e = Tables.embeddings(s, d)
+    var cent = centroids(s, d)
+    (1 to iters).map { _ =>
+      val assigned = assignTo(e, cent).localCheckpoint()
+      val obj = assigned.agg(sum(col("dist"))).head().getDouble(0)
+      val stats = updateStats(assigned)
+      cent = stats.groupBy(col("cluster").as("clabel"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+      obj
+    }
   }
 
   def nearestCentroid(s: SparkSession, d: String): DataFrame = {
@@ -175,11 +250,41 @@ object Similarity {
     "neardup_pairs"    -> ((s, d) => nearDupPairs(s, d)),
     "nearest_centroid" -> ((s, d) => nearestCentroid(s, d)),
     "kmeans_refine"    -> ((s, d) => kmeansRefine(s, d)),
+    "kmeans_iter"      -> ((s, d) => kmeansIter(s, d)),
     "mips_topk"        -> ((s, d) => mipsTopK(s, d))
   )
 
   private val sq = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
   private val dp = "list_sum(list_transform(list_zip(%s, %s), p -> p[1]*p[2]))"
+
+  /** [[kmeansIter]]'s oracle, generated mechanically: `iters` unrolled
+    * (assign with cent_{i-1} → decimal-mean update → cent_i) rounds —
+    * the engine's early stop is provably output-identical (see the
+    * kmeansIter doc), so the oracle always runs the full unroll. */
+  private def kmeansIterOracle(iters: Int): String = {
+    val header =
+      """WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |                   CAST(unnest(embedding) AS DOUBLE) AS val
+        |            FROM embeddings),
+        |cm0 AS (SELECT label AS clabel, pos,
+        |              CAST(sum(CAST(round(val, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS cv
+        |       FROM ex GROUP BY label, pos),
+        |cent0 AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM cm0 GROUP BY clabel),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, clabel AS cluster FROM (
+         |        SELECT e.vec_id, c.clabel,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sq.format("e.v", "c.cvec")}, c.clabel) AS rn
+         |        FROM e, cent${i - 1} c) WHERE rn = 1),
+         |cm$i AS (SELECT a$i.cluster AS clabel, ex.pos, count(*) AS n,
+         |          CAST(sum(CAST(round(ex.val, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS cv
+         |        FROM ex JOIN a$i ON a$i.vec_id = ex.vec_id GROUP BY 1, 2),
+         |cent$i AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM cm$i GROUP BY clabel)""".stripMargin
+    }
+    s"$header,\n${rounds.mkString(",\n")}\n" +
+      s"""SELECT clabel AS cluster, CAST(pos - 1 AS INT) AS pos, n, cv
+         |FROM cm$iters ORDER BY cluster, pos""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "cosine_topk" ->
@@ -219,6 +324,7 @@ object Similarity {
          |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM dd)
          |SELECT vec_id, label, clabel AS pred_label, dist FROM r WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+    "kmeans_iter" -> kmeansIterOracle(3),
     "kmeans_refine" ->
       s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
          |                   CAST(unnest(embedding) AS DOUBLE) AS val

@@ -257,6 +257,21 @@ class AnnSpec extends AnyFunSuite {
     assert(costNew <= costInit + 0.1)
   }
 
+  test("kmeans_iter: SSE objective is monotone non-increasing over >= 3 rounds") {
+    import graft.operators.Similarity
+    val objs = Similarity.kmeansIterObjectives(spark, d, iters = 3)
+    info(objs.map(o => f"$o%.3f").mkString("kmeans SSE per round: ", " -> ", ""))
+    assert(objs.length == 3)
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      // 1e-6 absorbs the 6-dp decimal centroid rounding
+      assert(b <= a + 1e-6, s"objective increased: $a -> $b")
+    }
+    // the declared fixpoint form agrees with the single-step form's
+    // schema and covers the full iteration state
+    val it = Similarity.kmeansIter(spark, d).collect()
+    assert(it.length == 10 * 64)
+  }
+
   test("hnsw levels are geometric-ish and edges bounded by m") {
     val lv = Ann.hnswLevels(spark, d).collect().map(_.getInt(1))
     assert(lv.length == 500)

@@ -8,17 +8,21 @@ import graft.operators.BoundedTopK
 /** The reference-comparable benchmark workload, at the reference's own
   * scale, element type and configuration
   * (`benchmarks/shared_benchmarks.zig:53-59,62,91`; BASELINE.md):
-  * N=100,000 points × 128 dims **f32**, Q=10,000 queries, k=10.
+  * N=100,000 points × 128 dims **f32**, Q=10,000 queries, k=10 —
+  * parameterized over (n, dim, q, k) so the reference's DEFINED sweep
+  * (dims {128, 512, 768, 1024} × k {10, 25, 50, 100},
+  * `benchmarks/single_threaded_benchmarks.zig:28-33`) runs through the
+  * identical code path ([[Bench]] emits the matrix).
   *
   *   - "insert" ≡ generate the corpus and materialize the packed
   *     partitioned scan blocks — the batch analogue of 100k `insert`
   *     calls building the HNSW structure (`src/hnsw.zig:73-117`).
-  *     Reference: 11.92 s single-threaded.
+  *     Reference: 11.92 s single-threaded at 128-dim.
   *   - "search" ≡ 10k queries answered **exactly** (recall 1.0) by a
   *     blocked brute-force scan using the ‖a−b‖² = ‖a‖²+‖b‖²−2a·b
   *     factorization — vs the reference's approximate greedy search
   *     (`src/hnsw.zig:194-236`, recall unmeasured and < 1).
-  *     Reference: 3.73 s.
+  *     Reference: 3.73 s at 128-dim/k=10.
   *
   * Element type is f32 with f32 accumulation — exactly the arithmetic
   * the reference's generic `HNSW(f32)` performs in `distance`
@@ -26,8 +30,8 @@ import graft.operators.BoundedTopK
   *
   * Physical design — the cluster shape, no shortcuts: the corpus never
   * touches the driver and never broadcasts; it is packed into per-
-  * partition flat float blocks (cache-resident scan targets). The 10 MB
-  * query matrix broadcasts — the small side, as in any broadcast join.
+  * partition flat float blocks (cache-resident scan targets). The query
+  * matrix broadcasts — the small side, as in any broadcast join.
   * Each partition emits its local top-k per query; a reduceByKey of
   * Q×k-sized data merges. At 1000 executors × 10⁹ rows the identical
   * plan holds — corpus partitions scale out, queries broadcast, merge
@@ -44,10 +48,10 @@ object BaselineWorkload {
 
   /** Deterministic f32 vector for (salt, id) — seeded mirror of the
     * reference's random point generation. */
-  def genVecF(salt: Int, id: Long): Array[Float] = {
-    val v = new Array[Float](DIM)
+  def genVecF(salt: Int, id: Long, dim: Int = DIM): Array[Float] = {
+    val v = new Array[Float](dim)
     var j = 0
-    while (j < DIM) {
+    while (j < dim) {
       var z = id * 0x9e3779b97f4a7c15L + j * 0xbf58476d1ce4e5b9L + salt * 0x94d049bb133111ebL
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -62,21 +66,21 @@ object BaselineWorkload {
     * per-row squared norms. */
   final case class ScanBlock(ids: Array[Long], flat: Array[Float], norms: Array[Float])
 
-  private def pack(rows: Iterator[(Long, Array[Float])]): Iterator[ScanBlock] = {
+  private def pack(rows: Iterator[(Long, Array[Float])], dim: Int): Iterator[ScanBlock] = {
     val buf = rows.toArray
     if (buf.isEmpty) Iterator.empty
     else {
       val n = buf.length
       val ids = new Array[Long](n)
-      val flat = new Array[Float](n * DIM)
+      val flat = new Array[Float](n * dim)
       val norms = new Array[Float](n)
       var i = 0
       while (i < n) {
         ids(i) = buf(i)._1
         val v = buf(i)._2
-        System.arraycopy(v, 0, flat, i * DIM, DIM)
+        System.arraycopy(v, 0, flat, i * dim, dim)
         var acc = 0.0f; var j = 0
-        while (j < DIM) { acc += v(j) * v(j); j += 1 }
+        while (j < dim) { acc += v(j) * v(j); j += 1 }
         norms(i) = acc
         i += 1
       }
@@ -84,41 +88,43 @@ object BaselineWorkload {
     }
   }
 
-  /** Runs the full workload; returns (buildSec, searchSec). Search is
-    * exact, so recall@k ≡ 1.0 by construction. */
-  def run(spark: SparkSession): (Double, Double) = {
+  /** Runs the workload at (n, dim, nQ, k); returns (buildSec,
+    * searchSec). Search is exact, so recall@k ≡ 1.0 by construction. */
+  def run(spark: SparkSession, n: Int = N, dim: Int = DIM,
+          nQ: Int = Q, k: Int = K): (Double, Double) = {
     val sc = spark.sparkContext
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
     // ---- "insert": generate + pack + materialize the partitioned blocks
     val t0 = System.nanoTime()
     val blocks: RDD[ScanBlock] =
-      sc.range(0L, N.toLong, 1L, p)
-        .mapPartitions(ids => pack(ids.map(id => (id, genVecF(1, id)))))
+      sc.range(0L, n.toLong, 1L, p)
+        .mapPartitions(ids => pack(ids.map(id => (id, genVecF(1, id, dim))), dim))
         .cache()
     val nIndexed = blocks.map(_.ids.length.toLong).reduce(_ + _)
-    require(nIndexed == N.toLong, s"indexed $nIndexed of $N")
+    require(nIndexed == n.toLong, s"indexed $nIndexed of $n")
     val buildSec = (System.nanoTime() - t0) / 1e9
 
     // ---- "search": blocked exact scan, per-partition top-k, merge
     val t1 = System.nanoTime()
-    val qFlat = new Array[Float](Q * DIM)
-    val qNorm = new Array[Float](Q)
+    val qFlat = new Array[Float](nQ * dim)
+    val qNorm = new Array[Float](nQ)
     var qi = 0
-    while (qi < Q) {
-      val qv = genVecF(2, qi.toLong)
-      System.arraycopy(qv, 0, qFlat, qi * DIM, DIM)
+    while (qi < nQ) {
+      val qv = genVecF(2, qi.toLong, dim)
+      System.arraycopy(qv, 0, qFlat, qi * dim, dim)
       var acc = 0.0f; var j = 0
-      while (j < DIM) { acc += qv(j) * qv(j); j += 1 }
+      while (j < dim) { acc += qv(j) * qv(j); j += 1 }
       qNorm(qi) = acc
       qi += 1
     }
     val bcQ = sc.broadcast((qFlat, qNorm))
 
-    // Corpus tiles sized for L2 (~512 rows × 128 f32 = 256 KB): each
-    // tile stays cache-hot across all 10k queries instead of every
-    // query re-streaming the whole partition block from L3/RAM.
-    val TILE = 512
+    // Corpus tiles sized for L2: each tile stays cache-hot across all
+    // nQ queries instead of every query re-streaming the whole
+    // partition block from L3/RAM. ~256 KB of corpus rows per tile at
+    // any dim (512 rows × 128 f32 = 65536 floats).
+    val TILE = math.max(64, 65536 / dim)
     val partial: RDD[(Int, Array[(Double, Long)])] = blocks.mapPartitions { it =>
       val (qf, qn) = bcQ.value
       it.flatMap { block =>
@@ -126,19 +132,19 @@ object BaselineWorkload {
         val flat = block.flat
         val norms = block.norms
         val ids = block.ids
-        val heaps = Array.fill(Q)(new BoundedTopK(K))
+        val heaps = Array.fill(nQ)(new BoundedTopK(k))
         var t = 0
         while (t < n) {
           val tEnd = math.min(n, t + TILE)
           var q = 0
-          while (q < Q) {
-            val qOff = q * DIM
+          while (q < nQ) {
+            val qOff = q * dim
             val h = heaps(q)
             val base = qn(q)
             var i = t
             while (i < tEnd) {
-              val off = i * DIM
-              val dot = VectorKernel.dot(qf, qOff, flat, off, DIM)
+              val off = i * dim
+              val dot = VectorKernel.dot(qf, qOff, flat, off, dim)
               h.offer((base + norms(i) - 2.0f * dot).toDouble, ids(i))
               i += 1
             }
@@ -150,13 +156,13 @@ object BaselineWorkload {
       }
     }
     val results = partial.reduceByKey { (a, b) =>
-      val h = new BoundedTopK(K)
+      val h = new BoundedTopK(k)
       a.foreach { case (dd, id) => h.offer(dd, id) }
       b.foreach { case (dd, id) => h.offer(dd, id) }
       h.drain()
     }
     val total = results.map(_._2.length.toLong).reduce(_ + _)
-    require(total == Q.toLong * K, s"expected ${Q * K} results, got $total")
+    require(total == nQ.toLong * k, s"expected ${nQ * k} results, got $total")
     val searchSec = (System.nanoTime() - t1) / 1e9
 
     blocks.unpersist()

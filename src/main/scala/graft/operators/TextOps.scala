@@ -452,7 +452,12 @@ object TextOps {
     * shuffle; (doc, probe) rows are unique by construction because
     * shingle sets are per-doc distinct. */
   def contaminationScan(s: SparkSession, d: String, nProbes: Int = 5): DataFrame = {
-    val sh = shingled(s, d).select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // cached: the interpreted shingling HOF chain feeds BOTH the probe
+    // aggregate and the scan join — uncached it ran twice (and the
+    // broadcast build forced the second run serially before the scan),
+    // measured 13.0 s → 0.6 s at sf0.1
+    val sh = shingled(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("shingle")).cache()
     val probes = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle")).limit(nProbes)
       .select(col("shingle").as("probe"))

@@ -35,6 +35,56 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == (1L << 47) + (1L << 46) + (1L << 45))
   }
 
+  test("different element types: i32 and f64 through the engine's distance + search " +
+      "(reference 'Different Data Types', src/test_hnsw.zig:239-273)") {
+    val s = spark
+    import s.implicits._
+    def asCorpus(rows: Seq[(Long, Array[Double])]) =
+      rows.toDF("vec_id", "embedding")
+    // i32 — the reference's integer fixture, k=2. Integer components
+    // cast to DOUBLE are exact (< 2^53), so every distance is an exact
+    // integer and the engine's result is integer-deterministic.
+    val ci = asCorpus(Seq(
+      0L -> Array(1.0, 2.0, 3.0), 1L -> Array(4.0, 5.0, 6.0), 2L -> Array(7.0, 8.0, 9.0)))
+    val qi = asCorpus(Seq(0L -> Array(3.0, 4.0, 5.0)))
+    val ri = graft.plans.KnnJoin.exact(ci, qi, k = 2)
+      .orderBy(col("rnk")).collect()
+    assert(ri.length == 2)
+    assert(ri.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 3.0), (0L, 12.0)))
+    // f64 — the reference's float64 fixture, k=2; expectation computed
+    // with the engine's own contract (strict left fold) in-test.
+    def fold(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val p = Seq(Array(1.1, 2.2, 3.3), Array(4.4, 5.5, 6.6), Array(7.7, 8.8, 9.9))
+    val qv = Array(3.3, 4.4, 5.5)
+    val cf = asCorpus(p.zipWithIndex.map { case (v, i) => i.toLong -> v })
+    val qf = asCorpus(Seq(0L -> qv))
+    val rf = graft.plans.KnnJoin.exact(cf, qf, k = 2)
+      .orderBy(col("rnk")).collect()
+    assert(rf.length == 2)
+    val expect = p.zipWithIndex
+      .map { case (v, i) => (i.toLong, fold(v, qv)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(2)
+    assert(rf.map(r => (r.getLong(1), r.getDouble(2))).toSeq == expect,
+      "f64 distances must be bitwise the strict left fold")
+  }
+
+  test("i32 vectors: distances are exact integers (property)") {
+    val s = spark
+    import s.implicits._
+    val vecGen = Gen.listOfN(6, Gen.chooseNum(-1000, 1000)).map(_.toArray)
+    check(Prop.forAll(vecGen, vecGen) { (a: Array[Int], b: Array[Int]) =>
+      val df = Seq((a.map(_.toDouble), b.map(_.toDouble))).toDF("a", "b")
+      val got = df.select(
+        graft.functions.VectorFunctions.squaredL2(col("a"), col("b"))).head().getDouble(0)
+      val exact = a.zip(b).map { case (x, y) =>
+        val d = (x - y).toLong; d * d
+      }.sum
+      got == exact.toDouble
+    })
+  }
+
   test("metric axioms on random vectors (property)") {
     val s = spark
     import s.implicits._

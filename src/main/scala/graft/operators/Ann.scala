@@ -108,6 +108,34 @@ object Ann {
   def annLsh(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame =
     annLshRaw(s, d, nq, k).orderBy(col("query_id"), col("rnk"))
 
+  /** LSH-bucketed near-duplicate PAIR GENERATION over the embedding
+    * corpus — the approximate scale path of
+    * [[Similarity.nearDupPairs]] (the exact block-partitioned ε-join):
+    * candidates are pairs sharing ≥1 (proj, bucket) key — a banded
+    * self-equi-join whose output is candidate-pair-sized, never
+    * corpus² — verified with the exact squared-L2 < eps predicate.
+    * Completes the dedup menu's symmetry: documents get
+    * exact-Jaccard / MinHash-LSH / SimHash; embeddings get the exact
+    * ε-join / THIS. Pairs whose endpoints collide on no projection
+    * band are missed — the standard LSH recall trade, measured
+    * against the exact form in AnnSpec. */
+  def neardupLsh(s: SparkSession, d: String, eps: Double = 1.1): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val b = bucketsRaw(s, d, nProj = 8, w = 0.1).cache()
+    val cand = b.as("l").join(b.as("r"),
+        col("l.proj_id") === col("r.proj_id") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("va")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("vb")), "dst")
+      .select(col("src"), col("dst"), squaredL2(col("va"), col("vb")).as("dist"))
+      .filter(col("dist") < eps)
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** IVF assignment: each vector → nearest label-centroid cell
     * (deterministic codebook from [[Similarity]]'s decimal centroids). */
   private def ivfAssignRaw(s: SparkSession, d: String): DataFrame = {
@@ -993,6 +1021,7 @@ object Ann {
     "ann_graph_search" -> ((s, d) => annGraphSearch(s, d)),
     "lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     "ann_lsh"     -> ((s, d) => annLsh(s, d)),
+    "neardup_lsh" -> ((s, d) => neardupLsh(s, d)),
     "ivf_assign"  -> ((s, d) => ivfAssign(s, d)),
     "ann_ivf"     -> ((s, d) => annIvf(s, d)),
     "hnsw_levels" -> ((s, d) => hnswLevels(s, d)),
@@ -1166,6 +1195,19 @@ object Ann {
          |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
          |SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+    "neardup_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |pb AS (SELECT vec_id, p AS proj_id,
+         |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
+         |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
+         |  FROM e, (SELECT unnest(generate_series(0, 7)) AS p)),
+         |cand AS (SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst
+         |         FROM pb l JOIN pb r ON l.proj_id = r.proj_id AND l.bucket = r.bucket
+         |           AND l.vec_id < r.vec_id)
+         |SELECT c.src, c.dst, ${duckSq.format("ea.v", "eb.v")} AS dist
+         |FROM cand c JOIN e ea ON ea.vec_id = c.src JOIN e eb ON eb.vec_id = c.dst
+         |WHERE ${duckSq.format("ea.v", "eb.v")} < 1.1
+         |ORDER BY src, dst""".stripMargin,
     "ivf_assign" ->
       s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
          |                   CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),

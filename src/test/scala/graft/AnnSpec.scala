@@ -257,6 +257,18 @@ class AnnSpec extends AnyFunSuite {
     assert(costNew <= costInit + 0.1)
   }
 
+  test("neardup_lsh: a subset of the exact epsilon-join pairs, with measured recall") {
+    import graft.operators.Similarity
+    val approx = Ann.neardupLsh(spark, d).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.nearDupPairs(spark, d).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), "LSH pairs must verify exactly — no false positives")
+    val rec = if (exact.isEmpty) 1.0 else approx.size.toDouble / exact.size
+    info(f"neardup_lsh pair recall vs exact epsilon-join = $rec%.3f (${approx.size}/${exact.size})")
+    assert(rec >= 0.5, f"LSH pair recall too low: $rec%.3f")
+  }
+
   test("kmeans_iter: SSE objective is monotone non-increasing over >= 3 rounds") {
     import graft.operators.Similarity
     val objs = Similarity.kmeansIterObjectives(spark, d, iters = 3)

@@ -22,17 +22,20 @@ class FunctionsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("squared_l2 / dot_product / simhash48 usable from SQL after registration") {
+  test("squared_l2 / dot_product / simhash48 / simhash64 usable from SQL after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT squared_l2(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS d,
         |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS p,
-        |       simhash48(array(7L)) AS s""".stripMargin).head()
+        |       simhash48(array(7L)) AS s,
+        |       simhash64(array(7L)) AS s64""".stripMargin).head()
     assert(r.getDouble(0) == 25.0)
     assert(r.getDouble(1) == 11.0)
     // single hash 7 = bits 0,1,2 set -> votes +1 there, -1 elsewhere;
     // packing puts bit b at position (47-b): value = 2^47 + 2^46 + 2^45
     assert(r.getLong(2) == (1L << 47) + (1L << 46) + (1L << 45))
+    // 64-bit width: same bits land at positions (63-b)
+    assert(r.getLong(3) == (1L << 63) + (1L << 62) + (1L << 61))
   }
 
   test("different element types: i32 and f64 through the engine's distance + search " +

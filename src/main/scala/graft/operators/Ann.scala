@@ -138,9 +138,7 @@ object Ann {
 
   /** IVF assignment: each vector → nearest label-centroid cell
     * (deterministic codebook from [[Similarity]]'s decimal centroids). */
-  private def ivfAssignRaw(s: SparkSession, d: String): DataFrame = {
-    val cent = Similarity.centroids(s, d) // (clabel, cvec)
-    val e = Tables.embeddings(s, d)
+  private def ivfAssignWith(e: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("cdist"), col("clabel"))
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("clabel"),
@@ -150,16 +148,18 @@ object Ann {
       .select(col("vec_id"), col("clabel").as("cell"), col("cdist"))
   }
 
+  private def ivfAssignRaw(s: SparkSession, d: String): DataFrame =
+    ivfAssignWith(Tables.embeddings(s, d), Similarity.centroids(s, d))
+
   def ivfAssign(s: SparkSession, d: String): DataFrame =
     ivfAssignRaw(s, d).orderBy(col("vec_id"))
 
   /** IVF approximate k-NN: probe the `nprobe` nearest cells per query,
     * exact re-rank within them. Scan cost drops from |corpus| to
     * |probed cells| — the standard inverted-file trade. */
-  private[operators] def annIvfRaw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val cent = Similarity.centroids(s, d)
-    val assign = ivfAssignRaw(s, d).select(col("vec_id"), col("cell"))
+  private def annIvfWith(e: DataFrame, cent: DataFrame,
+                         nq: Int, k: Int, nprobe: Int): DataFrame = {
+    val assign = ivfAssignWith(e, cent).select(col("vec_id"), col("cell"))
     val q = e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     // nprobe nearest cells per query
@@ -180,8 +180,30 @@ object Ann {
       .filter(col("rnk") <= k)
   }
 
+  private[operators] def annIvfRaw(s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame =
+    annIvfWith(Tables.embeddings(s, d), Similarity.centroids(s, d), nq, k, nprobe)
+
   def annIvf(s: SparkSession, d: String, nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame =
     annIvfRaw(s, d, nq, k, nprobe).orderBy(col("query_id"), col("rnk"))
+
+  /** TRAINED IVF: the same cell-probe search served from the k-means
+    * codebook ([[Similarity.kmeansIterCentroids]] — Lloyd run to a
+    * fixpoint from the label seed) instead of the raw label centroids —
+    * the production IVF lifecycle, where the coarse quantizer is
+    * trained before the inverted file is built. Identical plan shape
+    * to [[annIvf]] (broadcast codebook, cell equi-join, exact
+    * re-rank); only the codebook differs, so cells are tighter and the
+    * same nprobe recovers more true neighbors. */
+  private[operators] def annIvfTrainedRaw(s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, nprobe: Int = 3, iters: Int = 3): DataFrame =
+    annIvfWith(Tables.embeddings(s, d),
+      Similarity.kmeansIterCentroids(s, d, iters), nq, k, nprobe)
+
+  def annIvfTrained(s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, nprobe: Int = 3, iters: Int = 3): DataFrame =
+    annIvfTrainedRaw(s, d, nq, k, nprobe, iters)
+      .orderBy(col("query_id"), col("rnk"))
 
   /** HNSW-shaped hierarchical structure: geometric levels + per-level
     * m-NN edges (m=16 as in every reference config, pruned per
@@ -973,9 +995,10 @@ object Ann {
   def annPq(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame =
     annPqRaw(s, d, nq, k).orderBy(col("query_id"), col("rnk"))
 
-  /** Arm names of the recall report, alphabetical (= output order). */
+  /** Arm names of the recall report, alphabetical (= output order);
+    * "ivfk" is the k-means-trained IVF ([[annIvfTrained]]). */
   private[operators] val RecallArms: Seq[String] =
-    Seq("bq", "graph", "hnsw", "ivf", "lsh", "pq", "sq8")
+    Seq("bq", "graph", "hnsw", "ivf", "ivfk", "lsh", "pq", "sq8")
 
   /** Recall@k self-evaluation — the measurement every ANN deployment
     * ships next to its index: per (arm, query), |approx ∩ exact| / k,
@@ -997,6 +1020,7 @@ object Ann {
       "graph" -> annGraphSearchRaw(s, d, nq, k),
       "hnsw"  -> hnswSearchRaw(s, d, nq, k),
       "ivf"   -> annIvfRaw(s, d, nq, k),
+      "ivfk"  -> annIvfTrainedRaw(s, d, nq, k),
       "lsh"   -> annLshRaw(s, d, nq, k),
       "pq"    -> annPqRaw(s, d, nq, k),
       "sq8"   -> annSq8Raw(s, d, nq, k))
@@ -1024,6 +1048,7 @@ object Ann {
     "neardup_lsh" -> ((s, d) => neardupLsh(s, d)),
     "ivf_assign"  -> ((s, d) => ivfAssign(s, d)),
     "ann_ivf"     -> ((s, d) => annIvf(s, d)),
+    "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "hnsw_levels" -> ((s, d) => hnswLevels(s, d)),
     "hnsw_edges"  -> ((s, d) => hnswEdges(s, d)),
     "hnsw_insert_delta" -> ((s, d) => hnswInsertDelta(s, d)),
@@ -1243,6 +1268,26 @@ object Ann {
          |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
          |SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+    // the kmeans_iter oracle's full unrolled CTE chain (ending in the
+    // cent3 trained codebook), then the ann_ivf oracle's cell-probe
+    // logic verbatim against cent3
+    "ann_ivf_trained" ->
+      s"""${Similarity.kmeansCtes(3)},
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT e.vec_id, c.clabel AS cell,
+         |            row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckSq.format("e.v", "c.cvec")}, c.clabel) AS rn
+         |          FROM e, cent3 c) WHERE rn = 1),
+         |probed AS (SELECT query_id, cell FROM (
+         |             SELECT q.vec_id AS query_id, c.clabel AS cell,
+         |               row_number() OVER (PARTITION BY q.vec_id ORDER BY ${duckSq.format("q.v", "c.cvec")}, c.clabel) AS rn
+         |             FROM e q, cent3 c WHERE q.vec_id < 10) WHERE rn <= 3),
+         |cand AS (SELECT p.query_id, a.vec_id FROM probed p JOIN asg a ON a.cell = p.cell),
+         |dd AS (SELECT c.query_id, c.vec_id, ${duckSq.format("ev.v", "qv.v")} AS dist
+         |       FROM cand c JOIN e ev ON ev.vec_id = c.vec_id JOIN e qv ON qv.vec_id = c.query_id),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
+         |SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
     "hnsw_levels" ->
       s"""WITH h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
          |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
@@ -1367,6 +1412,7 @@ object Ann {
       "graph" -> baseOracles("ann_graph_search"),
       "hnsw"  -> baseOracles("hnsw_search"),
       "ivf"   -> baseOracles("ann_ivf"),
+      "ivfk"  -> baseOracles("ann_ivf_trained"),
       "lsh"   -> baseOracles("ann_lsh"),
       "pq"    -> baseOracles("ann_pq"),
       "sq8"   -> baseOracles("ann_sq8"))

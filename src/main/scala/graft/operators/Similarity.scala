@@ -182,7 +182,11 @@ object Similarity {
     * objective is monotone non-increasing by Lloyd's argument (each
     * step minimizes SSE given the other); pinned in AnnSpec via
     * [[kmeansIterObjectives]]. */
-  def kmeansIter(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+  /** The (stats, codebook) pair of the fixpoint loop — shared by
+    * [[kmeansIter]] (declared exploded stats) and
+    * [[kmeansIterCentroids]] (the trained coarse quantizer
+    * [[Ann.annIvfTrained]] serves from). */
+  private def kmeansLoop(s: SparkSession, d: String, iters: Int): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
     var cent = centroids(s, d)
     var stats: DataFrame = null
@@ -210,8 +214,15 @@ object Similarity {
         it += 1
       }
     }
-    stats.orderBy(col("cluster"), col("pos"))
+    (stats, cent)
   }
+
+  def kmeansIter(s: SparkSession, d: String, iters: Int = 3): DataFrame =
+    kmeansLoop(s, d, iters)._1.orderBy(col("cluster"), col("pos"))
+
+  /** Final codebook (clabel, cvec) of [[kmeansIter]]'s fixpoint. */
+  def kmeansIterCentroids(s: SparkSession, d: String, iters: Int = 3): DataFrame =
+    kmeansLoop(s, d, iters)._2
 
   /** Per-iteration SSE (Σ min-dist) of [[kmeansIter]]'s rounds — the
     * monotonicity evidence; driver-side list of `iters` doubles. */
@@ -257,11 +268,14 @@ object Similarity {
   private val sq = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
   private val dp = "list_sum(list_transform(list_zip(%s, %s), p -> p[1]*p[2]))"
 
-  /** [[kmeansIter]]'s oracle, generated mechanically: `iters` unrolled
-    * (assign with cent_{i-1} → decimal-mean update → cent_i) rounds —
-    * the engine's early stop is provably output-identical (see the
-    * kmeansIter doc), so the oracle always runs the full unroll. */
-  private def kmeansIterOracle(iters: Int): String = {
+  /** [[kmeansIter]]'s oracle CTE chain, generated mechanically:
+    * `iters` unrolled (assign with cent_{i-1} → decimal-mean update →
+    * cent_i) rounds — the engine's early stop is provably
+    * output-identical (see the kmeansIter doc), so the oracle always
+    * runs the full unroll. Ends with `cm$iters` (exploded stats) and
+    * `cent$iters` (codebook) in scope; also reused verbatim by
+    * [[Ann]]'s trained-IVF oracle. */
+  private[operators] def kmeansCtes(iters: Int): String = {
     val header =
       """WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
         |                   CAST(unnest(embedding) AS DOUBLE) AS val
@@ -281,10 +295,13 @@ object Similarity {
          |        FROM ex JOIN a$i ON a$i.vec_id = ex.vec_id GROUP BY 1, 2),
          |cent$i AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM cm$i GROUP BY clabel)""".stripMargin
     }
-    s"$header,\n${rounds.mkString(",\n")}\n" +
+    s"$header,\n${rounds.mkString(",\n")}"
+  }
+
+  private def kmeansIterOracle(iters: Int): String =
+    s"${kmeansCtes(iters)}\n" +
       s"""SELECT clabel AS cluster, CAST(pos - 1 AS INT) AS pos, n, cv
          |FROM cm$iters ORDER BY cluster, pos""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "cosine_topk" ->

@@ -53,6 +53,17 @@ class AnnSpec extends AnyFunSuite {
     assert(r1.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("ann_ivf_trained: k-means codebook IVF keeps useful recall; self found") {
+    val approx = Ann.annIvfTrained(spark, d).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rec = recallAtK(approx, exact)
+    info(f"trained-IVF recall@10 (3 Lloyd rounds, nprobe=3) = $rec%.3f")
+    assert(rec >= 0.3, f"trained-IVF recall too low: $rec%.3f")
+    val r1 = Ann.annIvfTrained(spark, d).filter(col("rnk") === 1)
+      .select("query_id", "vec_id").collect()
+    assert(r1.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("ann_sq8: 8-bit quantized search keeps high recall; codes in range") {
     val approx = Ann.annSq8(spark, d).select("query_id", "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -54,9 +54,10 @@ class RelationalSpec extends AnyFunSuite {
     assert(perStatus.toSeq == expected.toSeq)
   }
 
-  test("sources: documents round-trip through JSON-lines and CSV sinks") {
+  test("sources: documents round-trip through JSON-lines, CSV and ORC sinks") {
     // the engine is parquet-first, but a pipeline's edges speak
-    // JSON/CSV; prove the same DataFrame survives both formats
+    // JSON/CSV (text interchange) and ORC (the other columnar lake
+    // format); prove the same DataFrame survives all three
     // byte-identically (text columns contain spaces/punctuation, so
     // this exercises quoting/escaping and multi-line CSV reads)
     val docs = Tables.documents(spark, d)
@@ -66,15 +67,22 @@ class RelationalSpec extends AnyFunSuite {
     docs.write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
       .csv(s"$tmp/csv")
+    docs.write.mode("overwrite").orc(s"$tmp/orc")
     val fromJson = spark.read.schema(schema).json(s"$tmp/json")
     val fromCsv = spark.read.schema(schema)
       .option("header", "true").option("escape", "\"").option("multiLine", "true")
       .csv(s"$tmp/csv")
-    for ((rt, fmt) <- Seq((fromJson, "json"), (fromCsv, "csv"))) {
+    val fromOrc = spark.read.schema(schema).orc(s"$tmp/orc")
+    for ((rt, fmt) <- Seq((fromJson, "json"), (fromCsv, "csv"), (fromOrc, "orc"))) {
       assert(rt.count() == docs.count(), s"$fmt row count")
       assert(rt.except(docs).count() == 0 && docs.except(rt).count() == 0,
         s"$fmt round-trip altered rows")
     }
+    // ORC scans push filters and prune columns like parquet — the
+    // lake-format contract the engine's scale posture relies on
+    val p = fromOrc.filter(col("doc_id") === 7L).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ["), s"ORC scan pushed no filters:\n$p")
   }
 
   test("set ops: presence tags are disjoint and cover customer nations") {

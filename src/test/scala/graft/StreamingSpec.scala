@@ -154,6 +154,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.distinct.length == 3)
     q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state to the lateness horizon") {
+    // the production-bounded variant the declared streaming_dedup's
+    // docstring names: duplicates are swallowed only within the
+    // watermark horizon — once the watermark passes a key's expiry its
+    // state is dropped, so a far-later duplicate of an old key is
+    // treated as new (RE-EMITTED). That re-emission is the observable
+    // proof the state is bounded (plain dropDuplicates would swallow
+    // it forever with O(all keys) state).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)] // (doc, event-time micros)
+    val out = mem.toDF()
+      .select(md5(col("_1")).as("content_hash"),
+        expr("timestamp_micros(_2)").as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_wm_test").start()
+
+    def min(m: Long) = m * 60L * 1000000L
+    mem.addData(("doc a", min(0)), ("doc a", min(1)), ("doc b", min(2)))
+    q.processAllAvailable()
+    assert(spark.table("dedup_wm_test").count() == 2, "within-horizon dup must swallow")
+
+    // advance the watermark far past doc a's expiry, then replay it
+    mem.addData(("doc c", min(120)))
+    q.processAllAvailable()
+    mem.addData(("doc a", min(121)))
+    q.processAllAvailable()
+    val docAHash = java.security.MessageDigest.getInstance("MD5")
+      .digest("doc a".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byKey = spark.table("dedup_wm_test").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byKey.values.sum == 4, s"expected 4 emissions, got $byKey")
+    assert(byKey(docAHash) == 2, "old key re-emitted after its state expired")
+    q.stop()
+  }
 }
 
 /** Multimodal plumbing: schema, batching, determinism, ANN handoff. */

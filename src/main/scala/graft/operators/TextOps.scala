@@ -111,6 +111,44 @@ object TextOps {
       "n_chars")
       .orderBy("doc_id")
 
+  /** Repetition / boilerplate signal — the Gopher-style repetition
+    * filter of a training-data pipeline: per doc, the total and
+    * distinct ORDERED 3-word shingle counts (no de-dup — repetition is
+    * the point), the repeated fraction, and the most-repeated shingle
+    * (ties → lexicographically smallest). High rep_ratio flags
+    * templated/boilerplate text that token-level stats (TTR) miss.
+    * One explode + two per-doc aggregations; map-only otherwise. */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val ordered = toks(s, d).withColumn(
+      "sh",
+      when(size(col("toks")) >= 3,
+        expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))"))
+        .otherwise(expr("array()")))
+    val e = ordered.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val counts = e.groupBy(col("doc_id"), col("sg")).agg(count(lit(1)).as("c"))
+    val top = counts
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        // max by (count, reversed tie on shingle): min(struct(-c, sg))
+        min(struct((-col("c")).as("nc"), col("sg"))).as("m"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        ((col("n_shingles") - col("n_distinct")).cast("double") / col("n_shingles"))
+          .as("rep_ratio"),
+        col("m.sg").as("top_shingle"), (-col("m.nc")).as("top_count"))
+    // docs with <3 tokens have no shingle rows; restore them with zeros
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("rep_ratio"), lit(0.0)).as("rep_ratio"),
+        coalesce(col("top_shingle"), lit("")).as("top_shingle"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------- fingerprints
 
   /** Per-doc fingerprints: full md5 plus a 48-bit SimHash over distinct
@@ -530,6 +568,7 @@ object TextOps {
     "lang_stats"        -> ((s, d) => langStats(s, d)),
     "token_topk"        -> ((s, d) => tokenTopK(s, d)),
     "token_counts"      -> ((s, d) => tokenCounts(s, d)),
+    "repetition_stats"  -> ((s, d) => repetitionStats(s, d)),
     "doc_fingerprint"   -> ((s, d) => docFingerprint(s, d)),
     "dedup_docs_exact"  -> ((s, d) => dedupDocsExact(s, d)),
     "jaccard_pairs"     -> ((s, d) => jaccardPairs(s, d)),
@@ -610,6 +649,32 @@ object TextOps {
          |FROM inter JOIN sz sa ON sa.doc_id = src JOIN sz sb ON sb.doc_id = dst
          |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
          |ORDER BY src, dst""".stripMargin,
+    // ORDERED (non-distinct) shingles — repetition is the signal, so
+    // no list_distinct; CAST(sum(c)) because DuckDB sums BIGINT into
+    // HUGEINT while Spark stays LONG
+    "repetition_stats" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shl AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |        THEN list_transform(generate_series(1, len(toks)-2),
+        |               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |        ELSE [] END AS sh FROM d0),
+        |e AS (SELECT doc_id, unnest(sh) AS sg FROM shl),
+        |c AS (SELECT doc_id, sg, count(*) AS c FROM e GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+        |               count(*) AS n_distinct FROM c GROUP BY doc_id),
+        |t0 AS (SELECT doc_id, sg, c,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, sg) AS rn FROM c),
+        |top AS (SELECT doc_id, sg AS top_shingle, c AS top_count FROM t0 WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  coalesce(agg.n_shingles, 0) AS n_shingles,
+        |  coalesce(agg.n_distinct, 0) AS n_distinct,
+        |  coalesce(CAST(agg.n_shingles - agg.n_distinct AS DOUBLE) / agg.n_shingles, 0.0) AS rep_ratio,
+        |  coalesce(top.top_shingle, '') AS top_shingle,
+        |  coalesce(top.top_count, 0) AS top_count
+        |FROM documents d
+        |LEFT JOIN agg ON agg.doc_id = d.doc_id
+        |LEFT JOIN top ON top.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // fingerprint packing: 64 vote bits accumulated as HUGEINT (a·2+b
     // overflows signed BIGINT when bit 0 votes positive), then mapped
     // to the two's-complement BIGINT Spark's LongType carries; Hamming

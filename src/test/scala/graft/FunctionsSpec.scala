@@ -38,6 +38,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(3) == (1L << 63) + (1L << 62) + (1L << 61))
   }
 
+  test("SQL-only consumer path: pure-SQL top-k over a view equals the operator") {
+    // the (c)-level integration contract: a consumer who only speaks
+    // SQL (registered functions + temp views, no Column API) gets
+    // bitwise the same results as the DataFrame operator surface
+    GraftExtensions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    Tables.embeddings(spark, d).createOrReplaceTempView("emb")
+    val sqlRows = spark.sql(
+      """SELECT e.vec_id, e.label, squared_l2(e.embedding, q.embedding) AS dist
+        |FROM emb e, (SELECT embedding FROM emb WHERE vec_id = 0) q
+        |ORDER BY dist, vec_id LIMIT 10""".stripMargin).collect()
+    val opRows = graft.operators.Knn.knnTopK(spark, d).collect()
+    assert(sqlRows.map(_.toSeq).toSeq == opRows.map(_.toSeq).toSeq)
+  }
+
   test("different element types: i32 and f64 through the engine's distance + search " +
       "(reference 'Different Data Types', src/test_hnsw.zig:239-273)") {
     val s = spark

@@ -995,6 +995,61 @@ object Ann {
   def annPq(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame =
     annPqRaw(s, d, nq, k).orderBy(col("query_id"), col("rnk"))
 
+  /** MMR (maximal marginal relevance) diversified re-rank — the
+    * standard retrieval post-processor an LLM RAG pipeline runs on a
+    * raw top-k: greedily pick, per query, the candidate minimizing
+    * `dist_to_query − μ · min-dist-to-already-selected` (ties → id) —
+    * relevance traded against redundancy, so near-duplicate hits stop
+    * crowding the result list. Round 1 is plain argmin by distance.
+    *
+    * Shape: the candidate pool is the exact top-`cand` per query (the
+    * custom KnnJoin operator), pairwise candidate distances are a
+    * query-local self-join (cand² rows per query — candidates are
+    * broadcast-sized BY CONSTRUCTION, the corpus is touched only by
+    * the initial top-cand scan), and each greedy round is a pair of
+    * query-sized joins + a map-side argmin aggregate. k rounds, all
+    * lazily checkpointed — the driver never sees a row. Determinism:
+    * every distance is the strict-fold kernel, min() over doubles is
+    * order-insensitive, and the score arithmetic `dist − μ·minpd` is
+    * one double expression mirrored exactly by the oracle's unroll. */
+  def mmrRerank(s: SparkSession, d: String, nq: Int = 10, k: Int = 10,
+                cand: Int = 30, mu: Double = 0.5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val base = graft.plans.KnnJoin.exact(e, e.filter(col("vec_id") < nq), cand)
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .localCheckpoint(eager = false)
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val withV = vecs.join(broadcast(base.select(col("query_id"), col("vec_id"))), "vec_id")
+    val pd = withV.as("a").join(broadcast(withV.as("b")),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"), col("a.vec_id").as("i"),
+        col("b.vec_id").as("j"),
+        squaredL2(col("a.embedding"), col("b.embedding")).as("pd"))
+      .localCheckpoint(eager = false)
+    var selected = base.groupBy(col("query_id"))
+      .agg(min(struct(col("dist"), col("vec_id"))).as("m"))
+      .select(col("query_id"), col("m.vec_id").as("vec_id"), lit(1).as("rnk"))
+      .localCheckpoint(eager = false)
+    var r = 2
+    while (r <= k) {
+      val sel = selected.select(col("query_id"), col("vec_id"))
+      val remaining = base.join(sel, Seq("query_id", "vec_id"), "left_anti")
+      val pen = pd.join(broadcast(sel.withColumnRenamed("vec_id", "j")), Seq("query_id", "j"))
+        .groupBy(col("query_id"), col("i")).agg(min(col("pd")).as("minpd"))
+      val pick = remaining
+        .join(pen.withColumnRenamed("i", "vec_id"), Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (col("dist") - lit(mu) * col("minpd")).as("score"))
+        .groupBy(col("query_id"))
+        .agg(min(struct(col("score"), col("vec_id"))).as("m"))
+        .select(col("query_id"), col("m.vec_id").as("vec_id"), lit(r).as("rnk"))
+      selected = selected.unionByName(pick).localCheckpoint(eager = false)
+      r += 1
+    }
+    selected.orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Arm names of the recall report, alphabetical (= output order);
     * "ivfk" is the k-means-trained IVF ([[annIvfTrained]]). */
   private[operators] val RecallArms: Seq[String] =
@@ -1059,7 +1114,8 @@ object Ann {
     "ann_bq"      -> ((s, d) => annBq(s, d)),
     "pq_codes"    -> ((s, d) => pqCodes(s, d)),
     "ann_pq"      -> ((s, d) => annPq(s, d)),
-    "ann_recall_report" -> ((s, d) => annRecallReport(s, d))
+    "ann_recall_report" -> ((s, d) => annRecallReport(s, d)),
+    "mmr_rerank" -> ((s, d) => mmrRerank(s, d))
   )
 
   private val duckHash60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1399,8 +1455,52 @@ object Ann {
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
   )
 
+  /** [[mmrRerank]]'s oracle: the greedy recurrence unrolled — round 1
+    * is the plain distance argmin; each later round scores the
+    * not-yet-selected candidates as dist − μ·min-pair-dist-to-selected
+    * and picks the (score, id) argmin. */
+  private def mmrOracle(nq: Int, k: Int, cand: Int, mu: Double): String = {
+    // MATERIALIZED: each round references base/pd/s_{r-1} several
+    // times; un-materialized, DuckDB inlines the CTE per reference and
+    // re-opens the parquet each time — the unroll exhausts the fd
+    // limit (the hnswSearchOracle precedent)
+    val header =
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nq),
+         |dq AS (SELECT q.query_id, e.vec_id, ${duckSq.format("e.v", "q.qv")} AS dist FROM e, q),
+         |base AS MATERIALIZED (SELECT query_id, vec_id, dist FROM (
+         |    SELECT query_id, vec_id, dist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dq)
+         |  WHERE rnk <= $cand),
+         |pd AS MATERIALIZED (SELECT a.query_id, a.vec_id AS i, b.vec_id AS j, ${duckSq.format("ea.v", "eb.v")} AS pd
+         |       FROM base a JOIN base b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |       JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+         |s1 AS MATERIALIZED (SELECT query_id, vec_id, 1 AS rnk FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn FROM base) WHERE rn = 1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""p$r AS (SELECT query_id, vec_id, $r AS rnk FROM (
+         |    SELECT b.query_id, b.vec_id,
+         |      row_number() OVER (PARTITION BY b.query_id
+         |        ORDER BY b.dist - CAST($mu AS DOUBLE) * pen.minpd, b.vec_id) AS rn
+         |    FROM base b
+         |    JOIN (SELECT pd.query_id, pd.i, min(pd.pd) AS minpd
+         |          FROM pd JOIN s${r - 1} s ON s.query_id = pd.query_id AND s.vec_id = pd.j
+         |          GROUP BY 1, 2) pen
+         |      ON pen.query_id = b.query_id AND pen.i = b.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} s2
+         |                      WHERE s2.query_id = b.query_id AND s2.vec_id = b.vec_id)
+         |  ) WHERE rn = 1),
+         |s$r AS MATERIALIZED (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+    }
+    s"$header,\n${rounds.mkString(",\n")}\n" +
+      s"SELECT query_id, vec_id, rnk FROM s$k ORDER BY query_id, rnk"
+  }
+
   val oracles: Map[String, String] =
-    baseOracles + ("ann_recall_report" -> recallReportOracle)
+    baseOracles +
+      ("ann_recall_report" -> recallReportOracle) +
+      ("mmr_rerank" -> mmrOracle(nq = 10, k = 10, cand = 30, mu = 0.5))
 
   /** Every arm's own (already hash-green) oracle, embedded verbatim as
     * a nested-WITH derived table, intersected with the knn_batch exact

@@ -268,6 +268,35 @@ class AnnSpec extends AnyFunSuite {
     assert(costNew <= costInit + 0.1)
   }
 
+  test("mmr_rerank matches an independent in-test greedy reference exactly") {
+    val got = Ann.mmrRerank(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+      acc
+    }
+    val (k, cand, mu) = (10, 30, 0.5)
+    for (q <- 0L until 10L) {
+      val qv = vecs(q)
+      val base = vecs.toSeq.map { case (id, v) => (id, sq(v, qv)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(cand)
+      var selected = Vector(base.minBy { case (id, dd) => (dd, id) }._1)
+      while (selected.length < k) {
+        val pick = base.filterNot(c => selected.contains(c._1)).map { case (id, dd) =>
+          val minpd = selected.map(sid => sq(vecs(id), vecs(sid))).min
+          (id, dd - mu * minpd)
+        }.minBy { case (id, sc) => (sc, id) }._1
+        selected :+= pick
+      }
+      assert(got(q) == selected, s"query $q: ${got(q)} != $selected")
+    }
+  }
+
   test("neardup_lsh: a subset of the exact epsilon-join pairs, with measured recall") {
     import graft.operators.Similarity
     val approx = Ann.neardupLsh(spark, d).select("src", "dst")

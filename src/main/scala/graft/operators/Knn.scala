@@ -96,6 +96,26 @@ object Knn {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** FILTERED batch k-NN — metadata-constrained vector search, the
+    * production vector-DB feature every store advertises (and graph
+    * indexes struggle with: an HNSW walk under a filter must
+    * over-expand or detour around excluded nodes, degrading recall
+    * unpredictably — the reference has no filtering at all). In the
+    * relational formulation it is EXACT and free: the predicate
+    * evaluates inside the scan's codegen stage (and pushes into the
+    * parquet reader whenever it is a pushable comparison), the k-NN
+    * join streams only qualifying rows, and results are the true
+    * top-k of the filtered corpus by construction. Queries keep vec_id < nq
+    * (unfiltered); the corpus keeps only rows with even `label` — a
+    * stand-in for any metadata predicate. */
+  def knnFiltered(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+    val e = corpus(s, d)
+    val q = e.filter(col("vec_id") < nq)
+    graft.plans.KnnJoin.exact(e.filter(col("label") % 2 === 0), q, k)
+      .select(col("query_id"), col("vec_id"), col("dist"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Range search — the ε-ball query of the vector-DB category: every
     * corpus vector within squared-L2 `eps` of the query point, nearest
     * first. Same physics as [[knnTopK]] minus the limit: 1-row
@@ -132,6 +152,7 @@ object Knn {
     "knn_topk"              -> ((s, d) => knnTopK(s, d)),
     "knn_topk_with_vectors" -> ((s, d) => knnTopKWithVectorsExploded(s, d)),
     "knn_batch"             -> ((s, d) => knnBatch(s, d)),
+    "knn_filtered"          -> ((s, d) => knnFiltered(s, d)),
     "knn_graph"             -> ((s, d) => knnGraph(s, d)),
     "range_search"          -> ((s, d) => rangeSearch(s, d))
   )
@@ -158,6 +179,15 @@ object Knn {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
          |d AS (SELECT q.query_id, e.vec_id, ${distExpr.format("e.v", "q.qv")} AS dist FROM e, q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM d)
+         |SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    "knn_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |d AS (SELECT q.query_id, e.vec_id, ${distExpr.format("e.v", "q.qv")} AS dist
+         |      FROM e, q WHERE e.label % 2 = 0),
          |r AS (SELECT query_id, vec_id, dist,
          |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM d)
          |SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= 10

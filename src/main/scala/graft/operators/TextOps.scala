@@ -522,6 +522,47 @@ object TextOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** HYBRID search via reciprocal-rank fusion (RRF) — the
+    * lexical+vector retrieval every production RAG stack serves:
+    * per query doc (doc_id < nq, its embedding row-aligned by id),
+    * arm 1 ranks the corpus by exact vector distance (the custom
+    * KnnJoin operator, top-`cTop`), arm 2 by distinct-token overlap
+    * with the query document (ties → doc_id); fused score =
+    * Σ_arms 1/(c0 + rank), missing arm contributes 0 — RRF's rational
+    * form needs no score normalization and no transcendentals, which
+    * is what keeps the fusion bit-deterministic and oracle-checkable
+    * (a BM25 arm would put a log in the output).
+    *
+    * Shape: the vector arm is the streaming-corpus broadcast k-NN; the
+    * text arm broadcasts the nq query token sets against a map-only
+    * overlap count + per-query window; the fusion is a full-outer join
+    * of two cTop-row-per-query sets. Corpus-sized work is one scan per
+    * arm. */
+  def hybridRrf(s: SparkSession, d: String, nq: Int = 10, k: Int = 10,
+                cTop: Int = 30, c0: Int = 60): DataFrame = {
+    val e = graft.Tables.embeddings(s, d)
+    val vecRanks = graft.plans.KnnJoin.exact(e, e.filter(col("vec_id") < nq), cTop)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("rv"))
+    val dt = toks(s, d).select(col("doc_id"), array_distinct(col("toks")).as("dt"))
+    val qt = dt.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("query_id"), col("dt").as("qt"))
+    val wT = Window.partitionBy("query_id").orderBy(col("ov").desc, col("doc_id"))
+    val textRanks = dt.crossJoin(broadcast(qt))
+      .select(col("query_id"), col("doc_id"),
+        size(array_intersect(col("dt"), col("qt"))).as("ov"))
+      .withColumn("rt", row_number().over(wT))
+      .filter(col("rt") <= cTop)
+      .select(col("query_id"), col("doc_id"), col("rt"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    vecRanks.join(textRanks, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(c0) + col("rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c0) + col("rt")), lit(0.0))).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------- langid
 
   /** Character-trigram language ID: per-lang top-20 trigram profiles
@@ -586,7 +627,8 @@ object TextOps {
     "doc_split"         -> ((s, d) => docSplit(s, d)),
     "text_scrub"        -> ((s, d) => textScrub(s, d)),
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
-    "contamination_scan" -> ((s, d) => contaminationScan(s, d))
+    "contamination_scan" -> ((s, d) => contaminationScan(s, d)),
+    "hybrid_rrf"        -> ((s, d) => hybridRrf(s, d))
   )
 
   private val duckShingles =
@@ -649,6 +691,36 @@ object TextOps {
          |FROM inter JOIN sz sa ON sa.doc_id = src JOIN sz sb ON sb.doc_id = dst
          |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
          |ORDER BY src, dst""".stripMargin,
+    // the vector arm's top-cTop CTE, the token-overlap arm, and the
+    // RRF fusion; CAST(1/0 AS DOUBLE) — bare 1.0/0.0 parse as DECIMAL
+    // in DuckDB and would round the fused score
+    "hybrid_rrf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |dd AS (SELECT q.query_id, e.vec_id,
+         |         list_sum(list_transform(list_zip(e.v, q.qv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+         |       FROM e, q),
+         |vr AS (SELECT query_id, vec_id AS doc_id, rnk AS rv FROM (
+         |        SELECT query_id, vec_id, dist,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
+         |       WHERE rnk <= 30),
+         |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM documents),
+         |qt AS (SELECT doc_id AS query_id, dt AS qt FROM t WHERE doc_id < 10),
+         |ov AS (SELECT qt.query_id, t.doc_id, len(list_intersect(t.dt, qt.qt)) AS ov FROM t, qt),
+         |tr AS (SELECT query_id, doc_id, rt FROM (
+         |        SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY ov DESC, doc_id) AS rt FROM ov)
+         |       WHERE rt <= 30),
+         |f AS (SELECT coalesce(vr.query_id, tr.query_id) AS query_id,
+         |             coalesce(vr.doc_id, tr.doc_id) AS doc_id,
+         |             coalesce(CAST(1 AS DOUBLE)/(60 + vr.rv), CAST(0 AS DOUBLE))
+         |               + coalesce(CAST(1 AS DOUBLE)/(60 + tr.rt), CAST(0 AS DOUBLE)) AS score
+         |      FROM vr FULL OUTER JOIN tr
+         |        ON tr.query_id = vr.query_id AND tr.doc_id = vr.doc_id)
+         |SELECT query_id, doc_id, score, rnk FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM f)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     // ORDERED (non-distinct) shingles — repetition is the signal, so
     // no list_distinct; CAST(sum(c)) because DuckDB sums BIGINT into
     // HUGEINT while Spark stays LONG

@@ -465,6 +465,46 @@ object Ann {
       .orderBy(col("level"), col("src"), col("rnk"))
   }
 
+  /** Incremental DELETE — the other half of the index-maintenance
+    * lifecycle ([[hnswInsertDelta]] is the insert half; the reference
+    * is insert-only, `src/hnsw.zig:73` — deletion is a capability the
+    * engine adds): remove the delta nodes (vec_id ≡ 0 mod 10) from the
+    * PERSISTED full index and repair, computing ONLY:
+    *
+    *   - drop: deleted srcs' lists, and edges INTO deleted dsts (a
+    *     filter over the stored table — map-only);
+    *   - repair: a src that lost ≥1 neighbor no longer holds a
+    *     provable top-m (the true replacement may lie OUTSIDE its
+    *     stored list), so affected srcs rescan the surviving corpus —
+    *     one blocked O(a·n) pass ([[levelEdgePartials]] with the
+    *     affected set as probes), a = |srcs that lost an edge|.
+    *     Unaffected srcs keep their stored lists untouched (still
+    *     exact: no list member was removed).
+    *
+    * The declared oracle is the FULL-REBUILD SQL over the surviving
+    * corpus — the hash gate proves delete-then-repair ≡ rebuild. */
+  def hnswDeleteDelta(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    import s.implicits._
+    val full = ensureFullIndex(s, d, m)
+    val surviving = full.filter(col("src") % 10 =!= 0)
+    val clean = surviving.filter(col("dst") % 10 =!= 0)
+      .select(col("level"), col("src"), col("dst"), col("dist"))
+    val affected = surviving.filter(col("dst") % 10 === 0)
+      .select(col("src")).distinct()
+    val remaining = levelNodes(s, d).filter(n => n._1 % 10 != 0)
+    val affNodes = remaining.toDF("id", "vec", "lvl")
+      .join(affected.select(col("src").as("id")), "id")
+      .select(col("id"), col("vec"), col("lvl"))
+      .as[(Long, Array[Double], Int)]
+    // affected srcs are recomputed from scratch (their fresh partials
+    // are complete candidate sets, and keeping their stored rows would
+    // duplicate (level, src, dst) pairs under the prune window)
+    val cleanUnaffected = clean.join(affected, Seq("src"), "left_anti")
+    val partials = levelEdgePartials(s, affNodes, remaining, m, MaxLevel, EdgeBlocks)
+    pruneLevelEdges(cleanUnaffected.unionByName(partials), m)
+      .orderBy(col("level"), col("src"), col("rnk"))
+  }
+
   /** Deterministic beam search over the exact level-0 m-NN graph — the
     * batch analogue of the reference's `search`
     * (`src/hnsw.zig:194-236`: expansion from an entry point, visited
@@ -1107,6 +1147,7 @@ object Ann {
     "hnsw_levels" -> ((s, d) => hnswLevels(s, d)),
     "hnsw_edges"  -> ((s, d) => hnswEdges(s, d)),
     "hnsw_insert_delta" -> ((s, d) => hnswInsertDelta(s, d)),
+    "hnsw_delete_delta" -> ((s, d) => hnswDeleteDelta(s, d)),
     "hnsw_search" -> ((s, d) => hnswSearch(s, d)),
     "sq8_codes"   -> ((s, d) => sq8Codes(s, d)),
     "ann_sq8"     -> ((s, d) => annSq8(s, d)),
@@ -1127,13 +1168,15 @@ object Ann {
     * level assignment is the (already hash-green) [[hnswLevels]] SQL,
     * and each level l is the same windowed top-m self-join as
     * `knn_graph`'s oracle restricted to nodes with level ≥ l. */
-  private def hnswEdgesOracle(m: Int, maxLevel: Int): String = {
+  private def hnswEdgesOracle(m: Int, maxLevel: Int,
+                              corpusWhere: String = "TRUE"): String = {
     val header =
       s"""WITH h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
          |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
          |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h),
          |e AS (SELECT em.vec_id, list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v, lv.level
-         |      FROM embeddings em JOIN lv ON lv.vec_id = em.vec_id)""".stripMargin
+         |      FROM embeddings em JOIN lv ON lv.vec_id = em.vec_id
+         |      WHERE $corpusWhere)""".stripMargin
     val perLevel = (0 to maxLevel).map { l =>
       s"""d$l AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${duckSq.format("a.v", "b.v")} AS dist
          |        FROM e a JOIN e b ON a.vec_id <> b.vec_id
@@ -1253,6 +1296,9 @@ object Ann {
       nq = 10, k = 10, beam = 16, rounds = 3, m = 16, maxLevel = 8),
     // incremental insert must equal a full rebuild — same oracle SQL
     "hnsw_insert_delta" -> hnswEdgesOracle(m = 16, maxLevel = 8),
+    // incremental delete must equal a rebuild over the survivors
+    "hnsw_delete_delta" ->
+      hnswEdgesOracle(m = 16, maxLevel = 8, corpusWhere = "em.vec_id % 10 <> 0"),
     "ann_graph_search" -> graphSearchOracle(nq = 10, k = 10, beam = 16, rounds = 4, m = 16),
     "lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -465,6 +465,28 @@ object Ann {
       .orderBy(col("level"), col("src"), col("rnk"))
   }
 
+  /** Index observability — the stats panel every vector store ships
+    * next to its index: per HNSW layer, the participating node count
+    * (a node of level L serves layers 0..L), the stored edge count,
+    * and the average out-degree. One tiny explode over the pure-
+    * function levels projection + one aggregate over the persisted
+    * edge table; layers above the top occupied edge level report 0
+    * edges (their nodes exist but have nothing to link to). */
+  def indexStats(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    val lv = Tables.embeddings(s, d).withColumn("level", expr(levelExpr))
+    val pn = lv
+      .select(explode(sequence(lit(0), least(col("level"), lit(MaxLevel)))).as("layer"))
+      .groupBy(col("layer")).agg(count(lit(1)).as("n_nodes"))
+    val eg = ensureFullIndex(s, d, m)
+      .groupBy(col("level").as("layer")).agg(count(lit(1)).as("n_edges"))
+    pn.join(eg, Seq("layer"), "left")
+      .select(col("layer"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        (coalesce(col("n_edges"), lit(0L)) / col("n_nodes").cast("double"))
+          .as("avg_out_degree"))
+      .orderBy(col("layer"))
+  }
+
   /** Incremental DELETE — the other half of the index-maintenance
     * lifecycle ([[hnswInsertDelta]] is the insert half; the reference
     * is insert-only, `src/hnsw.zig:73` — deletion is a capability the
@@ -1148,6 +1170,7 @@ object Ann {
     "hnsw_edges"  -> ((s, d) => hnswEdges(s, d)),
     "hnsw_insert_delta" -> ((s, d) => hnswInsertDelta(s, d)),
     "hnsw_delete_delta" -> ((s, d) => hnswDeleteDelta(s, d)),
+    "index_stats" -> ((s, d) => indexStats(s, d)),
     "hnsw_search" -> ((s, d) => hnswSearch(s, d)),
     "sq8_codes"   -> ((s, d) => sq8Codes(s, d)),
     "ann_sq8"     -> ((s, d) => annSq8(s, d)),
@@ -1299,6 +1322,20 @@ object Ann {
     // incremental delete must equal a rebuild over the survivors
     "hnsw_delete_delta" ->
       hnswEdgesOracle(m = 16, maxLevel = 8, corpusWhere = "em.vec_id % 10 <> 0"),
+    // per-layer panel: participating nodes from the levels projection,
+    // edges aggregated over the (nested-WITH) edges oracle
+    "index_stats" ->
+      s"""WITH h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
+         |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
+         |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h),
+         |part AS (SELECT unnest(generate_series(0, least(level, 8))) AS layer FROM lv),
+         |pn AS (SELECT layer, count(*) AS n_nodes FROM part GROUP BY layer),
+         |eg AS (SELECT level AS layer, count(*) AS n_edges
+         |       FROM (${hnswEdgesOracle(m = 16, maxLevel = 8)}) GROUP BY level)
+         |SELECT pn.layer, pn.n_nodes, coalesce(eg.n_edges, 0) AS n_edges,
+         |  coalesce(eg.n_edges, 0) / CAST(pn.n_nodes AS DOUBLE) AS avg_out_degree
+         |FROM pn LEFT JOIN eg ON eg.layer = pn.layer
+         |ORDER BY pn.layer""".stripMargin,
     "ann_graph_search" -> graphSearchOracle(nq = 10, k = 10, beam = 16, rounds = 4, m = 16),
     "lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

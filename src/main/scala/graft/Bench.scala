@@ -48,7 +48,10 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal seconds: the driver keeps only the TAIL of an overlong
+    // output line, so compact numbers keep more per-query rows visible
+    // in its artifact (full precision buys nothing at ±ms host noise)
+    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
@@ -77,12 +80,12 @@ object Bench {
         } yield {
           val (b, sSec) = BaselineWorkload.run(spark, dim = dim, k = k)
           System.err.println(f"[sweep] dim=$dim%4d k=$k%3d build=$b%.3f s search=$sSec%.3f s")
-          s"""{"dim":$dim,"k":$k,"build_sec":$b,"search_sec":$sSec,"insert_points_per_sec":${BaselineWorkload.N / b},"search_queries_per_sec":${BaselineWorkload.Q / sSec}}"""
+          f"""{"dim":$dim,"k":$k,"build_sec":$b%.4f,"search_sec":$sSec%.4f,"insert_points_per_sec":${BaselineWorkload.N / b}%.1f,"search_queries_per_sec":${BaselineWorkload.Q / sSec}%.1f}"""
         }
         cells.mkString("[", ",", "]")
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_workload":{"n":${BaselineWorkload.N},"dim":${BaselineWorkload.DIM},"q":${BaselineWorkload.Q},"k":${BaselineWorkload.K},"element_type":"f32","search_mode":"exact","simd":${VectorKernel.simdEnabled},"recall_at_10":1.0,"build_sec":$buildSec,"search_sec":$searchSec,"insert_points_per_sec":$insertRate,"search_queries_per_sec":$searchRate,"reference_insert_points_per_sec":8392.22,"reference_search_queries_per_sec":2678.13,"reference_search_mode":"approximate (recall unmeasured)"},"baseline_sweep":$sweepJson}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_workload":{"n":${BaselineWorkload.N},"dim":${BaselineWorkload.DIM},"q":${BaselineWorkload.Q},"k":${BaselineWorkload.K},"element_type":"f32","search_mode":"exact","simd":${VectorKernel.simdEnabled},"recall_at_10":1.0,"build_sec":$buildSec%.4f,"search_sec":$searchSec%.4f,"insert_points_per_sec":$insertRate%.1f,"search_queries_per_sec":$searchRate%.1f,"reference_insert_points_per_sec":8392.22,"reference_search_queries_per_sec":2678.13,"reference_search_mode":"approximate (recall unmeasured)"},"baseline_sweep":$sweepJson}""")
     spark.stop()
   }
 }

@@ -527,6 +527,26 @@ object Ann {
       .orderBy(col("level"), col("src"), col("rnk"))
   }
 
+  /** The CRUD cycle composed — delete a slice, then insert it back,
+    * against the same persisted index: [[hnswDeleteDelta]]'s repaired
+    * survivor index is the stored structure an insert batch then
+    * amends ([[hnswInsertDelta]]'s one-pass symmetric O(Δ·n) math,
+    * with the delete's output in place of the persisted base). The
+    * declared oracle is the FULL-CORPUS rebuild SQL: the hash gate
+    * proves delete∘insert ≡ identity — maintenance round-trips
+    * losslessly, which is the invariant that makes incremental
+    * maintenance trustworthy at all. */
+  def hnswUpsertRoundtrip(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    val all = levelNodes(s, d)
+    val delta = all.filter(n => n._1 % 10 == 0)
+    val afterDelete = hnswDeleteDelta(s, d, m)
+      .select(col("level"), col("src"), col("dst"), col("dist"))
+    val sym = levelEdgePartialsSym(
+      s, all, delta, id => id % 10 != 0, m, MaxLevel, EdgeBlocks, dBlocks = 2)
+    pruneLevelEdges(afterDelete.unionByName(sym), m)
+      .orderBy(col("level"), col("src"), col("rnk"))
+  }
+
   /** Deterministic beam search over the exact level-0 m-NN graph — the
     * batch analogue of the reference's `search`
     * (`src/hnsw.zig:194-236`: expansion from an entry point, visited
@@ -1171,6 +1191,7 @@ object Ann {
     "hnsw_insert_delta" -> ((s, d) => hnswInsertDelta(s, d)),
     "hnsw_delete_delta" -> ((s, d) => hnswDeleteDelta(s, d)),
     "index_stats" -> ((s, d) => indexStats(s, d)),
+    "hnsw_upsert_roundtrip" -> ((s, d) => hnswUpsertRoundtrip(s, d)),
     "hnsw_search" -> ((s, d) => hnswSearch(s, d)),
     "sq8_codes"   -> ((s, d) => sq8Codes(s, d)),
     "ann_sq8"     -> ((s, d) => annSq8(s, d)),
@@ -1319,6 +1340,8 @@ object Ann {
       nq = 10, k = 10, beam = 16, rounds = 3, m = 16, maxLevel = 8),
     // incremental insert must equal a full rebuild — same oracle SQL
     "hnsw_insert_delta" -> hnswEdgesOracle(m = 16, maxLevel = 8),
+    // delete-then-reinsert must equal the untouched full rebuild
+    "hnsw_upsert_roundtrip" -> hnswEdgesOracle(m = 16, maxLevel = 8),
     // incremental delete must equal a rebuild over the survivors
     "hnsw_delete_delta" ->
       hnswEdgesOracle(m = 16, maxLevel = 8, corpusWhere = "em.vec_id % 10 <> 0"),

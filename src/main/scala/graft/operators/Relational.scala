@@ -116,6 +116,23 @@ object Relational {
   }
 
   /** Window: top-3 orders by totalprice per customer. */
+  /** Distribution-rank windows — `percent_rank` and `cume_dist`, the
+    * last two standard window functions the suite didn't exercise:
+    * each order placed within its priority class by relative price
+    * position. Both are rational ((rank−1)/(n−1), count≤/n — single
+    * integer divisions), so the doubles hash-match the oracle. Ties
+    * on price are REAL here (both functions are tie-sensitive by
+    * definition); the declared sort tie-breaks on the key so row
+    * order is still deterministic. */
+  def orderRankDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def customerTopOrders(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val o = Tables.orders(s, d)
     val w = Window.partitionBy("o_custkey")
@@ -243,6 +260,7 @@ object Relational {
     "top_revenue_orders"  -> ((s, d) => topRevenueOrders(s, d)),
     "revenue_per_nation"  -> ((s, d) => revenuePerNation(s, d)),
     "customer_top_orders" -> ((s, d) => customerTopOrders(s, d)),
+    "order_rank_dist"     -> ((s, d) => orderRankDist(s, d)),
     "customers_no_orders" -> ((s, d) => customersNoOrders(s, d)),
     "orders_rollup"       -> ((s, d) => ordersRollup(s, d)),
     "orders_cube"         -> ((s, d) => ordersCube(s, d)),
@@ -315,6 +333,11 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "order_rank_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pr,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "customer_top_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -361,6 +361,68 @@ object Ann {
       .orderBy(col("level"), col("src"), col("rnk"))
   }
 
+  /** APPROXIMATE all-level index build — the `ef_construction`-shaped
+    * quality-parameterized build path the reference stores a knob for
+    * but never uses (`src/hnsw.zig:49,59` keeps `ef_construction` dead
+    * — SURVEY §2.2.1). [[hnswEdges]] is an EXACT m-NN graph via the
+    * block self-join — O(n²/blocks), the one lifecycle stage that
+    * cannot survive a 100× corpus. This variant builds the same
+    * (level, src, dst, dist, rnk) table from LSH candidate buckets
+    * instead: a node's neighbor list is the top-m of the candidates
+    * that share ≥1 (projection, bucket±probe) key with it — the
+    * banded-equi-join machinery of [[neardupLsh]] pointed at graph
+    * construction, so the shuffle is candidate-pair-sized and the
+    * quadratic block scan disappears entirely.
+    *
+    * Quality knobs (the ef_construction analog): more projections,
+    * wider buckets, or more multiprobe offsets → more candidates →
+    * higher edge recall, linearly more work — never O(n²). At the
+    * defaults, edge recall vs the exact [[hnswEdges]] is ≥0.95 at both
+    * tested scales (pinned in AnnSpec). On this near-uniform synthetic
+    * fixture the buckets are dense, so candidate counts sit near n²;
+    * on clustered real corpora the same construction prunes
+    * aggressively — the structural claim (no all-pairs stage, shuffle
+    * bounded by actual collisions) is what scales, and the knobs trade
+    * recall for collision volume explicitly.
+    *
+    * Everything is deterministic (md5-derived projections, integer
+    * bucket ids), so the DuckDB oracle rebuilds the identical
+    * candidate set and the gate hash-compares the full output. */
+  def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
+      nProj: Int = 8, w: Double = 0.1, probe: Int = 1): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("level", expr(levelExpr))
+      .select(col("vec_id"), col("embedding"), col("level"))
+    val b = bucketsRaw(s, d, nProj, w).cache()
+    // multiprobe: the dst side answers for bucket−probe..bucket+probe,
+    // so a candidate pair needs |bucket_l − bucket_r| ≤ probe on some
+    // shared projection — the standard recall patch for points landing
+    // just across a bucket boundary, still an equi-join after explode
+    val probed = b.select(col("vec_id"), col("proj_id"),
+      explode(sequence(col("bucket") - probe, col("bucket") + probe)).as("bucket"))
+    val cand = b.as("l").join(probed.as("r"),
+        col("l.proj_id") === col("r.proj_id") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"))
+      .distinct()
+    // exact distances on candidates only; an edge candidate serves
+    // levels 0..min(levels) exactly as in the exact builder
+    val scored = cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("sv"),
+        col("level").as("slvl")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("dv"),
+        col("level").as("dlvl")), "dst")
+      .select(col("src"), col("dst"),
+        squaredL2(col("sv"), col("dv")).as("dist"),
+        least(col("slvl"), col("dlvl"), lit(MaxLevel)).as("minl"))
+    val exploded = scored.select(
+      explode(sequence(lit(0), col("minl"))).as("level"),
+      col("src"), col("dst"), col("dist"))
+    pruneLevelEdges(exploded, m)
+      .orderBy(col("level"), col("src"), col("rnk"))
+  }
+
   /** Deterministic on-storage location of a persisted index for
     * fixture dir `d` (keyed by dir + m + variant + layout version, so
     * distinct fixtures or parameterizations never collide). */
@@ -1188,6 +1250,7 @@ object Ann {
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "hnsw_levels" -> ((s, d) => hnswLevels(s, d)),
     "hnsw_edges"  -> ((s, d) => hnswEdges(s, d)),
+    "hnsw_edges_approx" -> ((s, d) => hnswEdgesApprox(s, d)),
     "hnsw_insert_delta" -> ((s, d) => hnswInsertDelta(s, d)),
     "hnsw_delete_delta" -> ((s, d) => hnswDeleteDelta(s, d)),
     "index_stats" -> ((s, d) => indexStats(s, d)),
@@ -1234,6 +1297,38 @@ object Ann {
     s"$header,\n${perLevel.mkString(",\n")}\n" +
       s"SELECT level, src, dst, dist, rnk FROM ($union) ORDER BY level, src, rnk"
   }
+
+  /** Oracle for [[hnswEdgesApprox]], mirroring the operator statement
+    * for statement: the bucket CTE is the (hash-green) `lsh_buckets`
+    * SQL, the candidate set is the multiprobe banded self-join, and
+    * the per-level prune is [[hnswEdgesOracle]]'s window — only the
+    * candidate generator differs from the exact build's O(n²) join. */
+  private def hnswEdgesApproxOracle(m: Int, maxLevel: Int,
+                                    nProj: Int, probe: Int): String =
+    s"""WITH h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
+       |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
+       |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h),
+       |e AS MATERIALIZED (SELECT em.vec_id, list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v, lv.level
+       |      FROM embeddings em JOIN lv ON lv.vec_id = em.vec_id),
+       |pb AS MATERIALIZED (SELECT vec_id, p AS proj_id,
+       |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
+       |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
+       |  FROM e, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p)),
+       |cand AS (SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst
+       |         FROM pb l JOIN (SELECT vec_id, proj_id, bucket + o AS bucket
+       |                         FROM pb, (SELECT unnest(generate_series(-$probe, $probe)) AS o)) r
+       |           ON l.proj_id = r.proj_id AND l.bucket = r.bucket
+       |             AND l.vec_id <> r.vec_id),
+       |dd AS (SELECT least(a.level, b.level, $maxLevel) AS minl, c.src, c.dst,
+       |              ${duckSq.format("a.v", "b.v")} AS dist
+       |       FROM cand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst),
+       |x AS (SELECT t.l AS level, src, dst, dist
+       |      FROM dd, unnest(generate_series(0, minl)) AS t(l))
+       |SELECT level, src, dst, dist, rnk FROM (
+       |  SELECT level, src, dst, dist,
+       |    row_number() OVER (PARTITION BY level, src ORDER BY dist, dst) AS rnk
+       |  FROM x) WHERE rnk <= $m
+       |ORDER BY level, src, rnk""".stripMargin
 
   /** Unrolled oracle for [[annGraphSearch]] — the graph build is
     * `knn_graph`'s oracle SQL and each beam round is one
@@ -1336,6 +1431,8 @@ object Ann {
 
   private lazy val baseOracles: Map[String, String] = Map(
     "hnsw_edges" -> hnswEdgesOracle(m = 16, maxLevel = 8),
+    "hnsw_edges_approx" ->
+      hnswEdgesApproxOracle(m = 16, maxLevel = 8, nProj = 8, probe = 1),
     "hnsw_search" -> hnswSearchOracle(
       nq = 10, k = 10, beam = 16, rounds = 3, m = 16, maxLevel = 8),
     // incremental insert must equal a full rebuild — same oracle SQL

@@ -333,4 +333,17 @@ class AnnSpec extends AnyFunSuite {
     val perSrc = edges.groupBy("level", "src").count().agg(max("count")).head().getLong(0)
     assert(perSrc <= 8)
   }
+
+  test("hnsw_edges_approx: LSH-bucketed build reaches >=0.9 edge recall vs exact") {
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("level", "src", "dst").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val ex = key(Ann.hnswEdges(spark, d))
+    val ap = key(Ann.hnswEdgesApprox(spark, d))
+    assert(ex.nonEmpty)
+    val rec = ap.intersect(ex).size.toDouble / ex.size
+    info(f"approx-build edge recall vs exact = $rec%.4f " +
+      f"(${ap.size} approx edges, ${ex.size} exact)")
+    assert(rec >= 0.9, f"approximate build edge recall too low: $rec%.4f")
+  }
 }

@@ -801,10 +801,18 @@ object Ann {
     * never transits the driver. Descent rounds are a fixed small
     * count, so the whole search is a bounded chain of broadcast joins
     * that holds at any corpus size. */
-  private[operators] def hnswSearchRaw(
+  /** The hierarchical walk shared by [[hnswSearch]] (top-k of the
+    * final pool) and [[hnswSearchFiltered]] (top-k of the VISITED set
+    * under a metadata predicate): returns the final beam pool plus
+    * every scored frontier expansion (seed, one per descent level, one
+    * per beam round) — the walk's visited set, each piece query-sized.
+    * Collecting the pieces adds no work to the unfiltered path: they
+    * are the `scored` DataFrames the recurrence builds anyway, and
+    * nothing materializes unless a caller unions them. */
+  private def hnswWalk(
       s: SparkSession, d: String,
-      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
-      m: Int = 16, truncateLineage: Boolean = true): DataFrame = {
+      nq: Int, beam: Int, rounds: Int,
+      m: Int, truncateLineage: Boolean): (DataFrame, Seq[DataFrame]) = {
     // LAZY checkpoint EVERY round is load-bearing, on both axes: the
     // pool feeds two downstream references per round (frontier +
     // union), so an un-truncated plan both re-executes each prior
@@ -845,6 +853,7 @@ object Ann {
     var cur = cp(q.crossJoin(broadcast(entry))
       .select(col("query_id"), col("vec_id"),
         squaredL2(col("embedding"), col("qv")).as("dist"), col("qv")))
+    var visited = List(cur.select(col("query_id"), col("vec_id"), col("dist")))
     // greedy descent, one argmin step per level. The oracle unrolls
     // from the static MaxLevel; the engine starts at the top OCCUPIED
     // edge level instead: an edge at level l needs TWO endpoints with
@@ -865,6 +874,7 @@ object Ann {
           col("query_id"), col("vec_id").as("src"), col("qv"))), "src")
         .select(col("query_id"), col("dst").as("vec_id"),
           squaredL2(col("dv"), col("qv")).as("dist"), col("qv"))
+      visited ::= scored.select(col("query_id"), col("vec_id"), col("dist"))
       // argmin as a hash aggregate (map-side partials), not a window:
       // min(struct(dist, vec_id)) IS the (dist, id) total order of the
       // reference's CandidateNode heap — same row survives, no
@@ -887,6 +897,7 @@ object Ann {
           col("query_id"), col("vec_id").as("src"), col("qv"))), "src")
         .select(col("query_id"), col("dst").as("vec_id"),
           squaredL2(col("dv"), col("qv")).as("dist"), col("qv"))
+      visited ::= scored.select(col("query_id"), col("vec_id"), col("dist"))
       pool = cp(pool.unionByName(scored)
         .groupBy(col("query_id"), col("vec_id"))
         // qv is constant per query_id, so first() is value-deterministic
@@ -895,6 +906,15 @@ object Ann {
         .drop("rn"))
       r += 1
     }
+    (pool, visited.reverse)
+  }
+
+  private[operators] def hnswSearchRaw(
+      s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
+      m: Int = 16, truncateLineage: Boolean = true): DataFrame = {
+    val (pool, _) = hnswWalk(s, d, nq, beam, rounds, m, truncateLineage)
+    val w1 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     pool
       .withColumn("rnk", row_number().over(w1)).filter(col("rnk") <= k)
       .drop("qv")
@@ -905,6 +925,53 @@ object Ann {
       nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
       m: Int = 16, truncateLineage: Boolean = true): DataFrame =
     hnswSearchRaw(s, d, nq, k, beam, rounds, m, truncateLineage)
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** FILTERED approximate search — the metadata-constrained serving
+    * query composed into the hierarchical walk ([[Knn.knnFiltered]] is
+    * the exact form; this is the approximate cell of the vector-DB
+    * feature matrix the exact form's docstring flags as the one graph
+    * indexes struggle with). Semantics, mirrored by the oracle:
+    *
+    *   - NAVIGATION IS UNFILTERED: the descent + beam recurrence walks
+    *     the same graph as [[hnswSearch]] — excluded nodes still route
+    *     (the standard fix for filtered HNSW: a walk constrained to
+    *     matching nodes fragments and strands);
+    *   - the result is the top-k BY (dist, id) of the walk's VISITED
+    *     set (every node the walk ever scored — strictly more than the
+    *     final pool) restricted to the predicate (`label % 2 = 0`,
+    *     [[Knn.knnFiltered]]'s stand-in metadata constraint);
+    *   - the beam is over-expanded (32 vs the unfiltered 16) and one
+    *     extra round run, compensating for the ~half of visited nodes
+    *     the predicate discards — recall vs the filtered-exact oracle
+    *     ≥0.9, pinned in AnnSpec.
+    *
+    * Same physics as [[hnswSearch]]: the corpus never shuffles; the
+    * visited set is query-sized (≤ nq·beam·m·rounds rows before
+    * dedup), broadcast against the stationary label projection for the
+    * predicate join. */
+  private[operators] def hnswSearchFilteredRaw(
+      s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, beam: Int = 32, rounds: Int = 4,
+      m: Int = 16, truncateLineage: Boolean = true): DataFrame = {
+    val (_, visited) = hnswWalk(s, d, nq, beam, rounds, m, truncateLineage)
+    val vis = visited.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(min(col("dist")).as("dist"))
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val w1 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    lbl.join(broadcast(vis), "vec_id")
+      .filter(col("label") % 2 === 0)
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .withColumn("rnk", row_number().over(w1))
+      .filter(col("rnk") <= k)
+  }
+
+  def hnswSearchFiltered(
+      s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, beam: Int = 32, rounds: Int = 4,
+      m: Int = 16, truncateLineage: Boolean = true): DataFrame =
+    hnswSearchFilteredRaw(s, d, nq, k, beam, rounds, m, truncateLineage)
       .orderBy(col("query_id"), col("rnk"))
 
   /** SQ8 scalar quantization: each dimension linearly mapped to an
@@ -1256,6 +1323,7 @@ object Ann {
     "index_stats" -> ((s, d) => indexStats(s, d)),
     "hnsw_upsert_roundtrip" -> ((s, d) => hnswUpsertRoundtrip(s, d)),
     "hnsw_search" -> ((s, d) => hnswSearch(s, d)),
+    "hnsw_search_filtered" -> ((s, d) => hnswSearchFiltered(s, d)),
     "sq8_codes"   -> ((s, d) => sq8Codes(s, d)),
     "ann_sq8"     -> ((s, d) => annSq8(s, d)),
     "bq_codes"    -> ((s, d) => bqCodes(s, d)),
@@ -1371,7 +1439,8 @@ object Ann {
     * [[graphSearchOracle]]'s recurrence — statement for statement the
     * operator's plan. */
   private def hnswSearchOracle(
-      nq: Int, k: Int, beam: Int, rounds: Int, m: Int, maxLevel: Int): String = {
+      nq: Int, k: Int, beam: Int, rounds: Int, m: Int, maxLevel: Int,
+      filteredEven: Boolean = false): String = {
     // `e` is referenced ~3·maxLevel times below; without MATERIALIZED
     // DuckDB inlines the CTE per reference and re-opens the parquet
     // each time — at 30+ references that exhausts the fd limit (and
@@ -1381,7 +1450,7 @@ object Ann {
       s"""WITH h AS MATERIALIZED (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
          |lv AS MATERIALIZED (SELECT vec_id, least(31, CAST(len(regexp_extract(
          |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h),
-         |e AS MATERIALIZED (SELECT em.vec_id, list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v, lv.level
+         |e AS MATERIALIZED (SELECT em.vec_id, em.label, list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v, lv.level
          |      FROM embeddings em JOIN lv ON lv.vec_id = em.vec_id)""".stripMargin
     val perLevel = (0 to maxLevel).map { l =>
       s"""d$l AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${duckSq.format("a.v", "b.v")} AS dist
@@ -1421,12 +1490,30 @@ object Ann {
          |          row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
          |        FROM u$r) WHERE rn <= $beam)""".stripMargin
     }
+    val finalSel =
+      if (!filteredEven)
+        s"""SELECT query_id, vec_id, dist, rnk FROM (
+           |  SELECT query_id, vec_id, dist,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk
+           |  FROM p$rounds) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+      else {
+        // visited set: the seed is inside x_maxLevel; every descent
+        // expansion is inside its x_l; every beam expansion inside its
+        // b_r — the union is exactly the set the engine walk scores
+        val parts =
+          (maxLevel to 1 by -1).map(l => s"SELECT query_id, vec_id, dist FROM x$l") ++
+            (1 to rounds).map(r => s"SELECT query_id, vec_id, dist FROM b$r")
+        s"""vis AS (SELECT query_id, vec_id, min(dist) AS dist FROM (
+           |  ${parts.mkString(" UNION ALL ")}) GROUP BY 1, 2)
+           |SELECT query_id, vec_id, dist, rnk FROM (
+           |  SELECT v.query_id, v.vec_id, v.dist,
+           |    row_number() OVER (PARTITION BY v.query_id ORDER BY v.dist, v.vec_id) AS rnk
+           |  FROM vis v JOIN e ON e.vec_id = v.vec_id
+           |  WHERE e.label % 2 = 0) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+      }
     s"$header,\n${perLevel.mkString(",\n")},\n$seed,\n" +
-      s"${descent.mkString(",\n")},\n${beamRounds.mkString(",\n")}\n" +
-      s"""SELECT query_id, vec_id, dist, rnk FROM (
-         |  SELECT query_id, vec_id, dist,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk
-         |  FROM p$rounds) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+      s"${descent.mkString(",\n")},\n${beamRounds.mkString(",\n")}" +
+      (if (filteredEven) ",\n" else "\n") + finalSel
   }
 
   private lazy val baseOracles: Map[String, String] = Map(
@@ -1435,6 +1522,9 @@ object Ann {
       hnswEdgesApproxOracle(m = 16, maxLevel = 8, nProj = 8, probe = 1),
     "hnsw_search" -> hnswSearchOracle(
       nq = 10, k = 10, beam = 16, rounds = 3, m = 16, maxLevel = 8),
+    "hnsw_search_filtered" -> hnswSearchOracle(
+      nq = 10, k = 10, beam = 32, rounds = 4, m = 16, maxLevel = 8,
+      filteredEven = true),
     // incremental insert must equal a full rebuild — same oracle SQL
     "hnsw_insert_delta" -> hnswEdgesOracle(m = 16, maxLevel = 8),
     // delete-then-reinsert must equal the untouched full rebuild

@@ -334,6 +334,23 @@ class AnnSpec extends AnyFunSuite {
     assert(perSrc <= 8)
   }
 
+  test("hnsw_search_filtered: approx filtered search >=0.9 recall vs filtered exact") {
+    val exactF = Knn.knnFiltered(spark, d).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exactF.nonEmpty)
+    val approx = Ann.hnswSearchFiltered(spark, d).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every returned row satisfies the predicate
+    val evenIds = Tables.embeddings(spark, d)
+      .filter(col("label") % 2 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.forall(p => evenIds.contains(p._2)),
+      "filtered search returned a row violating the predicate")
+    val rec = recallAtK(approx, exactF)
+    info(f"filtered hnsw recall@10 (beam=32, 4 rounds, visited-set) = $rec%.3f")
+    assert(rec >= 0.9, f"filtered search recall too low: $rec%.3f")
+  }
+
   test("hnsw_edges_approx: LSH-bucketed build reaches >=0.9 edge recall vs exact") {
     val key = (df: org.apache.spark.sql.DataFrame) =>
       df.select("level", "src", "dst").collect()

@@ -563,6 +563,76 @@ object TextOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** HYBRID search with a BM25 text arm — [[hybridRrf]]'s production
+    * sibling: the lexical arm ranks by Okapi BM25 (k1=1.5, b=0.75)
+    * instead of raw token overlap, and the two arms fuse by the same
+    * reciprocal-rank formula. The classical BM25 idf is
+    * `ln((N−df+0.5)/(df+0.5))` — a transcendental that would make the
+    * score non-oracle-able; since `ln` is monotone, ranking by the
+    * RATIONAL idf `(N−df+0.5)/(df+0.5)` composed with the (already
+    * rational) tf saturation preserves BM25's df-discounting exactly
+    * where it matters for retrieval — the induced order per term — and
+    * keeps every arithmetic step an IEEE-exact-rounded op both engines
+    * compute bit-identically:
+    *
+    *   idf(t)      = (2(N−df)+1)/(2df+1)   — ×2/×2 cancels exactly
+    *   sat(tf,dl)  = (5tf/2) / (tf + (0.375 + 1.125·(dl·N/tot)))
+    *                 — k1=1.5, b=0.75 folded to exact-binary constants
+    *   score(q,doc)= Σ_t idf·sat, summed as a SORTED-BY-TERM
+    *                 left fold (collect_list → sort_array → aggregate),
+    *                 because a cross-row SUM of doubles is
+    *                 order-nondeterministic but a per-group ordered
+    *                 fold is bitwise-reproducible (the SQ8 pattern).
+    *
+    * Shape: corpus tokenization → one (doc, term, tf) shuffle; query
+    * terms and their df ride broadcasts; candidates are docs sharing
+    * ≥1 query term (term equi-join — never all docs × queries); the
+    * fold is one aggregation keyed (query, doc). The vector arm and
+    * fusion are [[hybridRrf]]'s verbatim. */
+  def hybridBm25(s: SparkSession, d: String, nq: Int = 10, k: Int = 10,
+                 cTop: Int = 30, c0: Int = 60): DataFrame = {
+    val e = graft.Tables.embeddings(s, d)
+    val vecRanks = graft.plans.KnnJoin.exact(e, e.filter(col("vec_id") < nq), cTop)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("rv"))
+    val tk = toks(s, d).select(col("doc_id"), col("toks"))
+    val st = tk.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .cache() // feeds query terms, df, and the candidate join
+    val dl = tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val ns = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val qt = st.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val dfq = st.join(broadcast(qt.select(col("term")).distinct()), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val cand = broadcast(qt).join(st, "term")
+      .join(dl, "doc_id")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(ns))
+    val idf = (lit(2L) * (col("n") - col("df")) + lit(1L)).cast("double") /
+      (lit(2L) * col("df") + lit(1L)).cast("double")
+    val ratio = (col("dl") * col("n")).cast("double") / col("tot").cast("double")
+    val denom = col("tf").cast("double") + (lit(0.375) + lit(1.125) * ratio)
+    val contrib = idf * (((col("tf") * lit(5L)).cast("double") / lit(2.0)) / denom)
+    val sc = cand
+      .select(col("query_id"), col("doc_id"), col("term"), contrib.as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term").as("t"), col("c")))).as("cl"))
+      .withColumn("score", expr("aggregate(cl, CAST(0 AS DOUBLE), (acc, x) -> acc + x.c)"))
+    val wT = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    val textRanks = sc
+      .withColumn("rt", row_number().over(wT))
+      .filter(col("rt") <= cTop)
+      .select(col("query_id"), col("doc_id"), col("rt"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    vecRanks.join(textRanks, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(c0) + col("rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c0) + col("rt")), lit(0.0))).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------- langid
 
   /** Character-trigram language ID: per-lang top-20 trigram profiles
@@ -628,7 +698,8 @@ object TextOps {
     "text_scrub"        -> ((s, d) => textScrub(s, d)),
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "contamination_scan" -> ((s, d) => contaminationScan(s, d)),
-    "hybrid_rrf"        -> ((s, d) => hybridRrf(s, d))
+    "hybrid_rrf"        -> ((s, d) => hybridRrf(s, d)),
+    "hybrid_bm25"       -> ((s, d) => hybridBm25(s, d))
   )
 
   private val duckShingles =
@@ -710,6 +781,56 @@ object TextOps {
          |tr AS (SELECT query_id, doc_id, rt FROM (
          |        SELECT query_id, doc_id,
          |          row_number() OVER (PARTITION BY query_id ORDER BY ov DESC, doc_id) AS rt FROM ov)
+         |       WHERE rt <= 30),
+         |f AS (SELECT coalesce(vr.query_id, tr.query_id) AS query_id,
+         |             coalesce(vr.doc_id, tr.doc_id) AS doc_id,
+         |             coalesce(CAST(1 AS DOUBLE)/(60 + vr.rv), CAST(0 AS DOUBLE))
+         |               + coalesce(CAST(1 AS DOUBLE)/(60 + tr.rt), CAST(0 AS DOUBLE)) AS score
+         |      FROM vr FULL OUTER JOIN tr
+         |        ON tr.query_id = vr.query_id AND tr.doc_id = vr.doc_id)
+         |SELECT query_id, doc_id, score, rnk FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM f)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // BM25 arm: rational idf (2(N-df)+1)/(2df+1), tf saturation with
+    // k1=1.5/b=0.75 as exact-binary constants, per-(query,doc) score
+    // as a sorted-by-term list_sum (the ordered-fold parity pattern);
+    // vector arm + RRF fusion identical to hybrid_rrf. All literals
+    // CAST to DOUBLE (bare decimals parse as DECIMAL in DuckDB).
+    "hybrid_bm25" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |dd AS (SELECT q.query_id, e.vec_id,
+         |         list_sum(list_transform(list_zip(e.v, q.qv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+         |       FROM e, q),
+         |vr AS (SELECT query_id, vec_id AS doc_id, rnk AS rv FROM (
+         |        SELECT query_id, vec_id, dist,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM dd)
+         |       WHERE rnk <= 30),
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+         |st AS (SELECT doc_id, t AS term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS t FROM tk) GROUP BY 1, 2),
+         |ns AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |qt AS (SELECT doc_id AS query_id, term FROM st WHERE doc_id < 10),
+         |dfq AS (SELECT st.term, count(*) AS df FROM st
+         |        JOIN (SELECT DISTINCT term FROM qt) x ON x.term = st.term
+         |        GROUP BY st.term),
+         |cb AS (SELECT qt.query_id, st.doc_id, st.term,
+         |         (CAST(2*(ns.n - dfq.df) + 1 AS DOUBLE) / CAST(2*dfq.df + 1 AS DOUBLE))
+         |         * ((CAST(5*st.tf AS DOUBLE) / CAST(2 AS DOUBLE))
+         |            / (CAST(st.tf AS DOUBLE)
+         |               + (CAST(0.375 AS DOUBLE)
+         |                  + CAST(1.125 AS DOUBLE) * (CAST(dl.dl*ns.n AS DOUBLE) / CAST(ns.tot AS DOUBLE))))) AS c
+         |       FROM qt JOIN st ON st.term = qt.term
+         |         JOIN dl ON dl.doc_id = st.doc_id
+         |         JOIN dfq ON dfq.term = qt.term, ns),
+         |sc AS (SELECT query_id, doc_id,
+         |         list_sum(list_transform(list_sort(list({'t': term, 'c': c})), s -> s.c)) AS score
+         |       FROM cb GROUP BY 1, 2),
+         |tr AS (SELECT query_id, doc_id, rt FROM (
+         |        SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rt FROM sc)
          |       WHERE rt <= 30),
          |f AS (SELECT coalesce(vr.query_id, tr.query_id) AS query_id,
          |             coalesce(vr.doc_id, tr.doc_id) AS doc_id,

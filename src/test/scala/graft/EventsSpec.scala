@@ -102,27 +102,6 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
-  test("simhash_neardup (hd<=8/48, test-only variant) ≡ brute-force hamming join") {
-    // the tight-radius 9-band form is no longer gate-declared (its
-    // 5-6-bit band buckets are a scale hazard — simhash64_neardup is
-    // the declared production form); this parity check keeps it
-    // correct: banded candidates + verification must equal the full
-    // quadratic hamming join over the declared (green) fingerprints
-    val dd = "/root/testdata/sf0.01"
-    val fps = TextOps.docFingerprint(spark, dd)
-      .select(col("doc_id"), col("sim48"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val brute = (for {
-      (a, fa) <- fps; (b, fb) <- fps
-      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 8
-    } yield (a, b, java.lang.Long.bitCount(fa ^ fb).toLong)).sortBy(p => (p._1, p._2))
-    val banded = TextOps.simhashNearDup(spark, dd)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
-    assert(banded.toSeq == brute.toSeq,
-      s"banded ${banded.length} pairs != brute ${brute.length}")
-    assert(brute.nonEmpty, "fixture has no hd<=8 pairs; test is vacuous")
-  }
-
   test("tfidf_topk: ranks are dense per doc and scores non-increasing") {
     val rows = TextOps.tfidfTopk(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),

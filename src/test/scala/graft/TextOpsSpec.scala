@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** Behavioral cross-checks for the text operators: banded plans proven
+  * equal to their quadratic reference forms, and the hybrid-retrieval
+  * fusion's determinism contract. */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("textops-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val d = "/root/testdata/sf0.001"
+
+  test("simhash_neardup (hd<=8/48, test-only variant) ≡ brute-force hamming join") {
+    // the tight-radius 9-band form is no longer gate-declared (its
+    // 5-6-bit band buckets are a scale hazard — simhash64_neardup is
+    // the declared production form); this parity check keeps it
+    // correct: banded candidates + verification must equal the full
+    // quadratic hamming join over the declared (green) fingerprints
+    val dd = "/root/testdata/sf0.01"
+    val fps = TextOps.docFingerprint(spark, dd)
+      .select(col("doc_id"), col("sim48"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 8
+    } yield (a, b, java.lang.Long.bitCount(fa ^ fb).toLong)).sortBy(p => (p._1, p._2))
+    // non-vacuity FIRST: an empty brute set would make the equality
+    // below pass trivially and hide a broken fixture
+    assert(brute.nonEmpty, "fixture has no hd<=8 pairs; test is vacuous")
+    val banded = TextOps.simhashNearDup(spark, dd)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(banded.toSeq == brute.toSeq,
+      s"banded ${banded.length} pairs != brute ${brute.length}")
+  }
+
+  test("hybrid fusion tie policy: rrf and bm25 variants break equal fused scores identically") {
+    // RRF scores are sums of two reciprocals, so cross-doc ties are
+    // structural (swapping arm ranks preserves the sum); both hybrid
+    // variants must resolve them by doc_id ascending — the fusion
+    // contract that keeps either arm swappable without reordering
+    // untied results
+    def tiesOrdered(df: org.apache.spark.sql.DataFrame): Int = {
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      var ties = 0
+      rows.groupBy(_._1).foreach { case (_, rs) =>
+        val byRnk = rs.sortBy(_._4)
+        byRnk.sliding(2).foreach {
+          case Array((_, d1, s1, r1), (_, d2, s2, r2)) =>
+            assert(r2 == r1 + 1)
+            if (s1 == s2) { ties += 1; assert(d1 < d2,
+              s"tied score $s1: doc $d1 (rnk $r1) should precede $d2 only if smaller") }
+            else assert(s1 > s2, "scores must be non-increasing in rank")
+          case _ => ()
+        }
+      }
+      ties
+    }
+    val tRrf = tiesOrdered(TextOps.hybridRrf(spark, d))
+    val tBm = tiesOrdered(TextOps.hybridBm25(spark, d))
+    info(s"adjacent fused-score ties: rrf=$tRrf bm25=$tBm")
+    assert(tRrf > 0, "no ties in hybrid_rrf output; tie test is vacuous")
+    assert(tBm > 0, "no ties in hybrid_bm25 output; tie test is vacuous")
+  }
+
+  test("bm25 arm: a query document ranks itself first in its own hybrid result") {
+    // tf-saturated self-match dominates: doc q shares every term with
+    // itself and the vector arm scores dist 0 — the fused top-1 must
+    // be the query doc itself (both arms rank it 1, the max fused
+    // score 2/(c0+1) is unique)
+    val top1 = TextOps.hybridBm25(spark, d)
+      .filter(col("rnk") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.nonEmpty)
+    top1.foreach { case (q, doc) => assert(q == doc, s"query $q top-1 is $doc") }
+  }
+}

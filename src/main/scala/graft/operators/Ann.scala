@@ -589,6 +589,48 @@ object Ann {
       .orderBy(col("level"), col("src"), col("rnk"))
   }
 
+  /** Fold ONE arrival batch into a maintained index — the micro-batch
+    * unit of the streaming index-maintenance lifecycle
+    * ([[graft.streaming.StreamingOps.IndexMaintainer]] drives it from
+    * `foreachBatch`): `current` is the stored (level, src, dst, dist)
+    * edge table covering some node set S (its level-0 srcs), and the
+    * batch inserts the fixture nodes in `batchIds` = Δ. Identical math
+    * to [[hnswInsertDelta]] — one symmetric O(|Δ|·|S∪Δ|) blocked pass
+    * (Δ lists ranged over S∪Δ; S-side repair candidates), one window
+    * prune over stored ∪ partials — so folding is associative: any
+    * micro-batch partition of the same arrivals yields the same index
+    * (batch-boundary invariance, pinned in StreamingSpec).
+    *
+    * Precondition: each id arrives at most once across batches and is
+    * not already in S — re-inserting a covered src would duplicate its
+    * stored rows under the prune window. An at-least-once feed gets
+    * this by composing the streaming-dedup pattern upstream
+    * (`dropDuplicates("vec_id")` — exactly what [[graft.streaming
+    * .StreamingOps.IndexMaintainer]]'s contract requires). */
+  def hnswFoldBatch(s: SparkSession, d: String, current: DataFrame,
+                    batchIds: Set[Long], m: Int = 16): DataFrame = {
+    import s.implicits._
+    val stored = current.select(col("level"), col("src"), col("dst"), col("dist"))
+    if (batchIds.isEmpty) return stored
+    val bset = batchIds
+    val nodes = levelNodes(s, d)
+    // covered = level-0 srcs of the stored table (every covered node
+    // has a level-0 list), plus this batch — membership resolved by
+    // join, never a corpus collect
+    val coveredIds = stored.filter(col("level") === 0)
+      .select(col("src").as("id")).distinct()
+      .unionByName(bset.toSeq.toDF("id"))
+      .distinct()
+    val all = nodes.toDF("id", "vec", "lvl")
+      .join(coveredIds, "id")
+      .as[(Long, Array[Double], Int)]
+    val delta = nodes.filter(n => bset(n._1))
+    val sym = levelEdgePartialsSym(
+      s, all, delta, id => !bset(id), m, MaxLevel, EdgeBlocks, dBlocks = 1)
+    pruneLevelEdges(stored.unionByName(sym), m)
+      .select(col("level"), col("src"), col("dst"), col("dist"))
+  }
+
   /** The CRUD cycle composed — delete a slice, then insert it back,
     * against the same persisted index: [[hnswDeleteDelta]]'s repaired
     * survivor index is the stored structure an insert batch then

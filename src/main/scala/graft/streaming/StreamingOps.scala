@@ -283,6 +283,44 @@ object StreamingOps {
     s.table(name).orderBy(col("content_hash"))
   }
 
+  /** STREAMING INDEX MAINTENANCE — the batch/streaming symmetry of the
+    * vector-index lifecycle: arrivals from a stream fold into the
+    * persisted HNSW edge table via [[graft.operators.Ann.hnswFoldBatch]]
+    * (the O(Δ·n) insert-delta math), one fold per micro-batch, with
+    * the streaming-dedup pattern composed upstream so an at-least-once
+    * feed still satisfies the fold's exactly-once precondition.
+    *
+    * Usage (the StreamingSpec contract):
+    * {{{
+    *   val maint = new IndexMaintainer(s, d, Ann.ensureBaseIndex(s, d))
+    *   arrivals                       // streaming DF with vec_id
+    *     .dropDuplicates("vec_id")    // bounded-state dedup gate
+    *     .writeStream.foreachBatch(maint.fold _).start()
+    *   ...; maint.current             // the maintained index
+    * }}}
+    *
+    * Each fold eagerly checkpoints the new index state, truncating
+    * lineage so batch N+1 plans against a materialized table, not the
+    * whole fold history — the same bounded-plan discipline as the
+    * search recurrences. Because the fold is associative (insert-delta
+    * ≡ rebuild, proven by the hash gate), the final index is invariant
+    * to micro-batch boundaries — pinned in StreamingSpec by running
+    * the same arrivals as one batch and as three. */
+  final class IndexMaintainer(s: SparkSession, d: String,
+                              initial: DataFrame, m: Int = 16) {
+    @volatile private var state: DataFrame =
+      initial.select(col("level"), col("src"), col("dst"), col("dist"))
+        .localCheckpoint()
+    def fold(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long): Unit = {
+      val ids = batch.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      if (ids.nonEmpty)
+        state = graft.operators.Ann.hnswFoldBatch(s, d, state, ids, m)
+          .localCheckpoint()
+    }
+    def current: DataFrame = state
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_hourly"    -> ((s, d) => streamingHourly(s, d)),
     "streaming_sessionize" -> ((s, d) => streamingSessionizeQuery(s, d)),

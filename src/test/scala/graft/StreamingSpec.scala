@@ -193,6 +193,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey(docAHash) == 2, "old key re-emitted after its state expired")
     q.stop()
   }
+
+  test("streaming index maintenance: batch-boundary invariant, deduped, ≡ full rebuild") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val deltaIds = Tables.embeddings(spark, d)
+      .select("vec_id").collect().map(_.getLong(0)).filter(_ % 10 == 0).sorted
+    assert(deltaIds.length >= 9, "fixture delta slice unexpectedly small")
+    def run(batches: Seq[Seq[Long]]): Set[(Int, Long, Long, Double)] = {
+      val mem = MemoryStream[Long]
+      val maint = new StreamingOps.IndexMaintainer(
+        spark, d, operators.Ann.ensureBaseIndex(spark, d))
+      val q = mem.toDF().select(col("value").as("vec_id"))
+        .dropDuplicates("vec_id")
+        .writeStream
+        .foreachBatch(maint.fold _)
+        .start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      maint.current.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    }
+    val rebuild = operators.Ann.hnswEdges(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // one micro-batch vs three, plus a duplicate arrival the upstream
+    // dedup must swallow: every composition lands on the same index,
+    // and that index is bitwise the full rebuild
+    val oneShot = run(Seq(deltaIds.toSeq))
+    val (b1, rest) = deltaIds.splitAt(deltaIds.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val split = run(Seq(b1.toSeq, b2.toSeq :+ b1.head, b3.toSeq))
+    assert(oneShot == rebuild, "single-batch fold != full rebuild")
+    assert(split == rebuild, "3-batch fold (with dup arrival) != full rebuild")
+  }
 }
 
 /** Multimodal plumbing: schema, batching, determinism, ANN handoff. */
@@ -224,4 +259,5 @@ class MultimodalSpec extends AnyFunSuite {
     // self is always rank 1 at distance 0
     assert(res.filter(_.getInt(3) == 1).forall(r => r.getLong(0) == r.getLong(1)))
   }
+
 }

@@ -68,17 +68,24 @@ object Bench {
 
     // The reference's DEFINED benchmark sweep (harness exists, results
     // unpublished — BASELINE.md): dims {128,512,768,1024} × k
-    // {10,25,50,100} at N=100k / Q=10k, one run per cell (the scaling
-    // TABLE is the deliverable; the headline 128/k=10 cell above keeps
-    // min-of-3 noise control). SPARK_GRAFT_SWEEP=0 skips.
+    // {10,25,50,100} at N=100k / Q=10k. EXPECTED ADDED RUNTIME: ~2-3
+    // minutes on a quiet 32-core host (16 cells; the 1024-dim/k=100
+    // cell alone searches 10k queries at ~900 q/s ≈ 11 s) — budget for
+    // it or set SPARK_GRAFT_SWEEP=0 to skip. SPARK_GRAFT_SWEEP_REPS=N
+    // takes min-of-N per cell (default 1 — the scaling TABLE is the
+    // deliverable; the headline 128/k=10 cell above keeps min-of-3
+    // noise control; use reps≥3 when chasing a single-cell outlier).
     val sweepJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") == "0") "[]"
       else {
+        val sweepReps = sys.env.getOrElse("SPARK_GRAFT_SWEEP_REPS", "1").toInt
         val cells = for {
           dim <- Seq(128, 512, 768, 1024)
           k <- Seq(10, 25, 50, 100)
         } yield {
-          val (b, sSec) = BaselineWorkload.run(spark, dim = dim, k = k)
+          val (b, sSec) = Seq.fill(sweepReps)(
+            BaselineWorkload.run(spark, dim = dim, k = k))
+            .minBy(r => r._1 + r._2)
           System.err.println(f"[sweep] dim=$dim%4d k=$k%3d build=$b%.3f s search=$sSec%.3f s")
           f"""{"dim":$dim,"k":$k,"build_sec":$b%.4f,"search_sec":$sSec%.4f,"insert_points_per_sec":${BaselineWorkload.N / b}%.1f,"search_queries_per_sec":${BaselineWorkload.Q / sSec}%.1f}"""
         }

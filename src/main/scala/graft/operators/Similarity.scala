@@ -227,10 +227,10 @@ object Similarity {
     * storage is hash-identical to retraining). `kmeans_iter` itself
     * stays the live loop — it IS the declared training operator. */
   def kmeansIterCentroids(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
-      s"/graft_base_index/v1-$key-kmeans$iters"
+    // one shared location scheme with the HNSW index variants
+    // (Ann.storePath) — keyed by dir + fixture content fingerprint, so
+    // a regenerated fixture never serves a stale codebook
+    val path = Ann.storePath(d, s"kmeans$iters")
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       kmeansLoop(s, d, iters)._2.write.mode("overwrite").parquet(path)
     }

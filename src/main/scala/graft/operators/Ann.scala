@@ -926,11 +926,15 @@ object Ann {
     if (topLevel < 1) return None
     // ~2× slack: a node of level L is an adjacency src in every layer
     // l0..min(L, topLevel), and node counts halve per level, so the
-    // full per-layer footprint is ≲ 2× the level-l0 census
+    // full per-layer footprint is ≲ 2× the level-l0 census. l0 = 0
+    // (the whole graph fits — serving-cache scale, ~32k nodes at the
+    // fixture Dim) collapses the ENTIRE search, beam rounds included,
+    // into the one walk job; at corpus scale cumFrom(0) overflows the
+    // budget and l0 lands on the geometrically-thin upper hierarchy.
     val bytesPerNode = 2L * (Dim * 8L + 2L * m * 16L)
     val cumFrom: Int => Long = l =>
       lvlCounts.collect { case (lv, c) if lv >= l => c }.sum
-    val l0 = (1 to topLevel).find(l => cumFrom(l) * bytesPerNode <= MaxUpperBytes)
+    val l0 = (0 to topLevel).find(l => cumFrom(l) * bytesPerNode <= MaxUpperBytes)
     l0.map { l0v =>
       val key = s"${System.identityHashCode(s)}|${storePath(d, s"m$m-fullv")}|$l0v|$topLevel"
       upperCache.computeIfAbsent(key, _ => {
@@ -955,11 +959,13 @@ object Ann {
   }
 
   /** Row emitted by the collapsed in-task descent: landing rows carry
-    * the query vector forward into the beam rounds; visited rows are
-    * the scored expansions (qv null — never read). */
+    * the query vector forward into the beam rounds (and, in the
+    * fully-collapsed l0=0 mode, the final beam pool with its 1-based
+    * rank); visited rows are the scored expansions (qv null — never
+    * read; rn 0 — never read). */
   private[operators] final case class WalkRow(
       query_id: Long, vec_id: Long, dist: Double,
-      qv: Array[Double], landing: Boolean)
+      qv: Array[Double], landing: Boolean, rn: Int)
 
   /** Input row of the collapsed descent (named fields so the encoder
     * binds to the q projection by column name). */
@@ -1043,19 +1049,20 @@ object Ann {
           it.flatMap { case WalkIn(qid, qv) =>
             val out = scala.collection.mutable.ArrayBuffer.empty[WalkRow]
             // seed: score the entry point (the join form's 1-row
-            // crossJoin seed), then one greedy argmin step per level
+            // crossJoin seed), then one greedy argmin step per level —
+            // down to level 1; level 0 is beam territory, never greedy
             var curId = ug.entryId
             var curDist = sqDistJvm(ug.vecs(curId), qv)
-            out += WalkRow(qid, curId, curDist, null, landing = false)
+            out += WalkRow(qid, curId, curDist, null, landing = false, rn = 0)
             var l = ug.topLevel
-            while (l >= ug.l0) {
+            while (l >= math.max(ug.l0, 1)) {
               val ns = ug.adj.getOrElse((l, curId), null)
               if (ns != null) {
                 var i = 0
                 while (i < ns.length) {
                   val id = ns(i)
                   val dd = sqDistJvm(ug.vecs(id), qv)
-                  out += WalkRow(qid, id, dd, null, landing = false)
+                  out += WalkRow(qid, id, dd, null, landing = false, rn = 0)
                   // the (dist, id) total order of min(struct(dist, id))
                   if (dd < curDist || (dd == curDist && id < curId)) {
                     curId = id; curDist = dd
@@ -1065,15 +1072,59 @@ object Ann {
               }
               l -= 1
             }
-            out += WalkRow(qid, curId, curDist, qv, landing = true)
+            if (ug.l0 == 0) {
+              // FULLY-COLLAPSED beam: the join form's per-round
+              // recurrence (expand level-0 neighbors of every pool
+              // node, union, dedup bitwise-identical (dist, id) pairs,
+              // sort by the (dist, id) struct order, keep `beam`) run
+              // in-task. dist is a pure function of (query, id), so
+              // pair-dedup ≡ the join form's array_distinct; tuple
+              // sort order ≡ the struct lexicographic sort; sums of
+              // squares are ≥ 0, so the -0.0/NaN corners where JVM and
+              // SQL double order could differ cannot arise.
+              var pool = scala.collection.immutable.Vector((curDist, curId))
+              var r = 0
+              while (r < rounds) {
+                val scored = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+                pool.foreach { case (_, src) =>
+                  val ns = ug.adj.getOrElse((0, src), null)
+                  if (ns != null) {
+                    var i = 0
+                    while (i < ns.length) {
+                      val id = ns(i)
+                      val dd = sqDistJvm(ug.vecs(id), qv)
+                      scored += ((dd, id))
+                      out += WalkRow(qid, id, dd, null, landing = false, rn = 0)
+                      i += 1
+                    }
+                  }
+                }
+                pool = (pool ++ scored).distinct.sorted.take(beam)
+                r += 1
+              }
+              var p = 0
+              while (p < pool.length) {
+                out += WalkRow(qid, pool(p)._2, pool(p)._1, qv,
+                  landing = true, rn = p + 1)
+                p += 1
+              }
+            } else {
+              out += WalkRow(qid, curId, curDist, qv, landing = true, rn = 1)
+            }
             out.iterator
           }
         }
         // lazy checkpoint: the walk output feeds both cur and visited —
         // one materialization, not two flatMap executions
         val out = cp(walk.toDF())
-        cur = out.filter(col("landing"))
-          .select(col("query_id"), col("vec_id"), col("dist"), col("qv"))
+        cur =
+          if (g.l0 == 0)
+            out.filter(col("landing"))
+              .select(col("query_id"), col("vec_id"), col("dist"),
+                col("qv"), col("rn"))
+          else
+            out.filter(col("landing"))
+              .select(col("query_id"), col("vec_id"), col("dist"), col("qv"))
         visited = List(out.filter(!col("landing"))
           .select(col("query_id"), col("vec_id"), col("dist")))
       case None =>
@@ -1113,9 +1164,11 @@ object Ann {
       l -= 1
     }
     // bottom layer: beam expansion from the descent's landing node
-    val g0 = idxLvl(0)
+    // (already done in-task when the whole graph collapsed — then
+    // `cur` IS the final ranked pool and idxLvl holds no level 0)
     var pool = cur
-    var r = 0
+    var r = if (upper.exists(_.l0 == 0)) rounds else 0
+    lazy val g0 = idxLvl(0)
     while (r < rounds) {
       val scored = g0
         .join(broadcast(pool.select(

@@ -140,13 +140,18 @@ class PlanSpec extends AnyFunSuite {
     // BNLJ presence is not asserted against; no corpus DF carries a
     // broadcast hint in these plans, so the build side is always
     // query-sized.)
-    for (df <- Seq(
-        Ann.annGraphSearch(spark, d, rounds = 2, truncateLineage = false),
-        Ann.hnswSearch(spark, d, rounds = 1, truncateLineage = false))) {
-      val p = plan(df)
-      assert(p.contains("BroadcastHashJoin"), "frontier is not broadcast-joined")
-      assert(!p.contains("CartesianProduct"), "cartesian in a graph search")
-      assert(!p.contains("SortMergeJoin"), "corpus-sized shuffle join in a graph search")
-    }
+    // hnswSearch at fixture scale runs FULLY COLLAPSED (the whole
+    // graph fits the broadcast budget, so descent + beam are one
+    // MapPartitions walk — no join of any kind, strictly stronger
+    // than the broadcast-join contract); annGraphSearch keeps the
+    // per-round broadcast-join recurrence and pins it.
+    val pw = plan(Ann.hnswSearch(spark, d, rounds = 1, truncateLineage = false))
+    assert(pw.contains("MapPartitions"), "collapsed walk missing from hnsw plan")
+    assert(!pw.contains("CartesianProduct"), "cartesian in a graph search")
+    assert(!pw.contains("SortMergeJoin"), "corpus-sized shuffle join in a graph search")
+    val p = plan(Ann.annGraphSearch(spark, d, rounds = 2, truncateLineage = false))
+    assert(p.contains("BroadcastHashJoin"), "frontier is not broadcast-joined")
+    assert(!p.contains("CartesianProduct"), "cartesian in a graph search")
+    assert(!p.contains("SortMergeJoin"), "corpus-sized shuffle join in a graph search")
   }
 }

@@ -19,7 +19,20 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src = f"{sf_dir}/{t}.parquet"
+        if t == "events":
+            # driver fixtures carry ts as TIMESTAMP_NS; repo-generated
+            # sf1 carries BIGINT nanos (Spark cannot write ns
+            # timestamps). Normalize either to the micros timestamp
+            # Tables.events serves (timestamp_micros(ts div 1000)).
+            (ts_type,) = [r[1] for r in con.sql(
+                f"DESCRIBE SELECT ts FROM '{src}'").fetchall()][:1] or ("?",)
+            ts_expr = ("make_timestamp(ts // 1000)" if ts_type == "BIGINT"
+                       else "ts")
+            con.sql(f"CREATE VIEW {t} AS SELECT * REPLACE ({ts_expr} AS ts) "
+                    f"FROM '{src}'")
+        else:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = 0
     for name, sql in sorted(oracle.items()):

@@ -387,13 +387,34 @@ object Ann {
     *
     * Everything is deterministic (md5-derived projections, integer
     * bucket ids), so the DuckDB oracle rebuilds the identical
-    * candidate set and the gate hash-compares the full output. */
+    * candidate set and the gate hash-compares the full output.
+    *
+    * `cap` bounds BUCKET MEMBERSHIP (first `cap` nodes per (proj,
+    * bucket) in vec_id order — deterministic, oracle-mirrored): a
+    * degenerate bucket that swallows a constant fraction of the corpus
+    * would otherwise regrow the quadratic candidate set inside one
+    * key. With the cap, per-bucket pairs are ≤ cap²·(2·probe+1) no
+    * matter how skewed the data — the sf1 scale run surfaced exactly
+    * this (near-dup replica clusters densified the buckets and one
+    * task spilled an ~n² distinct). Capped nodes keep their OWN
+    * neighbor lists via the projections where they fall in sparser
+    * buckets — edge recall stays pinned in AnnSpec. */
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
-      nProj: Int = 8, w: Double = 0.1, probe: Int = 1): DataFrame = {
+      nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
+      cap: Int = 1024): DataFrame = {
     val e = Tables.embeddings(s, d)
       .withColumn("level", expr(levelExpr))
       .select(col("vec_id"), col("embedding"), col("level"))
-    val b = bucketsRaw(s, d, nProj, w).cache()
+    val wb = Window.partitionBy("proj_id", "bucket").orderBy(col("vec_id"))
+    // repartition by vec_id: bucket tables inherit the (often single-
+    // partition) parquet layout of a small corpus, which would funnel
+    // the whole candidate join + distinct into one task — spread the
+    // build across the cluster regardless of input file layout
+    val b = bucketsRaw(s, d, nProj, w)
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
+      .drop("rn")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .cache()
     // multiprobe: the dst side answers for bucket−probe..bucket+probe,
     // so a candidate pair needs |bucket_l − bucket_r| ≤ probe on some
     // shared projection — the standard recall patch for points landing
@@ -1681,7 +1702,8 @@ object Ann {
     * the per-level prune is [[hnswEdgesOracle]]'s window — only the
     * candidate generator differs from the exact build's O(n²) join. */
   private def hnswEdgesApproxOracle(m: Int, maxLevel: Int,
-                                    nProj: Int, probe: Int): String =
+                                    nProj: Int, probe: Int,
+                                    cap: Int = 1024): String =
     s"""WITH h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
        |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
        |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h),
@@ -1691,9 +1713,13 @@ object Ann {
        |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
        |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
        |  FROM e, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p)),
+       |pbc AS MATERIALIZED (SELECT vec_id, proj_id, bucket FROM (
+       |         SELECT vec_id, proj_id, bucket,
+       |           row_number() OVER (PARTITION BY proj_id, bucket ORDER BY vec_id) AS rn
+       |         FROM pb) WHERE rn <= $cap),
        |cand AS (SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst
-       |         FROM pb l JOIN (SELECT vec_id, proj_id, bucket + o AS bucket
-       |                         FROM pb, (SELECT unnest(generate_series(-$probe, $probe)) AS o)) r
+       |         FROM pbc l JOIN (SELECT vec_id, proj_id, bucket + o AS bucket
+       |                          FROM pbc, (SELECT unnest(generate_series(-$probe, $probe)) AS o)) r
        |           ON l.proj_id = r.proj_id AND l.bucket = r.bucket
        |             AND l.vec_id <> r.vec_id),
        |dd AS (SELECT least(a.level, b.level, $maxLevel) AS minl, c.src, c.dst,

@@ -6,6 +6,8 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.TopMEdges
+import org.apache.spark.sql.graftbridge.SqlBridge
 
 /** Approximate-nearest-neighbor scale path: LSH bucketing, IVF coarse
   * quantization, and the HNSW-shaped hierarchical k-NN graph — the
@@ -121,18 +123,26 @@ object Ann {
     * against the exact form in AnnSpec. */
   def neardupLsh(s: SparkSession, d: String, eps: Double = 1.1): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val b = bucketsRaw(s, d, nProj = 8, w = 0.1).cache()
-    val cand = b.as("l").join(b.as("r"),
+    // vectors ride ON the bucket rows so the distance is computed
+    // inside the bucket-join stage and the ε filter prunes BEFORE the
+    // dedup shuffle: the candidate multiset (Σ bucket² rows — 300M at
+    // the sf1 scale point) stays pipelined in its map stage and only
+    // true near-pairs (× collision multiplicity ≤ nProj) reach the
+    // exchange. The old shape distinct()ed the full candidate set
+    // first, which WAS the 300M-row shuffle. Same output bit-for-bit:
+    // dist is a pure function of the pair, so filter∘distinct ≡
+    // distinct∘filter and every duplicate carries an identical row.
+    val bv = bucketsRaw(s, d, nProj = 8, w = 0.1)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .cache()
+    bv.as("l").join(bv.as("r"),
         col("l.proj_id") === col("r.proj_id") &&
           col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"))
-      .distinct()
-    cand
-      .join(e.select(col("vec_id").as("src"), col("embedding").as("va")), "src")
-      .join(e.select(col("vec_id").as("dst"), col("embedding").as("vb")), "dst")
-      .select(col("src"), col("dst"), squaredL2(col("va"), col("vb")).as("dist"))
+      .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"),
+        squaredL2(col("l.embedding"), col("r.embedding")).as("dist"))
       .filter(col("dist") < eps)
+      .distinct()
       .orderBy(col("src"), col("dst"))
   }
 
@@ -395,10 +405,11 @@ object Ann {
     * would otherwise regrow the quadratic candidate set inside one
     * key. With the cap, per-bucket pairs are ≤ cap²·(2·probe+1) no
     * matter how skewed the data — the sf1 scale run surfaced exactly
-    * this (near-dup replica clusters densified the buckets and one
-    * task spilled an ~n² distinct). Capped nodes keep their OWN
-    * neighbor lists via the projections where they fall in sparser
-    * buckets — edge recall stays pinned in AnnSpec. */
+    * this (near-dup replica clusters densified the buckets). Capped
+    * nodes keep their OWN neighbor lists via the projections where
+    * they fall in sparser buckets — edge recall stays pinned in
+    * AnnSpec. The candidate multiset itself never shuffles: see the
+    * in-body comment on [[graft.functions.expressions.TopMEdges]]. */
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
       nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
       cap: Int = 1024): DataFrame = {
@@ -414,33 +425,44 @@ object Ann {
       .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
       .drop("rn")
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .cache()
     // multiprobe: the dst side answers for bucket−probe..bucket+probe,
     // so a candidate pair needs |bucket_l − bucket_r| ≤ probe on some
     // shared projection — the standard recall patch for points landing
     // just across a bucket boundary, still an equi-join after explode
-    val probed = b.select(col("vec_id"), col("proj_id"),
-      explode(sequence(col("bucket") - probe, col("bucket") + probe)).as("bucket"))
-    val cand = b.as("l").join(probed.as("r"),
+    // vectors + levels ride ON the bucket rows: the candidate multiset
+    // (Σ bucket² rows — 300M at the sf1 scale point) is generated,
+    // scored, level-exploded, and REDUCED TO ≤ m ROWS PER (level, src)
+    // all inside one map stage — [[graft.functions.expressions.TopMEdges]]
+    // is a TypedImperativeAggregate, so Spark's partial-merge-final
+    // pipeline runs the bounded heap map-side and the only exchange in
+    // the whole build carries n×m partial heaps. The previous shape
+    // (distinct → two vector joins → window rank) shuffled the full
+    // candidate set twice and took 10 minutes of the sf1 verify run.
+    // Heap dedup ≡ distinct (duplicates carry identical (dist, dst)),
+    // so the DuckDB oracle keeps its DISTINCT formulation unchanged.
+    val bve = b.join(e, "vec_id").cache()
+    val probed = bve.select(col("vec_id"), col("proj_id"),
+      explode(sequence(col("bucket") - probe, col("bucket") + probe)).as("bucket"),
+      col("embedding"), col("level"))
+    val scored = bve.as("l").join(probed.as("r"),
         col("l.proj_id") === col("r.proj_id") &&
           col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") =!= col("r.vec_id"))
-      .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"))
-      .distinct()
-    // exact distances on candidates only; an edge candidate serves
-    // levels 0..min(levels) exactly as in the exact builder
-    val scored = cand
-      .join(e.select(col("vec_id").as("src"), col("embedding").as("sv"),
-        col("level").as("slvl")), "src")
-      .join(e.select(col("vec_id").as("dst"), col("embedding").as("dv"),
-        col("level").as("dlvl")), "dst")
-      .select(col("src"), col("dst"),
-        squaredL2(col("sv"), col("dv")).as("dist"),
-        least(col("slvl"), col("dlvl"), lit(MaxLevel)).as("minl"))
+      .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"),
+        squaredL2(col("l.embedding"), col("r.embedding")).as("dist"),
+        least(col("l.level"), col("r.level"), lit(MaxLevel)).as("minl"))
+    // an edge candidate serves levels 0..min(levels) exactly as in the
+    // exact builder
     val exploded = scored.select(
       explode(sequence(lit(0), col("minl"))).as("level"),
       col("src"), col("dst"), col("dist"))
-    pruneLevelEdges(exploded, m)
+    val top = SqlBridge.column(TopMEdges(
+      SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
+      .toAggregateExpression())
+    exploded.groupBy(col("level"), col("src")).agg(top.as("top"))
+      .select(col("level"), col("src"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("level"), col("src"), col("e.dst").as("dst"),
+        col("e.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("level"), col("src"), col("rnk"))
   }
 

@@ -211,3 +211,50 @@ class BoundedTopKSpec extends AnyFunSuite {
     }
   }
 }
+
+/** DedupTopM vs distinct-then-sort oracle: the heap over a candidate
+  * MULTISET (each id always paired with the same dist, as in the LSH
+  * candidate streams) must equal top-m of the distinct set, under any
+  * offer order, any duplicate placement (retained-dup, evicted-reoffer)
+  * and any partial/merge split. */
+class DedupTopMSpec extends AnyFunSuite {
+  import graft.functions.expressions.DedupTopM
+
+  private def oracle(xs: Seq[(Double, Long)], m: Int): Seq[(Double, Long)] =
+    xs.distinct.sorted.take(m)
+
+  test("multiset offers equal distinct top-m, any order") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 100) {
+      val ids = Seq.fill(1 + rnd.nextInt(30))(rnd.nextLong() % 50)
+      // dist is a FUNCTION of id (ties made common with a small range)
+      val base = ids.distinct.map(id => id -> rnd.nextInt(6).toDouble).toMap
+      val stream = rnd.shuffle(ids.flatMap(id => Seq.fill(1 + rnd.nextInt(3))((base(id), id))))
+      val m = 1 + rnd.nextInt(8)
+      val h = new DedupTopM(m)
+      stream.foreach { case (d, id) => h.offer(d, id) }
+      val (ds, is, n) = h.sortedAsc
+      val got = (0 until n).map(i => (ds(i), is(i)))
+      assert(got == oracle(stream, m), s"trial $trial m=$m")
+    }
+  }
+
+  test("merge of split streams equals single-stream result, with serde roundtrip") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 100) {
+      val ids = Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong() % 60)
+      val base = ids.distinct.map(id => id -> rnd.nextInt(5).toDouble).toMap
+      val stream = ids.map(id => (base(id), id))
+      val m = 1 + rnd.nextInt(10)
+      val cut = rnd.nextInt(stream.size + 1)
+      val (a, b) = stream.splitAt(cut)
+      val ha = new DedupTopM(m); a.foreach { case (d, id) => ha.offer(d, id) }
+      val hb = new DedupTopM(m); b.foreach { case (d, id) => hb.offer(d, id) }
+      val hb2 = graft.functions.expressions.DedupTopM.fromBytes(m, hb.toBytes)
+      ha.absorb(hb2)
+      val (ds, is, n) = ha.sortedAsc
+      val got = (0 until n).map(i => (ds(i), is(i)))
+      assert(got == oracle(stream, m), s"trial $trial m=$m cut=$cut")
+    }
+  }
+}

@@ -27,18 +27,30 @@ import graft.Tables
   */
 object StreamingOps {
 
+  /** File-source stream over `$d/<table>.parquet`, handling BOTH
+    * fixture layouts: the driver fixtures store each table as a single
+    * FILE (the file source wants a directory, so stream the parent
+    * with a name glob), while repo-generated fixtures (FixtureGen,
+    * sf1) are Spark-written DIRECTORIES of part files (stream the
+    * directory itself — a name glob against part-*.snappy.parquet
+    * would match nothing and silently deliver an EMPTY stream, which
+    * is exactly what the first sf1 scale run did). */
+  private def tableStream(s: SparkSession, d: String, table: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/$table.parquet"
+    val schema = s.read.parquet(path).schema
+    val base = s.readStream.schema(schema)
+    if (new java.io.File(path).isDirectory) base.parquet(path)
+    else base.option("pathGlobFilter", s"$table.parquet").parquet(d)
+  }
+
   /** Hourly per-type counts and value sums, computed by a streaming
     * query over the events parquet (file source), complete mode,
     * memory sink; returns the final table. Decimal accumulation makes
     * the result identical to the batch oracle regardless of batch
     * boundaries or arrival order. */
   def streamingHourly(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val src = s.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(d)
+    val src = tableStream(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val agg = src
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -113,12 +125,7 @@ object StreamingOps {
     * expressible in batch SQL, which makes the stateful
     * `flatMapGroupsWithState` path hash-oracle-checkable. */
   def streamingSessionizeQuery(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val src = s.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val src = tableStream(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val name = "stream_sess_" + UUID.randomUUID().toString.replace("-", "")
     val q = streamingSessionize(s, src).writeStream
@@ -152,12 +159,7 @@ object StreamingOps {
     * That subset is exactly expressible in batch SQL, which puts the
     * watermark semantics themselves under the hash gate. */
   def streamingLateHourlyQuery(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val src = s.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val src = tableStream(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val name = "stream_late_" + UUID.randomUUID().toString.replace("-", "")
     val q = lateHourlyAgg(src).writeStream
@@ -181,12 +183,7 @@ object StreamingOps {
     * accumulation makes the final table batch-identical regardless of
     * batch boundaries. */
   def streamingEnrichQuery(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val src = s.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val src = tableStream(s, d, "events")
     val dim = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("user_id"))
       .agg(
@@ -222,12 +219,7 @@ object StreamingOps {
     * watermark and the final table equals the batch interval join —
     * which is what makes a stream-stream join hash-oracle-checkable. */
   def streamingJoinQuery(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val src = s.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val src = tableStream(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
@@ -264,11 +256,7 @@ object StreamingOps {
     * `dropDuplicatesWithinWatermark` (same plan + a ts watermark,
     * dedup guaranteed only within the lateness horizon). */
   def streamingDedupQuery(s: SparkSession, d: String): DataFrame = {
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val src = s.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(d)
+    val src = tableStream(s, d, "documents")
     val name = "stream_dedup_" + UUID.randomUUID().toString.replace("-", "")
     val q = src
       .select(md5(col("text")).as("content_hash"))

@@ -553,6 +553,35 @@ object Ann {
     s.read.parquet(path)
   }
 
+  /** [[ensureFullIndex]] for the APPROXIMATE build — the persisted
+    * twin of [[hnswEdgesApprox]]'s output, so the scale-path lifecycle
+    * is complete: approximate build once, serve hierarchical searches
+    * from storage, never pay the O(n²/blocks) exact build. Same
+    * (level, src, dst, dist) layout, separate store location. */
+  def ensureFullIndexApprox(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    val path = indexPath(d, m, "full-approx")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      hnswEdgesApprox(s, d, m)
+        .select(col("level"), col("src"), col("dst"), col("dist"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Vector-resident serving layout of the approximate index (the
+    * [[ensureFullIndexVec]] trade applied to [[ensureFullIndexApprox]]). */
+  def ensureFullIndexVecApprox(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    val path = indexPath(d, m, "fullv-approx")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      ensureFullIndexApprox(s, d, m)
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("dst"), col("embedding").as("dv")), "dst")
+        .select(col("level"), col("src"), col("dst"), col("dv"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Incremental insert — the delta path of the reference's
     * insert-driven lifecycle (`src/hnsw.zig:73-117` grows the graph one
     * point at a time; the engine otherwise batch-rebuilds). The corpus
@@ -965,7 +994,8 @@ object Ann {
     * [[BroadcastKnnJoin]]'s query-side collect, not a corpus collect. */
   private def upperGraph(
       s: SparkSession, d: String, m: Int, topLevel: Int,
-      idxAll: DataFrame, lvlCounts: Map[Int, Long]): Option[UpperGraph] = {
+      idxAll: DataFrame, lvlCounts: Map[Int, Long],
+      variant: String = "fullv"): Option[UpperGraph] = {
     if (topLevel < 1) return None
     // ~2× slack: a node of level L is an adjacency src in every layer
     // l0..min(L, topLevel), and node counts halve per level, so the
@@ -979,7 +1009,7 @@ object Ann {
       lvlCounts.collect { case (lv, c) if lv >= l => c }.sum
     val l0 = (0 to topLevel).find(l => cumFrom(l) * bytesPerNode <= MaxUpperBytes)
     l0.map { l0v =>
-      val key = s"${System.identityHashCode(s)}|${storePath(d, s"m$m-fullv")}|$l0v|$topLevel"
+      val key = s"${System.identityHashCode(s)}|${storePath(d, s"m$m-$variant")}|$l0v|$topLevel"
       upperCache.computeIfAbsent(key, _ => {
         val vecs = Tables.embeddings(s, d)
           .withColumn("level", expr(levelExpr))
@@ -1025,7 +1055,8 @@ object Ann {
   private def hnswWalk(
       s: SparkSession, d: String,
       nq: Int, beam: Int, rounds: Int,
-      m: Int, truncateLineage: Boolean): (DataFrame, Seq[DataFrame]) = {
+      m: Int, truncateLineage: Boolean,
+      approxIndex: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     // LAZY checkpoint EVERY round is load-bearing, on both axes: the
     // pool feeds two downstream references per round (frontier +
     // union), so an un-truncated plan both re-executes each prior
@@ -1054,7 +1085,9 @@ object Ann {
     val topLevel = math.min(MaxLevel,
       if (lvlCounts(maxNodeLvl) >= 2L) maxNodeLvl
       else lvlCounts.keys.filter(_ < maxNodeLvl).maxOption.getOrElse(0))
-    val idxAll = ensureFullIndexVec(s, d, m)
+    val idxAll =
+      if (approxIndex) ensureFullIndexVecApprox(s, d, m)
+      else ensureFullIndexVec(s, d, m)
     // COLLAPSED upper descent: the per-level argmin recurrence above
     // level l0 runs as ONE in-task loop over a broadcast of the upper
     // hierarchy (geometrically small — see [[UpperGraph]]) instead of
@@ -1066,7 +1099,8 @@ object Ann {
     // strict-left-fold f64 distances ([[sqDistJvm]]), same visited
     // set — the driver hash gate and the in-test hierarchical
     // reference pin bitwise equality.
-    val upper = upperGraph(s, d, m, topLevel, idxAll, lvlCounts)
+    val upper = upperGraph(s, d, m, topLevel, idxAll, lvlCounts,
+      if (approxIndex) "fullv-approx" else "fullv")
     val joinTop = upper.map(_.l0 - 1).getOrElse(topLevel)
     // vector-resident adjacency: one table per round, no dst-vector
     // lookup join — see [[ensureFullIndexVec]]. Cached as PER-LEVEL
@@ -1269,6 +1303,41 @@ object Ann {
       nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
       m: Int = 16, truncateLineage: Boolean = true): DataFrame =
     hnswSearchRaw(s, d, nq, k, beam, rounds, m, truncateLineage)
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** Hierarchical search served from the APPROXIMATE index — the
+    * lifecycle cell that makes the scale path complete end-to-end:
+    * [[hnswEdgesApprox]] (LSH-candidate build, no O(n²) stage)
+    * persisted once ([[ensureFullIndexVecApprox]]), then the exact
+    * same descent + beam walk as [[hnswSearch]] over it. At corpus
+    * sizes where the exact block self-join build is unaffordable,
+    * this pair IS the index: approximate build, hierarchical serve —
+    * the composition the reference's `ef_construction` knob gestures
+    * at and never ships. Recall vs the exact-index walk is pinned in
+    * AnnSpec; the oracle rebuilds the identical approx graph (the
+    * hash-green `hnsw_edges_approx` SQL) and unrolls the identical
+    * descent recurrence, so the gate hash-proves the full
+    * build→persist→serve chain. */
+  private[operators] def hnswSearchApproxRaw(
+      s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
+      m: Int = 16, truncateLineage: Boolean = true): DataFrame = {
+    val (pool, _) = hnswWalk(s, d, nq, beam, rounds, m, truncateLineage,
+      approxIndex = true)
+    val w1 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    val ranked =
+      if (pool.columns.contains("rn")) pool
+      else pool.withColumn("rn", row_number().over(w1))
+    ranked.filter(col("rn") <= k)
+      .withColumnRenamed("rn", "rnk")
+      .drop("qv")
+  }
+
+  def hnswSearchApprox(
+      s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
+      m: Int = 16, truncateLineage: Boolean = true): DataFrame =
+    hnswSearchApproxRaw(s, d, nq, k, beam, rounds, m, truncateLineage)
       .orderBy(col("query_id"), col("rnk"))
 
   /** FILTERED approximate search — the metadata-constrained serving
@@ -1558,6 +1627,102 @@ object Ann {
   def annPq(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame =
     annPqRaw(s, d, nq, k).orderBy(col("query_id"), col("rnk"))
 
+  /** IVF-PQ — the composed production index (faiss `IVFx,PQy`): coarse
+    * IVF cells ([[ivfAssignWith]], deterministic label centroids) with
+    * RESIDUAL product quantization — each vector is stored as its cell
+    * id + the PQ codes of (v − centroid(cell)), and a query scans only
+    * its `nprobe` nearest cells through a per-(query, cell) ADC lookup
+    * table built from the QUERY residual against that cell. Encoding
+    * residuals instead of raw vectors is what makes the composition
+    * worth having: residual norms shrink with cell radius, so the same
+    * 8×16 codebook quantizes far finer than [[annPq]]'s global codes.
+    *
+    * Deterministic end-to-end (centroids are the decimal-exact label
+    * means, the residual codebook is sampled from vec_id < 16 — both
+    * pure functions of the corpus), so the full pipeline is
+    * hash-oracle-checkable like its parts.
+    *
+    * Scale shape: corpus touched once to encode (map-only after one
+    * broadcast-assign), once to scan codes in probed cells (cell
+    * equi-join against the query-sized probe list — |probed cells|
+    * rows, not |corpus|); centroids, codebook, and the nq·nprobe·128
+    * LUT rows broadcast; top-k is the usual bounded window. */
+  private[operators] def annIvfPqRaw(
+      s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = Similarity.centroids(s, d)
+    val cellVec = cent.select(col("clabel").as("cell"), col("cvec"))
+    // residuals: v − centroid(cell(v)) — one broadcast assign + zip_with
+    val resid = e.join(ivfAssignWith(e, cent).select(col("vec_id"), col("cell")), "vec_id")
+      .join(broadcast(cellVec), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cvec"), (a, b) => a - b).as("rv"))
+    // sampled RESIDUAL codebook (the [[pqCodebook]] contract on rv)
+    val cbSubs = (0 until PqSubs).map { sub =>
+      struct(lit(sub).as("sub"), slice(col("rv"), sub * PqSubDim + 1, PqSubDim).as("cw"))
+    }
+    val cb = resid.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("code"), explode(array(cbSubs: _*)).as("sc"))
+      .select(col("sc.sub").as("sub"), col("code"), col("sc.cw").as("cw"))
+    // per-vector residual codes: argmin (subdist, code) per subspace,
+    // map-side partial min — the corpus shuffles once as (vec, sub)
+    val svSubs = (0 until PqSubs).map { sub =>
+      struct(lit(sub).as("sub"), slice(col("rv"), sub * PqSubDim + 1, PqSubDim).as("sv"))
+    }
+    val codes = resid
+      .select(col("vec_id"), col("cell"), explode(array(svSubs: _*)).as("sc"))
+      .select(col("vec_id"), col("cell"), col("sc.sub").as("sub"), col("sc.sv").as("sv"))
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"),
+        squaredL2(col("sv"), col("cw")).as("cd"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(min(struct(col("cd"), col("code"))).as("m"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("m.code").as("code")))),
+        x => x.getField("code")).as("codes"))
+    // nprobe nearest cells per query, query residual per probed cell
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wq = Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))
+    val probed = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("clabel").as("cell"), col("cvec"),
+        squaredL2(col("qv"), col("cvec")).as("cdist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("cvec"), (a, b) => a - b).as("qr"))
+    // per-(query, cell) ADC LUT over the query residual
+    val qsv = probed.select(col("query_id"), col("cell"),
+        explode(array((0 until PqSubs).map { sub =>
+          struct(lit(sub).as("sub"), slice(col("qr"), sub * PqSubDim + 1, PqSubDim).as("qsv"))
+        }: _*)).as("sc"))
+      .select(col("query_id"), col("cell"), col("sc.sub").as("sub"), col("sc.qsv").as("qsv"))
+    val lut = qsv.join(broadcast(cb), "sub")
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        squaredL2(col("qsv"), col("cw")).as("ld"))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("ld")))),
+        x => x.getField("ld")).as("lut"))
+    // ADC scan restricted to probed cells: cell equi-join, then the
+    // strict-left-fold LUT sum — map-only over the candidate rows
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("cell"))
+      .withColumn("dist", expr(
+        s"""aggregate(sequence(1, $PqSubs), 0D, (acc, s) ->
+           |  acc + element_at(lut,
+           |    (CAST(s AS INT) - 1) * $PqK + element_at(codes, CAST(s AS INT)) + 1))""".stripMargin))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  def annIvfPq(s: SparkSession, d: String,
+               nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame =
+    annIvfPqRaw(s, d, nq, k, nprobe).orderBy(col("query_id"), col("rnk"))
+
   /** MMR (maximal marginal relevance) diversified re-rank — the
     * standard retrieval post-processor an LLM RAG pipeline runs on a
     * raw top-k: greedily pick, per query, the candidate minimizing
@@ -1614,14 +1779,17 @@ object Ann {
   }
 
   /** Arm names of the recall report, alphabetical (= output order);
-    * "ivfk" is the k-means-trained IVF ([[annIvfTrained]]). */
+    * "ivfk" is the k-means-trained IVF ([[annIvfTrained]]), "hnswa"
+    * the approximate-index hierarchical walk ([[hnswSearchApprox]]),
+    * "ivfpq" the residual-coded composed index ([[annIvfPq]]). */
   private[operators] val RecallArms: Seq[String] =
-    Seq("bq", "graph", "hnsw", "ivf", "ivfk", "lsh", "pq", "sq8")
+    Seq("bq", "graph", "hnsw", "hnswa", "ivf", "ivfk", "ivfpq", "lsh", "pq", "sq8")
 
   /** Recall@k self-evaluation — the measurement every ANN deployment
     * ships next to its index: per (arm, query), |approx ∩ exact| / k,
-    * for EVERY approximate serving arm (bq, graph, hnsw, ivf, lsh, pq,
-    * sq8) against the exact batch k-NN as ground truth — the published
+    * for EVERY approximate serving arm (bq, graph, hnsw, hnswa, ivf,
+    * ivfk, ivfpq, lsh, pq, sq8) against the exact batch k-NN as
+    * ground truth — the published
     * search-quality evidence the reference never measured
     * (`benchmarks/benchmark.md:107-113`, "approximate, recall
     * unmeasured"). All arms are existing declared plans composed on
@@ -1637,8 +1805,10 @@ object Ann {
       "bq"    -> annBqRaw(s, d, nq, k),
       "graph" -> annGraphSearchRaw(s, d, nq, k),
       "hnsw"  -> hnswSearchRaw(s, d, nq, k),
+      "hnswa" -> hnswSearchApproxRaw(s, d, nq, k),
       "ivf"   -> annIvfRaw(s, d, nq, k),
       "ivfk"  -> annIvfTrainedRaw(s, d, nq, k),
+      "ivfpq" -> annIvfPqRaw(s, d, nq, k),
       "lsh"   -> annLshRaw(s, d, nq, k),
       "pq"    -> annPqRaw(s, d, nq, k),
       "sq8"   -> annSq8Raw(s, d, nq, k))
@@ -1675,6 +1845,7 @@ object Ann {
     "index_stats" -> ((s, d) => indexStats(s, d)),
     "hnsw_upsert_roundtrip" -> ((s, d) => hnswUpsertRoundtrip(s, d)),
     "hnsw_search" -> ((s, d) => hnswSearch(s, d)),
+    "hnsw_search_approx" -> ((s, d) => hnswSearchApprox(s, d)),
     "hnsw_search_filtered" -> ((s, d) => hnswSearchFiltered(s, d)),
     "sq8_codes"   -> ((s, d) => sq8Codes(s, d)),
     "ann_sq8"     -> ((s, d) => annSq8(s, d)),
@@ -1682,6 +1853,7 @@ object Ann {
     "ann_bq"      -> ((s, d) => annBq(s, d)),
     "pq_codes"    -> ((s, d) => pqCodes(s, d)),
     "ann_pq"      -> ((s, d) => annPq(s, d)),
+    "ann_ivfpq"   -> ((s, d) => annIvfPq(s, d)),
     "ann_recall_report" -> ((s, d) => annRecallReport(s, d)),
     "mmr_rerank" -> ((s, d) => mmrRerank(s, d))
   )
@@ -1797,7 +1969,9 @@ object Ann {
     * operator's plan. */
   private def hnswSearchOracle(
       nq: Int, k: Int, beam: Int, rounds: Int, m: Int, maxLevel: Int,
-      filteredEven: Boolean = false): String = {
+      filteredEven: Boolean = false,
+      approxGraph: Boolean = false,
+      nProj: Int = 8, probe: Int = 1, cap: Int = 1024): String = {
     // `e` is referenced ~3·maxLevel times below; without MATERIALIZED
     // DuckDB inlines the CTE per reference and re-opens the parquet
     // each time — at 30+ references that exhausts the fd limit (and
@@ -1809,15 +1983,45 @@ object Ann {
          |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h),
          |e AS MATERIALIZED (SELECT em.vec_id, em.label, list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v, lv.level
          |      FROM embeddings em JOIN lv ON lv.vec_id = em.vec_id)""".stripMargin
-    val perLevel = (0 to maxLevel).map { l =>
-      s"""d$l AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${duckSq.format("a.v", "b.v")} AS dist
-         |        FROM e a JOIN e b ON a.vec_id <> b.vec_id
-         |        WHERE a.level >= $l AND b.level >= $l),
-         |g$l AS MATERIALIZED (SELECT src, dst FROM (
-         |        SELECT src, dst,
-         |          row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
-         |        FROM d$l) WHERE rnk <= $m)""".stripMargin
-    }
+    // g_l: per-level top-m adjacency — from the exact O(n²) per-level
+    // self-joins, or (approxGraph) from the SAME capped multiprobe
+    // LSH candidate set as the hash-green `hnsw_edges_approx` oracle,
+    // so the served graph is the persisted approximate index
+    val perLevel =
+      if (!approxGraph) (0 to maxLevel).map { l =>
+        s"""d$l AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${duckSq.format("a.v", "b.v")} AS dist
+           |        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+           |        WHERE a.level >= $l AND b.level >= $l),
+           |g$l AS MATERIALIZED (SELECT src, dst FROM (
+           |        SELECT src, dst,
+           |          row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+           |        FROM d$l) WHERE rnk <= $m)""".stripMargin
+      }
+      else {
+        val cand =
+          s"""pb AS MATERIALIZED (SELECT vec_id, p AS proj_id,
+             |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
+             |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
+             |  FROM e, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p)),
+             |pbc AS MATERIALIZED (SELECT vec_id, proj_id, bucket FROM (
+             |         SELECT vec_id, proj_id, bucket,
+             |           row_number() OVER (PARTITION BY proj_id, bucket ORDER BY vec_id) AS rn
+             |         FROM pb) WHERE rn <= $cap),
+             |cnd AS MATERIALIZED (SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst
+             |         FROM pbc l JOIN (SELECT vec_id, proj_id, bucket + o AS bucket
+             |                          FROM pbc, (SELECT unnest(generate_series(-$probe, $probe)) AS o)) r
+             |           ON l.proj_id = r.proj_id AND l.bucket = r.bucket
+             |             AND l.vec_id <> r.vec_id),
+             |dd AS MATERIALIZED (SELECT least(a.level, b.level, $maxLevel) AS minl, c.src, c.dst,
+             |              ${duckSq.format("a.v", "b.v")} AS dist
+             |       FROM cnd c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst)""".stripMargin
+        Seq(cand) ++ (0 to maxLevel).map { l =>
+          s"""g$l AS MATERIALIZED (SELECT src, dst FROM (
+             |        SELECT src, dst,
+             |          row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+             |        FROM dd WHERE minl >= $l) WHERE rnk <= $m)""".stripMargin
+        }
+      }
     val seed =
       s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nq),
          |ent AS (SELECT vec_id, v FROM e ORDER BY level DESC, vec_id LIMIT 1),
@@ -1879,6 +2083,9 @@ object Ann {
       hnswEdgesApproxOracle(m = 16, maxLevel = 8, nProj = 8, probe = 1),
     "hnsw_search" -> hnswSearchOracle(
       nq = 10, k = 10, beam = 16, rounds = 3, m = 16, maxLevel = 8),
+    "hnsw_search_approx" -> hnswSearchOracle(
+      nq = 10, k = 10, beam = 16, rounds = 3, m = 16, maxLevel = 8,
+      approxGraph = true),
     "hnsw_search_filtered" -> hnswSearchOracle(
       nq = 10, k = 10, beam = 32, rounds = 4, m = 16, maxLevel = 8,
       filteredEven = true),
@@ -2111,6 +2318,54 @@ object Ann {
          |  SELECT query_id, vec_id, dist,
          |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM ad)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // IVF-PQ: the ivf_assign centroid/assign CTEs, residuals, the
+    // ann_pq machinery re-pointed at residual slices, per-(query,
+    // probed cell) residual LUTs, cell-restricted ADC scan
+    "ann_ivfpq" ->
+      s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         |                   CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |cm AS (SELECT label AS clabel, pos,
+         |              CAST(sum(CAST(round(val, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS cv
+         |       FROM ex GROUP BY label, pos),
+         |cent AS MATERIALIZED (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY clabel),
+         |e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT e.vec_id, c.clabel AS cell,
+         |            row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckSq.format("e.v", "c.cvec")}, c.clabel) AS rn
+         |          FROM e, cent c) WHERE rn = 1),
+         |rv AS MATERIALIZED (SELECT a.vec_id, a.cell,
+         |         list_transform(list_zip(e.v, c.cvec), p -> p[1] - p[2]) AS rv
+         |       FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN cent c ON c.clabel = a.cell),
+         |ss AS (SELECT unnest(range(8)) AS sub),
+         |cb AS MATERIALIZED (SELECT sub, CAST(vec_id AS INT) AS code,
+         |         list_slice(rv, sub*8+1, sub*8+8) AS cw FROM rv, ss WHERE vec_id < 16),
+         |qz AS (SELECT vec_id, cell, sub, code FROM (
+         |         SELECT sv.vec_id, sv.cell, sv.sub, cb.code,
+         |           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+         |             ORDER BY ${duckSq.format("sv.sv", "cb.cw")}, cb.code) AS rn
+         |         FROM (SELECT vec_id, cell, sub, list_slice(rv, sub*8+1, sub*8+8) AS sv
+         |               FROM rv, ss) sv JOIN cb USING (sub)) WHERE rn = 1),
+         |codes AS (SELECT vec_id, cell, list(code ORDER BY sub) AS codes FROM qz GROUP BY vec_id, cell),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+         |probed AS MATERIALIZED (SELECT query_id, cell, qr FROM (
+         |           SELECT q.query_id, c.clabel AS cell,
+         |             list_transform(list_zip(q.v, c.cvec), p -> p[1] - p[2]) AS qr,
+         |             row_number() OVER (PARTITION BY q.query_id
+         |               ORDER BY ${duckSq.format("q.v", "c.cvec")}, c.clabel) AS rn
+         |           FROM q, cent c) WHERE rn <= 3),
+         |qsv AS (SELECT query_id, cell, sub, list_slice(qr, sub*8+1, sub*8+8) AS qsv FROM probed, ss),
+         |ldt AS (SELECT query_id, cell, sub, code, ${duckSq.format("qsv", "cw")} AS ld
+         |        FROM qsv JOIN cb USING (sub)),
+         |lut AS (SELECT query_id, cell, list(ld ORDER BY sub, code) AS lut
+         |        FROM ldt GROUP BY query_id, cell),
+         |ad AS (SELECT l.query_id, c.vec_id,
+         |         list_sum(list_transform(range(1, 9),
+         |           s -> l.lut[(s-1)*16 + c.codes[s] + 1])) AS dist
+         |       FROM codes c JOIN lut l ON l.cell = c.cell)
+         |SELECT query_id, vec_id, dist, rnk FROM (
+         |  SELECT query_id, vec_id, dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM ad)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
   )
 
   /** [[mmrRerank]]'s oracle: the greedy recurrence unrolled — round 1
@@ -2169,8 +2424,10 @@ object Ann {
       "bq"    -> baseOracles("ann_bq"),
       "graph" -> baseOracles("ann_graph_search"),
       "hnsw"  -> baseOracles("hnsw_search"),
+      "hnswa" -> baseOracles("hnsw_search_approx"),
       "ivf"   -> baseOracles("ann_ivf"),
       "ivfk"  -> baseOracles("ann_ivf_trained"),
+      "ivfpq" -> baseOracles("ann_ivfpq"),
       "lsh"   -> baseOracles("ann_lsh"),
       "pq"    -> baseOracles("ann_pq"),
       "sq8"   -> baseOracles("ann_sq8"))

@@ -363,4 +363,42 @@ class AnnSpec extends AnyFunSuite {
       f"(${ap.size} approx edges, ${ex.size} exact)")
     assert(rec >= 0.9, f"approximate build edge recall too low: $rec%.4f")
   }
+
+  test("ann_ivfpq: composed index keeps useful recall; self reachable through own cell") {
+    // at this fixture scale the nprobe=3/10 cell restriction costs
+    // more recall than the residual codes win back (the residual
+    // advantage needs cells tight enough that residual norms shrink —
+    // 50 near-uniform vectors aren't that), so the honest pin is
+    // "useful recall under BOTH cell pruning and 16x compression",
+    // bounded below by the quantization-free ann_ivf arm's structure:
+    // the query's own cell is always probed first, so the self-match
+    // must survive end-to-end
+    val ivfpq = Ann.annIvfPq(spark, d).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rec = recallAtK(ivfpq, exact)
+    val pq = Ann.annPq(spark, d).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recPq = recallAtK(pq, exact)
+    info(f"IVF-PQ recall@10 (nprobe=3) = $rec%.3f (global full-scan PQ: $recPq%.3f)")
+    assert(rec >= 0.3, f"IVF-PQ recall too low: $rec%.3f")
+    val self = ivfpq.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    self.foreach { case (q, ids) => assert(ids.contains(q), s"query $q lost itself") }
+  }
+
+  test("hnsw_search_approx: full scale-path lifecycle holds recall vs exact k-NN") {
+    // approximate build -> persisted serve -> hierarchical walk; the
+    // end-to-end recall must track the exact-index walk's, because the
+    // approx build keeps >=0.9 of the exact edges (test above) and the
+    // walk only needs a connected enough graph to route
+    val approx = Ann.hnswSearchApprox(spark, d).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rec = recallAtK(approx, exact)
+    val viaExactIdx = Ann.hnswSearch(spark, d).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recExactIdx = recallAtK(viaExactIdx, exact)
+    info(f"hnsw_search_approx recall@10 = $rec%.3f (exact-index walk: $recExactIdx%.3f)")
+    assert(rec >= 0.8, f"approx-index search recall too low: $rec%.3f")
+    assert(rec >= recExactIdx - 0.1,
+      f"approx-index walk lost too much vs exact-index walk: $rec%.3f vs $recExactIdx%.3f")
+  }
 }

@@ -268,6 +268,45 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the
+    * corpus with the trained k-means codebook, then look for
+    * ε-near-duplicate pairs only WITHIN each cluster — the scale trick
+    * that makes embedding-level dedup affordable at 100 TB, where the
+    * global ε-join ([[nearDupPairs]]) is a corpus×corpus problem but
+    * the within-cell join is Σ|cell|², bounded by the clustering.
+    *
+    * Verdict rule (deterministic): a vector is DROPPED iff some
+    * same-cell vector with a smaller id lies within ε of it; `dup_of`
+    * is the smallest such id. (Pairwise rule, like [[dedupExactVec]]'s
+    * keep-min-id; the connected-components keep-one lives in
+    * `dedup_clusters`.) On unit-normalized embeddings d² < eps ⟺
+    * cos > 1 − eps/2, so eps is a cosine threshold in disguise.
+    *
+    * Scale shape: assignment is a broadcast-codebook argmin (map-only);
+    * the candidate join is a cell equi-join whose skew is bounded by
+    * the k-means balance; the verdict agg is keyed by the (rare)
+    * dropped vectors. Corpus is never enumerated pairwise. */
+  def semanticDedup(s: SparkSession, d: String,
+                    eps: Double = 1.1, iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = kmeansIterCentroids(s, d, iters)
+    val w = Window.partitionBy("vec_id").orderBy(col("cdist"), col("clabel"))
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("clabel"),
+        squaredL2(col("embedding"), col("cvec")).as("cdist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("clabel").as("cell"))
+    val a = assign.select(col("cell"), col("vec_id").as("src"), col("embedding").as("sv"))
+    val b = assign.select(col("cell"), col("vec_id").as("dst"), col("embedding").as("dv"))
+    a.join(b, "cell")
+      .filter(col("src") < col("dst") && squaredL2(col("sv"), col("dv")) < eps)
+      .groupBy(col("dst"), col("cell"))
+      .agg(min(col("src")).as("dup_of"))
+      .select(col("dst").as("vec_id"), col("cell"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_topk"      -> ((s, d) => cosineTopK(s, d)),
     "dedup_exact_vec"  -> ((s, d) => dedupExactVec(s, d)),
@@ -275,6 +314,7 @@ object Similarity {
     "nearest_centroid" -> ((s, d) => nearestCentroid(s, d)),
     "kmeans_refine"    -> ((s, d) => kmeansRefine(s, d)),
     "kmeans_iter"      -> ((s, d) => kmeansIter(s, d)),
+    "semantic_dedup"   -> ((s, d) => semanticDedup(s, d)),
     "mips_topk"        -> ((s, d) => mipsTopK(s, d))
   )
 
@@ -355,6 +395,22 @@ object Similarity {
          |SELECT vec_id, label, clabel AS pred_label, dist FROM r WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
     "kmeans_iter" -> kmeansIterOracle(3),
+    // trained-codebook assignment (the kmeans unroll chained in, like
+    // the trained-IVF oracle), then within-cell eps pairs and the
+    // keep-min-id verdict
+    "semantic_dedup" ->
+      s"""${kmeansCtes(3)},
+         |asg AS (SELECT vec_id, clabel AS cell FROM (
+         |        SELECT e.vec_id, c.clabel,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sq.format("e.v", "c.cvec")}, c.clabel) AS rn
+         |        FROM e, cent3 c) WHERE rn = 1),
+         |pairs AS (SELECT a.cell, a.vec_id AS src, b.vec_id AS dst
+         |          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |          JOIN e ea ON ea.vec_id = a.vec_id
+         |          JOIN e eb ON eb.vec_id = b.vec_id
+         |          WHERE ${sq.format("ea.v", "eb.v")} < 1.1)
+         |SELECT dst AS vec_id, cell, min(src) AS dup_of
+         |FROM pairs GROUP BY dst, cell ORDER BY vec_id""".stripMargin,
     "kmeans_refine" ->
       s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
          |                   CAST(unnest(embedding) AS DOUBLE) AS val

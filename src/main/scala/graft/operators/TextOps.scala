@@ -674,8 +674,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** GPT-style sequence packing — the step that turns a deduplicated
+    * corpus into fixed-length training examples: concatenate all
+    * documents in doc_id order and chop the token stream into
+    * `capacity`-token chunks; each document then spans chunks
+    * [chunk_first, chunk_last] starting at global offset tok_start.
+    * (Concat-and-chop IS the packing GPT-line pretraining uses — docs
+    * cross chunk boundaries; first-fit bin packing is the other family
+    * and is inherently sequential.)
+    *
+    * The global running offset is computed as a TWO-LEVEL prefix sum —
+    * the scale-correct shape: a per-bucket cumsum (window PARTITIONED
+    * by bucket = doc_id div `bucketSize`, fully parallel) plus a
+    * running offset over the bucket-totals table, which is
+    * |docs|/bucketSize rows — the only single-partition window in the
+    * plan, over a table `bucketSize`× smaller than the corpus (size
+    * the knob so that table fits one task; recurse the same trick for
+    * another ÷bucketSize if it ever doesn't). A single global-window
+    * cumsum over the corpus — the naive formulation — would move
+    * EVERY row to one task at 100 TB.
+    *
+    * Token counts are the regex tokenizer of [[tokenCounts]]
+    * (`re_tokens`), so the oracle is exactly expressible; integer
+    * arithmetic throughout → bit-exact. */
+  def sequencePack(s: SparkSession, d: String,
+                   capacity: Int = 2048, bucketSize: Int = 64): DataFrame = {
+    val t = Tables.documents(s, d).selectExpr(
+        "doc_id",
+        raw"size(regexp_extract_all(text, '\\w+', 0)) AS tokens")
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = t.withColumn("intra", coalesce(sum(col("tokens")).over(wIn), lit(0L)))
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("bucket").agg(sum(col("tokens")).as("btok"))
+      .withColumn("boff", coalesce(sum(col("btok")).over(wB), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    intra.join(broadcast(offsets), "bucket")
+      .withColumn("tok_start", col("boff") + col("intra"))
+      .withColumn("chunk_first",
+        when(col("tokens") > 0, expr(s"tok_start div $capacity")))
+      .withColumn("chunk_last",
+        when(col("tokens") > 0, expr(s"(tok_start + tokens - 1) div $capacity")))
+      .withColumn("n_chunks",
+        when(col("tokens") > 0, col("chunk_last") - col("chunk_first") + 1)
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("tokens"), col("tok_start"),
+        col("chunk_first"), col("chunk_last"), col("n_chunks"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"        -> ((s, d) => textStats(s, d)),
+    "sequence_pack"     -> ((s, d) => sequencePack(s, d)),
     "lang_stats"        -> ((s, d) => langStats(s, d)),
     "token_topk"        -> ((s, d) => tokenTopK(s, d)),
     "token_counts"      -> ((s, d) => tokenCounts(s, d)),
@@ -738,6 +789,20 @@ object TextOps {
       raw"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
            |  len(regexp_extract_all(text, '\w+')) AS re_tokens, n_chars
            |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle states the packing as ONE global cumsum — the
+    // semantics the two-level prefix sum must reproduce exactly
+    "sequence_pack" ->
+      raw"""WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS tokens FROM documents),
+           |c AS (SELECT doc_id, tokens,
+           |        CAST(COALESCE(sum(tokens) OVER (ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+           |      FROM t)
+           |SELECT doc_id, tokens, tok_start,
+           |  CASE WHEN tokens > 0 THEN tok_start // 2048 END AS chunk_first,
+           |  CASE WHEN tokens > 0 THEN (tok_start + tokens - 1) // 2048 END AS chunk_last,
+           |  CASE WHEN tokens > 0 THEN (tok_start + tokens - 1) // 2048 - tok_start // 2048 + 1
+           |       ELSE 0 END AS n_chunks
+           |FROM c ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH $duckShingles,
          |h AS (SELECT d.doc_id, list_transform(sh, t -> ${duckHash60.format("t")}) AS hs FROM d)

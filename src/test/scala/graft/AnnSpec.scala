@@ -401,4 +401,21 @@ class AnnSpec extends AnyFunSuite {
     assert(rec >= recExactIdx - 0.1,
       f"approx-index walk lost too much vs exact-index walk: $rec%.3f vs $recExactIdx%.3f")
   }
+
+  test("semantic_dedup: drops are true within-cell eps-neighbors, subset of the global eps-join") {
+    import graft.operators.Similarity
+    val sd = Similarity.semanticDedup(spark, d).collect()
+    // non-vacuity first: an empty verdict set proves nothing
+    assert(sd.nonEmpty, "fixture yields no semantic-dedup drops; test is vacuous")
+    val global = Similarity.nearDupPairs(spark, d).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sd.foreach { r =>
+      val (v, dup) = (r.getLong(0), r.getLong(2))
+      assert(dup < v, s"dup_of $dup is not a smaller id than $v")
+      // a within-cell eps pair must also be a global eps pair —
+      // cluster restriction can only REMOVE candidates, never invent
+      assert(global.contains((dup, v)),
+        s"semantic_dedup pair ($dup, $v) not in the exact global eps-join")
+    }
+  }
 }

@@ -83,4 +83,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(top1.nonEmpty)
     top1.foreach { case (q, doc) => assert(q == doc, s"query $q top-1 is $doc") }
   }
+
+  test("sequence_pack: two-level prefix sum ≡ global cumsum; bucketSize-invariant") {
+    val sp = TextOps.sequencePack(spark, d).collect()
+    assert(sp.nonEmpty)
+    // the two-level offsets must BE the sequential cumsum, replayed
+    var run = 0L
+    sp.foreach { r =>
+      val tokens = r.getInt(1)
+      assert(r.getLong(2) == run, s"doc ${r.getLong(0)} tok_start ${r.getLong(2)} != $run")
+      if (tokens > 0) {
+        assert(r.getLong(5) == r.getLong(4) - r.getLong(3) + 1)
+        assert(r.getLong(3) == r.getLong(2) / 2048)
+      } else assert(r.getLong(5) == 0L)
+      run += tokens
+    }
+    // the bucketing is an execution detail: any bucketSize must give
+    // byte-identical packing
+    val alt = TextOps.sequencePack(spark, d, bucketSize = 7).collect()
+    assert(sp.map(_.toSeq).toSeq == alt.map(_.toSeq).toSeq,
+      "packing differs across bucketSize choices")
+  }
 }

@@ -154,4 +154,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian in a graph search")
     assert(!p.contains("SortMergeJoin"), "corpus-sized shuffle join in a graph search")
   }
+
+  test("sequence_pack: the corpus-row window is bucket-partitioned, not global") {
+    // the scale contract of the two-level prefix sum: per-doc cumsum
+    // windows must carry a partition spec (bucket), so no corpus-sized
+    // Exchange SinglePartition exists — the only single-partition
+    // window runs over the bucketSize-times-smaller totals table
+    val p = plan(TextOps.sequencePack(spark, d))
+    assert(p.contains("windowspecdefinition(bucket"),
+      s"per-doc window is not partitioned by bucket:\n$p")
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1,
+      s"more than one single-partition exchange (corpus-sized window crept in):\n$p")
+  }
+
+  test("semantic_dedup: broadcast codebook assignment, equi-join pair stage") {
+    val p = plan(Similarity.semanticDedup(spark, d))
+    assert(!p.contains("CartesianProduct"), s"cartesian in semantic_dedup:\n$p")
+    // the pair stage must be a cell equi-join (hash or sort-merge on
+    // cell), never a nested-loop over the corpus pair space; the only
+    // nested-loop allowed is the broadcast codebook crossJoin
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"pair generation fell back to nested-loop join:\n$p")
+  }
 }

@@ -21,14 +21,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses
-    * to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as
-    * BIGINT and truncate to µs — exactly what DuckDB does natively, so
-    * oracle timestamps agree. */
+  /** Normalize `events.ts` to TimestampType regardless of the fixture
+    * vintage: TIMESTAMP(NANOS) parquet (older driver fixtures) is read
+    * as BIGINT nanos via the legacy flag and truncated to µs — exactly
+    * what DuckDB does natively, so oracle timestamps agree;
+    * timestamp[us] parquet (newer driver fixtures) arrives as
+    * TIMESTAMP_NTZ and is cast to TimestampType, value-preserving
+    * because every session pins spark.sql.session.timeZone=UTC. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast("timestamp"))
+    case _ => df
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
 

@@ -51,7 +51,7 @@ object StreamingOps {
     * boundaries or arrival order. */
   def streamingHourly(s: SparkSession, d: String): DataFrame = {
     val src = tableStream(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
     val agg = src
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
@@ -126,7 +126,7 @@ object StreamingOps {
     * `flatMapGroupsWithState` path hash-oracle-checkable. */
   def streamingSessionizeQuery(s: SparkSession, d: String): DataFrame = {
     val src = tableStream(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
     val name = "stream_sess_" + UUID.randomUUID().toString.replace("-", "")
     val q = streamingSessionize(s, src).writeStream
       .outputMode(OutputMode.Append)
@@ -160,7 +160,7 @@ object StreamingOps {
     * watermark semantics themselves under the hash gate. */
   def streamingLateHourlyQuery(s: SparkSession, d: String): DataFrame = {
     val src = tableStream(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
     val name = "stream_late_" + UUID.randomUUID().toString.replace("-", "")
     val q = lateHourlyAgg(src).writeStream
       .outputMode(OutputMode.Append)
@@ -220,7 +220,7 @@ object StreamingOps {
     * which is what makes a stream-stream join hash-oracle-checkable. */
   def streamingJoinQuery(s: SparkSession, d: String): DataFrame = {
     val src = tableStream(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")

@@ -522,6 +522,62 @@ object TextOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Mixture-weighted corpus sampling — the DATA-MIXING stage of a
+    * training pipeline: each source gets an integer TOKEN budget
+    * (linear mixture weight `n-rnk+1` over sources ranked by name,
+    * share of `totalBudget` in exact BIGINT arithmetic — no floats
+    * near the floor boundary), and docs are admitted per source in
+    * deterministic hash order ([[stratifiedSample]]'s seeded-md5
+    * ordering) while the running whitespace-token total stays within
+    * budget. The output is the sampled mixture with each doc's running
+    * token position, ready for [[sequencePack]].
+    *
+    * Scale shape: the naive form is a per-source token cumsum over the
+    * WHOLE corpus — a window whose per-source partitions are
+    * corpus-sized at 100 TB. Instead (1) one aggregation builds a
+    * (source × 256 hash-prefix-bucket) token histogram; (2) a window
+    * over that tiny table keeps, per source, only the buckets whose
+    * preceding cumulative total is under budget — every admitted doc
+    * must live there, since bucket order is a prefix of hash order;
+    * (3) the corpus is pruned to those buckets by a broadcast
+    * equi-join (map-side) and the exact admission cumsum runs over the
+    * PRUNED set, whose token mass is budget-bounded (≤ budget + one
+    * boundary bucket per source) — output-sized, not corpus-sized.
+    * Bucket-prefix refinement keeps the pruned cumsum bit-identical to
+    * the naive single-window form the oracle states. */
+  def domainMix(s: SparkSession, d: String, totalBudget: Long = 10000L): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("hk", md5(concat(lit("mix-"), col("doc_id").cast("string"))))
+      .withColumn("bucket", expr("CAST(conv(substring(hk, 1, 2), 16, 10) AS INT)"))
+      .select(col("doc_id"), col("source"), col("hk"), col("bucket"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+    // |sources| rows — the two global windows below run over a table
+    // that is tiny by construction (the source dimension), never the corpus
+    val budgets = base.select("source").distinct()
+      .withColumn("rnk", dense_rank().over(Window.orderBy("source")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("budget",
+        expr(s"(${totalBudget}L * (n - rnk + 1)) div ((n * (n + 1)) div 2)"))
+      .select("source", "budget")
+    val wHist = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val candBuckets = base.groupBy("source", "bucket")
+      .agg(sum("n_tok").as("bsum"))
+      .withColumn("cum_before", coalesce(sum(col("bsum")).over(wHist), lit(0L)))
+      .join(budgets, "source")
+      .filter(col("cum_before") < col("budget"))
+      .select("source", "bucket")
+    val wCum = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(candBuckets), Seq("source", "bucket"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(wCum))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_tok") <= col("budget"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"),
+        col("budget"))
+      .orderBy(col("source"), col("cum_tok"), col("doc_id"))
+  }
+
   /** HYBRID search via reciprocal-rank fusion (RRF) — the
     * lexical+vector retrieval every production RAG stack serves:
     * per query doc (doc_id < nq, its embedding row-aligned by id),
@@ -748,6 +804,7 @@ object TextOps {
     "doc_split"         -> ((s, d) => docSplit(s, d)),
     "text_scrub"        -> ((s, d) => textScrub(s, d)),
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "domain_mix"        -> ((s, d) => domainMix(s, d)),
     "contamination_scan" -> ((s, d) => contaminationScan(s, d)),
     "hybrid_rrf"        -> ((s, d) => hybridRrf(s, d)),
     "hybrid_bm25"       -> ((s, d) => hybridBm25(s, d))
@@ -1045,6 +1102,26 @@ object TextOps {
         |        row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk FROM h)
         |SELECT lang, rk, doc_id, hk FROM r WHERE rk <= 20
         |ORDER BY lang, rk""".stripMargin,
+    // the oracle states the admission cumsum as ONE per-source window
+    // over the corpus — the semantics the bucket-pruned two-pass form
+    // must reproduce exactly
+    "domain_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |             md5('mix-' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |s AS (SELECT DISTINCT source FROM documents),
+        |r AS (SELECT source,
+        |        CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS rnk,
+        |        CAST(count(*) OVER () AS BIGINT) AS n FROM s),
+        |b AS (SELECT source,
+        |        (10000 * (n - rnk + 1)) // ((n * (n + 1)) // 2) AS budget FROM r),
+        |c AS (SELECT t.*,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM t)
+        |SELECT c.source, c.doc_id, c.n_tok, c.cum_tok, b.budget
+        |FROM c JOIN b ON c.source = b.source
+        |WHERE c.cum_tok <= b.budget
+        |ORDER BY c.source, c.cum_tok, c.doc_id""".stripMargin,
     // dedup_clusters' reachability fixpoint + quality_filter's score,
     // collapsed to the per-cluster best row
     "dedup_keep_best" ->

@@ -104,4 +104,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sp.map(_.toSeq).toSeq == alt.map(_.toSeq).toSeq,
       "packing differs across bucketSize choices")
   }
+
+  test("domain_mix: bucket-pruned admission ≡ naive per-source cumsum; budgets bind") {
+    import org.apache.spark.sql.expressions.Window
+    val mix = TextOps.domainMix(spark, d).collect()
+    assert(mix.nonEmpty, "mixture is empty; test is vacuous")
+    // naive reference form: one per-source window cumsum over the whole
+    // corpus (what the oracle states), replayed without bucket pruning
+    val base = graft.Tables.documents(spark, d)
+      .withColumn("hk", md5(concat(lit("mix-"), col("doc_id").cast("string"))))
+      .select(col("doc_id"), col("source"), col("hk"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+    val nSrc = base.select("source").distinct().count()
+    val denom = (nSrc * (nSrc + 1)) / 2
+    val srcRank = base.select("source").distinct().collect()
+      .map(_.getString(0)).sorted.zipWithIndex
+      .map { case (src, i) => src -> (10000L * (nSrc - i)) / denom }.toMap
+    val wCum = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = base.withColumn("cum_tok", sum(col("n_tok")).over(wCum)).collect()
+      .filter(r => r.getAs[Long]("cum_tok") <= srcRank(r.getAs[String]("source")))
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("cum_tok"),
+        srcRank(r.getAs[String]("source"))))
+      .sortBy(t => (t._1, t._4, t._2)).toSeq
+    val got = mix.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(got == naive, "bucket-pruned admission diverges from naive cumsum")
+    // non-vacuity of the budget: at least one source must have excluded
+    // docs (otherwise the filter never binds and the test proves nothing)
+    val admitted = mix.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val totals = base.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals.exists { case (src, n) => admitted.getOrElse(src, 0) < n },
+      "no source was budget-limited; fixture makes the admission vacuous")
+  }
 }

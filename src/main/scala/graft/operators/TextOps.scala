@@ -551,27 +551,29 @@ object TextOps {
       .withColumn("bucket", expr("CAST(conv(substring(hk, 1, 2), 16, 10) AS INT)"))
       .select(col("doc_id"), col("source"), col("hk"), col("bucket"),
         expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
-    // |sources| rows — the two global windows below run over a table
-    // that is tiny by construction (the source dimension), never the corpus
-    val budgets = base.select("source").distinct()
-      .withColumn("rnk", dense_rank().over(Window.orderBy("source")).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("budget",
-        expr(s"(${totalBudget}L * (n - rnk + 1)) div ((n * (n + 1)) div 2)"))
-      .select("source", "budget")
+    // budgets AND bucket pruning decorate the SAME (source × bucket)
+    // histogram — ONE aggregation scan of the corpus; dense_rank ties
+    // give every bucket row of a source the same source rank, so no
+    // separate source dimension table (and no subplan recomputation —
+    // a distinct budgets DataFrame referenced twice cost two extra
+    // corpus scans). The global-order windows below run over the
+    // |sources|·256-row histogram, never the corpus.
+    val wSrc = Window.orderBy("source")
     val wHist = Window.partitionBy("source").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val candBuckets = base.groupBy("source", "bucket")
       .agg(sum("n_tok").as("bsum"))
+      .withColumn("rnk", dense_rank().over(wSrc).cast("long"))
+      .withColumn("n", max(col("rnk")).over(Window.partitionBy()))
+      .withColumn("budget",
+        expr(s"(${totalBudget}L * (n - rnk + 1)) div ((n * (n + 1)) div 2)"))
       .withColumn("cum_before", coalesce(sum(col("bsum")).over(wHist), lit(0L)))
-      .join(budgets, "source")
       .filter(col("cum_before") < col("budget"))
-      .select("source", "bucket")
+      .select("source", "bucket", "budget")
     val wCum = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.join(broadcast(candBuckets), Seq("source", "bucket"))
       .withColumn("cum_tok", sum(col("n_tok")).over(wCum))
-      .join(broadcast(budgets), "source")
       .filter(col("cum_tok") <= col("budget"))
       .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"),
         col("budget"))

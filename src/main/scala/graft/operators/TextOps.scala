@@ -580,6 +580,36 @@ object TextOps {
       .orderBy(col("source"), col("cum_tok"), col("doc_id"))
   }
 
+  /** Deterministic global shuffle + sharding — the manifest the
+    * shard-writing step of a pretraining pipeline materializes: every
+    * doc gets a seeded shuffle key, a shard (16-bit hash prefix mod
+    * `nShards` — uniform), and its training-order position within the
+    * shard; per-shard doc/token totals ride along so the writer can
+    * size output files. A global training-order permutation as ONE
+    * sequence would need a corpus-sized global sort; sharding is how
+    * production pipelines factor it — readers interleave shards, and
+    * the permutation is (shard, pos), both computable with one hash
+    * shuffle and per-shard windows. `nShards` is the parallelism knob:
+    * per-shard partitions are |corpus|/nShards, so at 100 TB you raise
+    * nShards (1e5 shards → ~1 GB windows), never the partition size.
+    * Pure function of the corpus: reproducible, no RNG state. */
+  def shardManifest(s: SparkSession, d: String, nShards: Int = 16): DataFrame = {
+    val wPos = Window.partitionBy("shard").orderBy(col("hk"), col("doc_id"))
+    val wShard = Window.partitionBy("shard")
+    Tables.documents(s, d)
+      .withColumn("hk", md5(concat(lit("shard-"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(hk, 1, 4), 16, 10) AS BIGINT) % $nShards"))
+      .select(col("doc_id"), col("hk"), col("shard"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .withColumn("shard_docs", count(lit(1)).over(wShard))
+      .withColumn("shard_toks", sum(col("n_tok")).over(wShard))
+      .select(col("shard"), col("pos"), col("doc_id"), col("n_tok"),
+        col("shard_docs"), col("shard_toks"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** HYBRID search via reciprocal-rank fusion (RRF) — the
     * lexical+vector retrieval every production RAG stack serves:
     * per query doc (doc_id < nq, its embedding row-aligned by id),
@@ -807,6 +837,7 @@ object TextOps {
     "text_scrub"        -> ((s, d) => textScrub(s, d)),
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "domain_mix"        -> ((s, d) => domainMix(s, d)),
+    "shard_manifest"    -> ((s, d) => shardManifest(s, d)),
     "contamination_scan" -> ((s, d) => contaminationScan(s, d)),
     "hybrid_rrf"        -> ((s, d) => hybridRrf(s, d)),
     "hybrid_bm25"       -> ((s, d) => hybridBm25(s, d))
@@ -1124,6 +1155,17 @@ object TextOps {
         |FROM c JOIN b ON c.source = b.source
         |WHERE c.cum_tok <= b.budget
         |ORDER BY c.source, c.cum_tok, c.doc_id""".stripMargin,
+    "shard_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |             md5('shard-' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |s AS (SELECT *, CAST(('0x' || substr(hk, 1, 4)) AS BIGINT) % 16 AS shard FROM t)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS BIGINT) AS pos,
+        |  doc_id, n_tok,
+        |  CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_docs,
+        |  CAST(sum(n_tok) OVER (PARTITION BY shard) AS BIGINT) AS shard_toks
+        |FROM s ORDER BY shard, pos""".stripMargin,
     // dedup_clusters' reachability fixpoint + quality_filter's score,
     // collapsed to the per-cluster best row
     "dedup_keep_best" ->

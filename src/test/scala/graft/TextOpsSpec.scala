@@ -139,4 +139,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(totals.exists { case (src, n) => admitted.getOrElse(src, 0) < n },
       "no source was budget-limited; fixture makes the admission vacuous")
   }
+
+  test("shard_manifest: positions dense per shard, totals consistent, all docs covered") {
+    val m = TextOps.shardManifest(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(m.nonEmpty)
+    val nDocs = graft.Tables.documents(spark, d).count()
+    assert(m.length == nDocs, "manifest must cover every doc exactly once")
+    assert(m.map(_._3).distinct.length == nDocs, "doc_id must be unique")
+    val byShard = m.groupBy(_._1)
+    assert(byShard.size > 1, "fixture landed in one shard; test is vacuous")
+    byShard.foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not dense 1..n")
+      assert(rows.forall(_._5 == rows.length), s"shard $shard shard_docs wrong")
+      assert(rows.forall(_._6 == rows.map(_._4).sum), s"shard $shard shard_toks wrong")
+    }
+  }
 }

@@ -45,11 +45,12 @@ object FixtureGen {
   private val Src = "/root/testdata/sf0.1"
 
   def tables(s: SparkSession): Map[String, DataFrame] = {
-    // events.ts is TIMESTAMP(NANOS) in the driver's parquet, which
-    // Spark 4 refuses as a timestamp — read nanos as BIGINT (same as
-    // Tables.events) and WRITE them as BIGINT: Spark cannot write
-    // nanos timestamps, and Tables.events' `timestamp_micros(ts div
-    // 1000)` reads either form identically.
+    // events.ts passes through VERBATIM in whatever physical type the
+    // driver fixture carries — BIGINT nanos (older TIMESTAMP(NANOS)
+    // vintage, via the legacy flag) or timestamp[us] (newer vintage).
+    // Tables.normalizeTs folds either written form to identical µs
+    // TimestampType values, so sf1 consumers are vintage-agnostic;
+    // the events fingerprint is vintage-specific (FINGERPRINTS.txt).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def rd(name: String) = s.read.parquet(s"$Src/$name.parquet")
     val rep = broadcast(s.range(0, Replicas).select(col("id").cast("int").as("r")))

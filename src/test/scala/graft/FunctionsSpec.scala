@@ -139,4 +139,28 @@ class FunctionsSpec extends AnyFunSuite {
       assert(got.toSeq == want.toSeq, s"n=$n k=$k")
     }
   }
+
+  test("Tables.normalizeTs folds every fixture vintage to the same µs timestamps") {
+    // every events consumer (batch + streaming) routes through this
+    // helper; the driver fixtures have switched physical type once
+    // already (TIMESTAMP(NANOS) → timestamp[us]), so pin all three
+    // branches: BIGINT nanos, TIMESTAMP_NTZ, and already-TimestampType
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import spark.implicits._
+    val nanos = 1704067200123456789L // 2024-01-01T00:00:00.123456789
+    val asLong = Seq(nanos).toDF("ts")
+    val asNtz = spark.sql(
+      s"SELECT make_timestamp_ntz(2024, 1, 1, 0, 0, 0.123456) AS ts")
+    val asTs = spark.sql(
+      s"SELECT timestamp_micros(${nanos / 1000}) AS ts")
+    val outs = Seq(asLong, asNtz, asTs).map { df =>
+      val out = graft.Tables.normalizeTs(df)
+      assert(out.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"from ${df.schema("ts").dataType}")
+      out.select(unix_micros(col("ts"))).head().getLong(0)
+    }
+    assert(outs.distinct.size == 1,
+      s"vintages disagree on the instant: $outs")
+    assert(outs.head == nanos / 1000, "nanos must truncate to µs (DuckDB parity)")
+  }
 }

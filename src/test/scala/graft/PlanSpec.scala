@@ -177,4 +177,35 @@ class PlanSpec extends AnyFunSuite {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnlj <= 2, s"pair generation fell back to nested-loop join:\n$p")
   }
+
+  test("domain_mix: admission window reads the broadcast-pruned candidate set") {
+    // scale contract: the corpus-side join against the candidate
+    // buckets must be a broadcast hash join (the histogram-derived
+    // bucket list is tiny), the admission window must be partitioned
+    // by source (never global), and no cartesian may appear; the
+    // global-order windows (dense_rank over sources) are allowed only
+    // on the histogram branch, which single-partitions a
+    // |sources|·256-row table, not the corpus
+    val p = plan(TextOps.domainMix(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate-bucket prune is not a broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in domain_mix:\n$p")
+    assert(p.contains("windowspecdefinition(source"),
+      s"admission window is not source-partitioned:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join crept into domain_mix:\n$p")
+  }
+
+  test("shard_manifest: one hash shuffle, per-shard windows, no global sort before output") {
+    val p = plan(TextOps.shardManifest(spark, d))
+    // the permutation is (shard, pos) by construction — the plan must
+    // not contain a single-partition exchange (a global sort/window
+    // would be a corpus-sized funnel at 100 TB); the final
+    // presentation orderBy is a range exchange, which is fine
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-partition stage in shard_manifest:\n$p")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"windows are not shard-partitioned:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in shard_manifest:\n$p")
+  }
 }

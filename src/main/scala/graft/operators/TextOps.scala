@@ -580,6 +580,36 @@ object TextOps {
       .orderBy(col("source"), col("cum_tok"), col("doc_id"))
   }
 
+  /** The composed end-to-end training manifest — [[domainMix]]'s
+    * budgeted mixture admission chained into [[sequencePack]]'s
+    * concat-and-chop packing, the two-stage pipeline a pretraining
+    * run actually executes (mix to target weights, then pack to
+    * fixed-capacity chunks). The packing order is the admission order
+    * (source rank, then per-source hash order), and the global token
+    * offset costs NOTHING extra: domain_mix already computed the
+    * per-source running total (`cum_tok`), so the global offset is
+    * just `source_offset + cum_tok - n_tok`, where source_offset is a
+    * running sum over the |sources|-row per-source-totals table — the
+    * same two-level prefix-sum shape as sequence_pack, with
+    * domain_mix's window as the already-paid level one. Admitted rows
+    * are budget-bounded by construction, so every post-admission
+    * stage is output-sized. */
+  def trainingManifest(s: SparkSession, d: String,
+                       totalBudget: Long = 10000L, capacity: Int = 512): DataFrame = {
+    val mix = domainMix(s, d, totalBudget)
+    val wOff = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    val srcOff = mix.groupBy("source").agg(max(col("cum_tok")).as("stot"))
+      .withColumn("soff", coalesce(sum(col("stot")).over(wOff), lit(0L)))
+      .select(col("source"), col("soff"))
+    mix.join(broadcast(srcOff), "source")
+      .withColumn("tok_start", col("soff") + col("cum_tok") - col("n_tok"))
+      .withColumn("chunk_first", expr(s"tok_start div $capacity"))
+      .withColumn("chunk_last", expr(s"(tok_start + n_tok - 1) div $capacity"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("tok_start"),
+        col("chunk_first"), col("chunk_last"))
+      .orderBy(col("tok_start"))
+  }
+
   /** Deterministic global shuffle + sharding — the manifest the
     * shard-writing step of a pretraining pipeline materializes: every
     * doc gets a seeded shuffle key, a shard (16-bit hash prefix mod
@@ -838,6 +868,7 @@ object TextOps {
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "domain_mix"        -> ((s, d) => domainMix(s, d)),
     "shard_manifest"    -> ((s, d) => shardManifest(s, d)),
+    "training_manifest" -> ((s, d) => trainingManifest(s, d)),
     "contamination_scan" -> ((s, d) => contaminationScan(s, d)),
     "hybrid_rrf"        -> ((s, d) => hybridRrf(s, d)),
     "hybrid_bm25"       -> ((s, d) => hybridBm25(s, d))
@@ -1155,6 +1186,34 @@ object TextOps {
         |FROM c JOIN b ON c.source = b.source
         |WHERE c.cum_tok <= b.budget
         |ORDER BY c.source, c.cum_tok, c.doc_id""".stripMargin,
+    // domain_mix's CTE chain extended by the two-level offset: the
+    // oracle states the whole composed pipeline in one statement
+    "training_manifest" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |             md5('mix-' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |s AS (SELECT DISTINCT source FROM documents),
+        |r AS (SELECT source,
+        |        CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS rnk,
+        |        CAST(count(*) OVER () AS BIGINT) AS n FROM s),
+        |b AS (SELECT source,
+        |        (10000 * (n - rnk + 1)) // ((n * (n + 1)) // 2) AS budget FROM r),
+        |c AS (SELECT t.*,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM t),
+        |m AS (SELECT c.source, c.doc_id, c.n_tok, c.cum_tok
+        |      FROM c JOIN b ON c.source = b.source WHERE c.cum_tok <= b.budget),
+        |st AS (SELECT source, max(cum_tok) AS stot FROM m GROUP BY source),
+        |o AS (SELECT source,
+        |        CAST(COALESCE(sum(stot) OVER (ORDER BY source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS soff
+        |      FROM st)
+        |SELECT m.source, m.doc_id, m.n_tok,
+        |  o.soff + m.cum_tok - m.n_tok AS tok_start,
+        |  (o.soff + m.cum_tok - m.n_tok) // 512 AS chunk_first,
+        |  (o.soff + m.cum_tok - 1) // 512 AS chunk_last
+        |FROM m JOIN o ON m.source = o.source
+        |ORDER BY tok_start""".stripMargin,
     "shard_manifest" ->
       """WITH t AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -140,6 +140,27 @@ class TextOpsSpec extends AnyFunSuite {
       "no source was budget-limited; fixture makes the admission vacuous")
   }
 
+  test("training_manifest: offsets replay as one contiguous token stream over the admitted mix") {
+    val tm = TextOps.trainingManifest(spark, d).collect()
+    assert(tm.nonEmpty)
+    // the composed pipeline must pack EXACTLY the admitted mixture
+    val admitted = TextOps.domainMix(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(tm.map(r => r.getString(0) -> r.getLong(1)).toSet == admitted,
+      "packed set differs from the admitted mixture")
+    // replay: tok_start must be the running total in output order, and
+    // chunk bounds must follow from it at capacity 512
+    var run = 0L
+    tm.foreach { r =>
+      val (nTok, tokStart) = (r.getLong(2), r.getLong(3))
+      assert(tokStart == run, s"doc ${r.getLong(1)} tok_start $tokStart != $run")
+      assert(r.getLong(4) == tokStart / 512)
+      assert(r.getLong(5) == (tokStart + nTok - 1) / 512)
+      run += nTok
+    }
+    assert(run / 512 >= 2, "fewer than 3 chunks; capacity invariants are vacuous")
+  }
+
   test("shard_manifest: positions dense per shard, totals consistent, all docs covered") {
     val m = TextOps.shardManifest(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

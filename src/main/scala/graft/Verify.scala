@@ -56,7 +56,13 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // In filtered (dev) mode write to a suffixed name: a partial run
+    // must never clobber a full verification artifact in the same
+    // outDir — a later DuckDB compare over oracle_sql.json would
+    // silently skip every unfiltered query.
+    val oracleName =
+      if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleName"), json)
     spark.stop()
   }
 }

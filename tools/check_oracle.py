@@ -1,15 +1,25 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
 
 Reads each <name>/ parquet result written by graft.Verify, runs the
 matching SQL from oracle_sql.json in DuckDB against the fixture parquet
 tables, and compares: schema (column names, sorted), row count, and
 values (exact for ints/strings, bitwise for floats; also reports the
 max abs diff when floats mismatch).
+
+With a third argument, also writes a machine-readable per-query record
+(the driver-gate-shaped artifact) to that path — so a full local gate
+run leaves a committable CORRECTNESS_local_rN.json even if the driver's
+own artifact fails to materialize (the round-6 incident: the driver
+wrote a literal `{}` and the round carried no signed correctness row).
+
+Falls back to oracle_sql.partial.json when oracle_sql.json is absent
+(a filtered graft.Verify dev run writes the suffixed name so it cannot
+shadow a full artifact).
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -17,6 +27,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
@@ -33,23 +44,43 @@ def main():
                     f"FROM '{src}'")
         else:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    oracle_path = f"{out_dir}/oracle_sql.json"
+    if not os.path.exists(oracle_path):
+        oracle_path = f"{out_dir}/oracle_sql.partial.json"
+    oracle = json.load(open(oracle_path))
     fails = 0
+    record = {}
+
+    def rec(name, ok, rows=None, reason=None):
+        record[name] = {"ok": ok}
+        if rows is not None:
+            record[name]["rows"] = rows
+        if reason is not None:
+            record[name]["reason"] = reason
+
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark result parquet"); fails += 1; continue
+            print(f"FAIL {name}: no spark result parquet")
+            rec(name, False, reason="no spark result parquet")
+            fails += 1; continue
         got = con.sql(f"SELECT * FROM '{files[0]}'").df()
         try:
             want = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            rec(name, False, reason=f"oracle SQL error: {e}")
+            fails += 1; continue
         gc, wc = sorted(got.columns), sorted(want.columns)
         if gc != wc:
-            print(f"FAIL {name}: schema {gc} != {wc}"); fails += 1; continue
+            print(f"FAIL {name}: schema {gc} != {wc}")
+            rec(name, False, reason=f"schema {gc} != {wc}")
+            fails += 1; continue
         got, want = got[gc], want[wc]
         if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} != {len(want)}"); fails += 1; continue
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            rec(name, False, reason=f"rows {len(got)} != {len(want)}")
+            fails += 1; continue
         # The driver sorts rows via pandas sort_values over all columns
         # before hashing — which raises TypeError on non-empty ARRAY
         # columns (unhashable ndarray). Mimic it exactly so an
@@ -59,6 +90,7 @@ def main():
             want = want.sort_values(by=wc, kind="mergesort").reset_index(drop=True)
         except TypeError as e:
             print(f"FAIL {name}: driver-style sort errs (gate would record err): {e}")
+            rec(name, False, reason=f"driver-style sort errs: {e}")
             fails += 1; continue
         # compare row-by-row in sorted order
         def norm(v):
@@ -84,9 +116,24 @@ def main():
                     ok = False; bad_col = c; break
         if ok:
             print(f"PASS {name}: {len(got)} rows")
+            rec(name, True, rows=len(got))
         else:
             print(f"FAIL {name}: value mismatch col={bad_col} max_abs_diff={max_diff}")
+            rec(name, False, rows=len(got),
+                reason=f"value mismatch col={bad_col} max_abs_diff={max_diff}")
             fails += 1
+    if json_out:
+        summary = {
+            "gate": "local builder-side gate (tools/check_oracle.py)",
+            "sf_dir": sf_dir,
+            "n_queries": len(record),
+            "n_pass": sum(1 for r in record.values() if r["ok"]),
+            "n_fail": fails,
+            "queries": record,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}: {summary['n_pass']}/{summary['n_queries']} pass")
     sys.exit(1 if fails else 0)
 
 if __name__ == "__main__":

@@ -402,6 +402,27 @@ class AnnSpec extends AnyFunSuite {
       f"approx-index walk lost too much vs exact-index walk: $rec%.3f vs $recExactIdx%.3f")
   }
 
+  test("semantic_dedup: cell count scales as n/cellSize; candidate mass stays linear") {
+    import graft.operators.Similarity
+    val n = graft.Tables.embeddings(spark, d).count()
+    Seq(16, 64).foreach { cs =>
+      val sizes = Similarity.semanticCells(spark, d, cs)
+        .groupBy("cell").count().collect().map(_.getLong(1))
+      // the level-2 inner equi-join must drop no vector (the
+      // every-winning-coarse-cell-has-a-fine-seed argument)
+      assert(sizes.sum == n, s"cellSize=$cs: assignment dropped vectors (${sizes.sum} of $n)")
+      // structural cell count: stride seeding gives ⌈n/cellSize⌉ seeds;
+      // at least half must win non-empty cells for the bound to bite
+      val k = sizes.length.toLong
+      assert(k >= n / cs / 2, s"cellSize=$cs: only $k cells for $n vectors")
+      // the candidate join is Σ|cell|² — the r6 scale-killer was this
+      // going O(n²/k); pin it to a small factor of the linear n·cellSize
+      val sumSq = sizes.map(c => c * c).sum
+      assert(sumSq <= 4L * n * cs,
+        s"cellSize=$cs: candidate mass $sumSq exceeds 4·n·cellSize=${4L * n * cs}")
+    }
+  }
+
   test("semantic_dedup: drops are true within-cell eps-neighbors, subset of the global eps-join") {
     import graft.operators.Similarity
     val sd = Similarity.semanticDedup(spark, d).collect()

@@ -168,14 +168,40 @@ class PlanSpec extends AnyFunSuite {
       s"more than one single-partition exchange (corpus-sized window crept in):\n$p")
   }
 
-  test("semantic_dedup: broadcast codebook assignment, equi-join pair stage") {
+  test("semantic_dedup: broadcast seed assignment, equi-join refine and pair stages") {
+    // scale contract of the two-level stride-seeded form, pinned on
+    // the assignment subplan: the only nested-loop joins allowed are
+    // the two COARSE-seed broadcasts (corpus × n/cellSize² seeds,
+    // fine-seeds × coarse-seeds); the level-2 refinement must be an
+    // equi-join on ccell — the fine codebook is corpus-scaled and
+    // must never be crossed against the corpus
+    val pa = plan(Similarity.semanticCells(spark, d, 64))
+    assert(!pa.contains("CartesianProduct"), s"cartesian in the assignment:\n$pa")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(pa).size
+    assert(bnlj <= 2, s"a corpus-scaled join fell back to nested-loop:\n$pa")
+    // the dedup phase reads the MATERIALIZED assignment (both pair
+    // sides reference it; unchecked, the whole assignment planned
+    // twice) and pairs via a cell equi-join
     val p = plan(Similarity.semanticDedup(spark, d))
     assert(!p.contains("CartesianProduct"), s"cartesian in semantic_dedup:\n$p")
-    // the pair stage must be a cell equi-join (hash or sort-merge on
-    // cell), never a nested-loop over the corpus pair space; the only
-    // nested-loop allowed is the broadcast codebook crossJoin
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnlj <= 2, s"pair generation fell back to nested-loop join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"assignment subplan planned into the dedup phase (diamond unbroken):\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"no materialized-assignment scan in semantic_dedup:\n$p")
+  }
+
+  test("training_manifest: the mix diamond is materialized, not planned twice") {
+    // srcOff aggregates the same mix the manifest joins back to;
+    // without the localCheckpoint Catalyst plans the whole mix subplan
+    // (two corpus scans each) TWICE — measured 4 FileScans, zero
+    // ReusedExchange. The checkpoint pins the contract: the final plan
+    // reads the budget-bounded materialized mix, no corpus scan left
+    val p = plan(TextOps.trainingManifest(spark, d))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0,
+      s"mix subplan planned into the manifest ($scans corpus scans — diamond unbroken):\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"no materialized-mix scan found in training_manifest plan:\n$p")
   }
 
   test("domain_mix: admission window reads the broadcast-pruned candidate set") {
@@ -190,8 +216,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"candidate-bucket prune is not a broadcast join:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in domain_mix:\n$p")
-    assert(p.contains("windowspecdefinition(source"),
-      s"admission window is not source-partitioned:\n$p")
+    // match the ADMISSION window specifically (partition by source,
+    // order by hk, doc_id) — the bare "windowspecdefinition(source"
+    // prefix is also satisfied by the histogram branch's bucket
+    // window, which would let the admission window silently lose its
+    // source partitioning
+    assert("windowspecdefinition\\(source#\\d+, hk#\\d+ ASC".r.findFirstIn(p).isDefined,
+      s"admission window is not (partition by source, order by hk, ...):\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"corpus-sized shuffle join crept into domain_mix:\n$p")
   }

@@ -105,6 +105,24 @@ class TextOpsSpec extends AnyFunSuite {
       "packing differs across bucketSize choices")
   }
 
+  test("sequence_pack: derived bucketSize √-balances both prefix-sum levels") {
+    // the scale contract of the auto knob: at n docs, neither the
+    // per-bucket windows (≈bucketSize rows) nor the single-task
+    // bucket-totals table (⌈n/bucketSize⌉ rows) may exceed
+    // max(64, ⌈√n⌉) — i.e. no level inherits a corpus-proportional
+    // partition as n grows (the r6 fixed-default hazard)
+    Seq(1L, 500L, 4096L, 1000000L, 10000000000L).foreach { n =>
+      val bs = TextOps.autoBucketSize(n)
+      val bound = math.max(64L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      assert(bs <= bound, s"n=$n: bucketSize $bs above the √ bound $bound")
+      val totalsRows = (n + bs - 1) / bs
+      assert(totalsRows <= bound + 1,
+        s"n=$n: bucket-totals table $totalsRows rows exceeds the √ bound $bound")
+    }
+    assert(TextOps.autoBucketSize(500L) == 64,
+      "fixture-scale derivation changed — bench comparability broken")
+  }
+
   test("domain_mix: bucket-pruned admission ≡ naive per-source cumsum; budgets bind") {
     import org.apache.spark.sql.expressions.Window
     val mix = TextOps.domainMix(spark, d).collect()

@@ -860,6 +860,61 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** RAG-style overlapping CHUNKING — the retrieval-side twin of
+    * [[sequencePack]]: each document is cut into `width`-token windows
+    * every `stride` tokens (overlap = width − stride keeps boundary
+    * context retrievable), the unit an embedding/RAG pipeline indexes
+    * instead of whole documents. Chunk starts are 0, stride, 2·stride…
+    * while the start is inside the document, so every token is covered
+    * and the final chunk may run short — ⌊(n−1)/stride⌋+1 chunks per
+    * non-empty doc, all integer arithmetic.
+    *
+    * Scale shape: a pure per-doc flatMap (transform+explode over a
+    * sequence) — NO shuffle anywhere in the operator; output is
+    * ~n_tok/stride rows per doc with the chunk text sliced and
+    * re-joined in the same projection. At 100 TB this is the
+    * map-only stage it must be; the only exchange in the declared
+    * plan is the presentation sort. */
+  def docChunk(s: SparkSession, d: String,
+               width: Int = 64, stride: Int = 48): DataFrame =
+    toks(s, d)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, (size(toks) - 1) div $stride)")).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("tok_start"),
+        expr(s"slice(toks, chunk_idx * $stride + 1, $width)").as("ctoks"))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("tok_start"),
+        size(col("ctoks")).cast("long").as("n_tok"),
+        concat_ws(" ", col("ctoks")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Adjacent-pair merge statistics — the table a BPE-family tokenizer
+    * trainer consumes: corpus-wide counts of adjacent (token, token)
+    * pairs, ranked (count desc, pair asc); the top row IS the first
+    * merge a trainer would perform, and re-running after a merge is
+    * the training loop. Declared at word level over the whitespace
+    * tokens (the fixture corpus' symbol alphabet); the character-level
+    * variant is the same plan over exploded chars.
+    *
+    * Scale shape: per-doc pair explosion is a map-only flatMap; ONE
+    * hash shuffle of (a, b) partial counts (map-side combine makes
+    * wire traffic vocabulary²-bounded, not corpus-bounded — pair
+    * cardinality, like word cardinality, saturates while the corpus
+    * grows); the top-k is orderBy+limit → TakeOrderedAndProject,
+    * never a global sort. */
+  def bpePairStats(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    toks(s, d)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i+1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(k)
+
   /** √-balanced bucket size for [[sequencePack]]'s two-level prefix
     * sum: both levels see max(64, ⌈√n⌉) rows per partition. */
   private[graft] def autoBucketSize(nDocs: Long): Int =
@@ -893,6 +948,8 @@ object TextOps {
     "domain_mix"        -> ((s, d) => domainMix(s, d)),
     "shard_manifest"    -> ((s, d) => shardManifest(s, d)),
     "training_manifest" -> ((s, d) => trainingManifest(s, d)),
+    "doc_chunk"         -> ((s, d) => docChunk(s, d)),
+    "bpe_pair_stats"    -> ((s, d) => bpePairStats(s, d)),
     "contamination_scan" -> ((s, d) => contaminationScan(s, d)),
     "hybrid_rrf"        -> ((s, d) => hybridRrf(s, d)),
     "hybrid_bm25"       -> ((s, d) => hybridBm25(s, d))
@@ -1176,6 +1233,23 @@ object TextOps {
          |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
          |SELECT l.doc_id, l.cluster_id, s2.cluster_size
          |FROM lab l JOIN szs s2 USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
+    "doc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) > 0),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, (len(toks) - 1) // 48)) AS chunk_idx
+        |      FROM t)
+        |SELECT doc_id, chunk_idx, chunk_idx * 48 AS tok_start,
+        |  len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS n_tok,
+        |  array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "bpe_pair_stats" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |               i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS pr
+        |      FROM t WHERE len(toks) >= 2)
+        |SELECT pr.a AS a, pr.b AS b, count(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 50""".stripMargin,
     "contamination_scan" ->
       s"""WITH $duckShingles,
          |ee AS (SELECT doc_id, unnest(sh) AS shingle FROM d),

@@ -190,6 +190,23 @@ class PlanSpec extends AnyFunSuite {
       s"no materialized-assignment scan in semantic_dedup:\n$p")
   }
 
+  test("doc_chunk is a pure flatMap; bpe_pair_stats top-k never sorts globally") {
+    // doc_chunk's scale contract: chunking is map-only — the only
+    // exchange allowed is the presentation orderBy's range partition
+    val pc = plan(TextOps.docChunk(spark, d))
+    assert(!pc.contains("Exchange hashpartitioning"),
+      s"doc_chunk grew a shuffle:\n$pc")
+    assert(!pc.contains("Join"), s"doc_chunk grew a join:\n$pc")
+    // bpe_pair_stats: one hash shuffle of partial pair counts, then
+    // TakeOrderedAndProject — a global Sort of the pair table would
+    // be a vocabulary²-sized sort for a 50-row answer
+    val pb = plan(TextOps.bpePairStats(spark, d))
+    assert(pb.contains("TakeOrderedAndProject"),
+      s"bpe top-k is not TakeOrderedAndProject:\n$pb")
+    assert("partial_count".r.findFirstIn(pb).isDefined,
+      s"pair counting lost its map-side combine:\n$pb")
+  }
+
   test("training_manifest: the mix diamond is materialized, not planned twice") {
     // srcOff aggregates the same mix the manifest joins back to;
     // without the localCheckpoint Catalyst plans the whole mix subplan

@@ -105,6 +105,45 @@ class TextOpsSpec extends AnyFunSuite {
       "packing differs across bucketSize choices")
   }
 
+  test("doc_chunk: chunks tile every document with the declared width/stride") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val chunks = TextOps.docChunk(spark, d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(chunks.keySet == docs.filter(_._2.nonEmpty).keySet,
+      "chunked doc set differs from the non-empty corpus")
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id).length
+      cs.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i, s"doc $id: chunk indices not dense")
+        val start = r.getLong(2)
+        assert(start == i * 48L, s"doc $id chunk $i: start $start != ${i * 48}")
+        val len = r.getLong(3)
+        assert(len == math.min(64L, n - start), s"doc $id chunk $i: bad length $len")
+        assert(r.getString(4) == docs(id).slice(start.toInt, (start + len).toInt).mkString(" "),
+          s"doc $id chunk $i: text mismatch")
+      }
+      // full coverage: the last chunk reaches the document's end
+      val last = cs.last
+      assert(last.getLong(2) + last.getLong(3) == n, s"doc $id: tail tokens uncovered")
+    }
+  }
+
+  test("bpe_pair_stats: counts equal a brute-force adjacent-pair recount") {
+    val docs = Tables.documents(spark, d).select("text").collect().map(_.getString(0))
+    val brute = docs.flatMap { t =>
+      val w = t.split(" ", -1); w.dropRight(1).zip(w.drop(1))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top = TextOps.bpePairStats(spark, d).collect()
+    assert(top.length == 50)
+    val expected = brute.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(50)
+    top.zip(expected).foreach { case (r, ((a, b), n)) =>
+      assert((r.getString(0), r.getString(1), r.getLong(2)) == ((a, b, n)),
+        s"rank mismatch: got ${r.toSeq}, want ($a,$b,$n)")
+    }
+  }
+
   test("sequence_pack: derived bucketSize √-balances both prefix-sum levels") {
     // the scale contract of the auto knob: at n docs, neither the
     // per-bucket windows (≈bucketSize rows) nor the single-task

@@ -148,8 +148,58 @@ object Knn {
       .orderBy(col("src"), col("rnk"))
   }
 
+  /** PageRank over the m-NN graph — graph CENTRALITY for data
+    * selection: items central in the neighborhood graph are
+    * representative (keep for coresets), low-rank items are outliers
+    * (candidates for quality review). The m-NN graph is the index
+    * adjacency the engine already materializes ([[knnGraph]] here;
+    * [[Ann]]'s `hnsw_edges_approx` is the same-schema scale path, so
+    * the operator composes with the approximate build unchanged).
+    *
+    * All arithmetic is SCALED-INTEGER (pr values are multiples of
+    * 1e-12 held in BIGINT, floor division throughout), so every
+    * iteration is bit-exact in any execution order and in DuckDB —
+    * the [[graft.operators.Similarity.kmeansIter]] treatment applied
+    * to an iterative graph algorithm. Out-degree is the structural
+    * constant min(m, n−1) of the m-NN graph, so no degree join
+    * exists; dangling mass is impossible. Nodes with in-degree 0
+    * (outliers nobody lists as a neighbor) keep the teleport term via
+    * the left join — exactly the low-rank detection the operator is
+    * for.
+    *
+    * Scale shape: the edge table materializes ONCE (localCheckpoint —
+    * n·m rows); each of the `iters` rounds is one equi-join of edges
+    * against the n-row rank table plus a map-side-combined sum — O(E)
+    * per round, no corpus-sized window, no driver-side state beyond
+    * the two scalars (n, and the checkpoint handles). */
+  def knnPagerank(s: SparkSession, d: String, m: Int = 16,
+                  iters: Int = 3, k: Int = 20): DataFrame = {
+    val Scale = 1000000000000L
+    val e = corpus(s, d)
+    val n = e.count()
+    val od = math.min(m.toLong, n - 1)
+    val tele = 15L * Scale / (100L * n)
+    val edges = BlockKnnJoin.knnGraph(s, e, m)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      .localCheckpoint()
+    val ids = e.select(col("vec_id").as("id"))
+    var pr = ids.select(col("id"), lit(Scale / n).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges.join(pr, edges("src") === pr("id"))
+        .select(col("dst"), expr(s"(85 * pr) div (100 * $od)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      pr = ids.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"), (lit(tele) + coalesce(col("c"), lit(0L))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("id").as("vec_id"), col("pr"))
+      .orderBy(col("pr").desc, col("vec_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_topk"              -> ((s, d) => knnTopK(s, d)),
+    "knn_pagerank"          -> ((s, d) => knnPagerank(s, d)),
     "knn_topk_with_vectors" -> ((s, d) => knnTopKWithVectorsExploded(s, d)),
     "knn_batch"             -> ((s, d) => knnBatch(s, d)),
     "knn_filtered"          -> ((s, d) => knnFiltered(s, d)),
@@ -205,6 +255,32 @@ object Knn {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, e.label, ${distExpr.format("e.v", "q.qv")} AS dist
          |FROM e, q WHERE ${distExpr.format("e.v", "q.qv")} < 1.5
-         |ORDER BY dist, vec_id""".stripMargin
+         |ORDER BY dist, vec_id""".stripMargin,
+    "knn_pagerank" -> knnPagerankOracle(3)
   )
+
+  /** [[knnPagerank]]'s oracle: the knn_graph CTE + `iters` unrolled
+    * scaled-integer rounds (teleport + floor-divided contributions via
+    * LEFT JOIN, the engine's exact arithmetic restated). Out-degree is
+    * the m-NN structural constant least(16, n−1). */
+  private def knnPagerankOracle(iters: Int): String = {
+    val header =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |dd AS (SELECT l.vec_id AS src, r.vec_id AS dst, ${distExpr.format("l.v", "r.v")} AS dist
+         |      FROM e l, e r WHERE l.vec_id <> r.vec_id),
+         |g AS (SELECT src, dst FROM (SELECT src, dst,
+         |        row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk FROM dd)
+         |      WHERE rnk <= 16),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |pr0 AS (SELECT vec_id AS id, 1000000000000 // nn.n AS pr FROM e, nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT g.dst, sum((85 * p.pr) // (100 * least(16, nn.n - 1))) AS c
+         |      FROM g JOIN pr${i - 1} p ON p.id = g.src, nn GROUP BY g.dst),
+         |pr$i AS (SELECT e.vec_id AS id,
+         |          (15 * 1000000000000) // (100 * nn.n) + coalesce(c$i.c, 0) AS pr
+         |        FROM e CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = e.vec_id)""".stripMargin
+    }
+    s"$header,\n${rounds.mkString(",\n")}\n" +
+      s"SELECT id AS vec_id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 20"
+  }
 }

@@ -314,7 +314,10 @@ object TextOps {
     * ≥ 0.5. The banded join is the 100 TB path: signature computation
     * is a map, the join output is candidate-pair sized, and only
     * candidates pay the verification cost. */
-  def minhashLshDedup(s: SparkSession, d: String, theta: Double = 0.5): DataFrame = {
+  /** Shared MinHash-LSH machinery of [[minhashLshDedup]] and
+    * [[crossSplitContamination]]: (banded signature buckets, cached
+    * shingle sets). */
+  private def lshBandsWithShingles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sh = shingled(s, d).select(col("doc_id"), col("sh")).cache()
     // CollapseProject would inline `hs` into all 16 signature lambdas
     // and `sig` into all 4 band keys — recomputing the interpreted
@@ -332,6 +335,11 @@ object TextOps {
                md5(array_join(transform(slice(sig, b*4+1, 4), x -> CAST(x AS STRING)), '-')) AS bk))""")).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
       .cache()
+    (bands, sh)
+  }
+
+  def minhashLshDedup(s: SparkSession, d: String, theta: Double = 0.5): DataFrame = {
+    val (bands, sh) = lshBandsWithShingles(s, d)
     val cand = bands.as("a").join(bands.as("c"),
         col("a.b") === col("c.b") && col("a.bk") === col("c.bk") &&
           col("a.doc_id") < col("c.doc_id"))
@@ -378,7 +386,9 @@ object TextOps {
     * is stable across runs, engines, partitionings and re-shards —
     * the property that keeps a holdout set leak-free when the corpus
     * is rebuilt. Shuffle-free map. */
-  def docSplit(s: SparkSession, d: String): DataFrame =
+  /** [[docSplit]] without the presentation sort — the join-side form
+    * [[crossSplitContamination]] composes. */
+  private def splitAssign(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("bucket",
         expr(hash60.format("concat('split-', CAST(doc_id AS STRING))") + " % 100"))
@@ -387,7 +397,9 @@ object TextOps {
           .when(col("bucket") < 99, lit("val"))
           .otherwise(lit("test")))
       .select(col("doc_id"), col("bucket"), col("split"))
-      .orderBy(col("doc_id"))
+
+  def docSplit(s: SparkSession, d: String): DataFrame =
+    splitAssign(s, d).orderBy(col("doc_id"))
 
   /** TF-IDF top-k terms per document. tf = in-doc term count, df =
     * docs containing the term, score = tf·N/df (a rational idf — no
@@ -502,6 +514,42 @@ object TextOps {
     sh.join(broadcast(probes), sh("shingle") === probes("probe"))
       .select(col("doc_id"), col("probe"))
       .orderBy(col("doc_id"), col("probe"))
+  }
+
+  /** Cross-split DECONTAMINATION scan — the eval-leakage audit a
+    * training pipeline must run before any benchmark claim: every
+    * val/test document that is a MinHash-band near-duplicate of some
+    * TRAIN document, verified with exact shingle Jaccard ≥ `theta`.
+    * Composes [[docSplit]]'s hash-bucketed split with
+    * [[minhashLshDedup]]'s banding — contamination here is NEAR-dup
+    * leakage (paraphrase/boilerplate), the case the exact-overlap
+    * [[contaminationScan]] probe misses.
+    *
+    * Scale shape: the candidate stage is a band-key equi-join of the
+    * ~2%-of-corpus eval band table against the train band table —
+    * output is ~true-leakage-sized, never |eval|×|train|; the exact
+    * Jaccard verify joins shingle sets for candidates only. Same
+    * per-band skew bound as minhash_lsh_dedup (a hot band key is a
+    * hot shingle profile, salted the same way at production scale). */
+  def crossSplitContamination(s: SparkSession, d: String,
+                              theta: Double = 0.5): DataFrame = {
+    val (bands, sh) = lshBandsWithShingles(s, d)
+    val bs = bands.join(splitAssign(s, d).select(col("doc_id"), col("split")), "doc_id")
+    val ev = bs.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_doc"), col("split"), col("b"), col("bk"))
+    val tr = bs.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("b"), col("bk"))
+    val cand = ev.join(tr, Seq("b", "bk"))
+      .select(col("eval_doc"), col("split"), col("train_doc")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("eval_doc"), col("sh").as("sha")), "eval_doc")
+      .join(sh.select(col("doc_id").as("train_doc"), col("sh").as("shb")), "train_doc")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac",
+        col("i").cast("double") / (size(col("sha")) + size(col("shb")) - col("i")))
+      .filter(col("jac") >= theta)
+      .select(col("eval_doc"), col("split"), col("train_doc"), col("jac"))
+      .orderBy(col("eval_doc"), col("train_doc"))
   }
 
   /** Stratified deterministic sampling: the `perLang` docs per
@@ -951,6 +999,7 @@ object TextOps {
     "doc_chunk"         -> ((s, d) => docChunk(s, d)),
     "bpe_pair_stats"    -> ((s, d) => bpePairStats(s, d)),
     "contamination_scan" -> ((s, d) => contaminationScan(s, d)),
+    "cross_split_contamination" -> ((s, d) => crossSplitContamination(s, d)),
     "hybrid_rrf"        -> ((s, d) => hybridRrf(s, d)),
     "hybrid_bm25"       -> ((s, d) => hybridBm25(s, d))
   )
@@ -1250,6 +1299,27 @@ object TextOps {
         |      FROM t WHERE len(toks) >= 2)
         |SELECT pr.a AS a, pr.b AS b, count(*) AS n
         |FROM p GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 50""".stripMargin,
+    "cross_split_contamination" ->
+      s"""WITH $duckShingles,
+         |h AS (SELECT doc_id, list_transform(sh, t -> ${duckHash60.format("t")} % 2147483647) AS hs FROM d),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0,15), i ->
+         |          list_min(list_transform(hs, h -> ((2*i+1)*h + i*7919) % 2147483647))) AS sig FROM h),
+         |bands AS (SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4+1, b*4+4), '-')) AS bk
+         |          FROM sig, (SELECT unnest(generate_series(0,3)) AS b)),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN ${duckHash60.format("concat('split-', CAST(doc_id AS STRING))")} % 100 < 98 THEN 'train'
+         |              WHEN ${duckHash60.format("concat('split-', CAST(doc_id AS STRING))")} % 100 < 99 THEN 'val'
+         |              ELSE 'test' END AS split FROM documents),
+         |bs AS (SELECT bands.doc_id, sp.split, b, bk FROM bands JOIN sp ON sp.doc_id = bands.doc_id),
+         |cand AS (SELECT DISTINCT e.doc_id AS eval_doc, e.split, t.doc_id AS train_doc
+         |         FROM bs e JOIN bs t ON e.b = t.b AND e.bk = t.bk
+         |         WHERE e.split <> 'train' AND t.split = 'train'),
+         |v AS (SELECT eval_doc, split, train_doc,
+         |        len(list_intersect(da.sh, db.sh)) AS i, len(da.sh) AS na, len(db.sh) AS nb
+         |      FROM cand JOIN d da ON da.doc_id = eval_doc JOIN d db ON db.doc_id = train_doc)
+         |SELECT eval_doc, split, train_doc, CAST(i AS DOUBLE)/(na + nb - i) AS jac
+         |FROM v WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5
+         |ORDER BY eval_doc, train_doc""".stripMargin,
     "contamination_scan" ->
       s"""WITH $duckShingles,
          |ee AS (SELECT doc_id, unnest(sh) AS shingle FROM d),

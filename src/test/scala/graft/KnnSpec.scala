@@ -193,6 +193,35 @@ class KnnSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(fast == brute && fast.nonEmpty)
   }
+
+  test("knnPagerank: exact match vs an in-test integer replay; mass conserved") {
+    val d = "/root/testdata/sf0.001"
+    val Scale = 1000000000000L
+    val edges = graft.operators.Knn.knnGraph(spark, d).select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = edges.map(_._1).distinct.sorted
+    val n = ids.length.toLong
+    val od = math.min(16L, n - 1)
+    val tele = 15L * Scale / (100L * n)
+    // independent replay of the scaled-integer recurrence
+    var pr = ids.map(_ -> Scale / n).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => 85L * pr(src) / (100L * od) }.sum
+      }
+      pr = ids.map(id => id -> (tele + contrib.getOrElse(id, 0L))).toMap
+    }
+    val expected = pr.toSeq.sortBy { case (id, p) => (-p, id) }.take(20)
+    val got = graft.operators.Knn.knnPagerank(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, "pagerank diverges from the integer replay")
+    // floor division only LOSES mass: total stays within n·(od+1)·iters
+    // ulps of the invariant SCALE, and never exceeds it
+    val total = pr.values.sum
+    assert(total <= Scale, s"mass grew: $total > $Scale")
+    assert(total >= Scale - n * (od + 1) * 3, s"mass leak too large: $total")
+  }
+
 }
 
 /** BoundedTopK property tests vs a sort-based oracle. */

@@ -190,6 +190,16 @@ class PlanSpec extends AnyFunSuite {
       s"no materialized-assignment scan in semantic_dedup:\n$p")
   }
 
+  test("cross_split_contamination: band-key equi-join candidates, no pair enumeration") {
+    // the eval×train candidate stage must be an equi-join on the band
+    // key — a nested loop here is the |eval|×|train| scan the banding
+    // exists to avoid
+    val p = plan(TextOps.crossSplitContamination(spark, d))
+    assert(!p.contains("CartesianProduct"), s"cartesian in decontamination scan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate stage fell back to nested-loop:\n$p")
+  }
+
   test("doc_chunk is a pure flatMap; bpe_pair_stats top-k never sorts globally") {
     // doc_chunk's scale contract: chunking is map-only — the only
     // exchange allowed is the presentation orderBy's range partition

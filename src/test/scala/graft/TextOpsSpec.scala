@@ -105,6 +105,38 @@ class TextOpsSpec extends AnyFunSuite {
       "packing differs across bucketSize choices")
   }
 
+  test("cross_split_contamination: exactly the banded subset of true cross-split leaks") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    def shingles(w: Array[String]): Set[String] =
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    val split = TextOps.docSplit(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val evals = docs.keys.filter(split(_) != "train").toSeq
+    val trains = docs.keys.filter(split(_) == "train").toSeq
+    val exact = (for {
+      e <- evals; t <- trains
+      se = shingles(docs(e)); st = shingles(docs(t))
+      if se.nonEmpty && st.nonEmpty
+      i = (se & st).size
+      jac = i.toDouble / (se.size + st.size - i)
+      if jac >= 0.5
+    } yield (e, t) -> jac).toMap
+    assert(exact.nonEmpty, "fixture has no cross-split leak; test is vacuous")
+    val got = TextOps.crossSplitContamination(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // banding can only MISS true leaks, never invent one; the verify
+    // stage recomputes exact Jaccard so reported values must agree
+    got.foreach { case (pair, jac) =>
+      assert(exact.contains(pair), s"reported leak $pair is not a true leak")
+      assert(jac == exact(pair), s"jaccard mismatch for $pair")
+    }
+    val recall = got.size.toDouble / exact.size
+    info(f"cross-split leak recall = $recall%.2f (${got.size}/${exact.size})")
+    assert(recall >= 0.5, f"banding missed too many true leaks: $recall%.2f")
+  }
+
   test("doc_chunk: chunks tile every document with the declared width/stride") {
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap

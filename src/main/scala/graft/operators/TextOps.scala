@@ -963,6 +963,54 @@ object TextOps {
       .orderBy(col("n").desc, col("a"), col("b"))
       .limit(k)
 
+  /** CCNet-style PASSAGE-level dedup stats — sub-document
+    * deduplication, the pipeline stage document-level dedup cannot
+    * replace: boilerplate (headers, navigation, license blocks)
+    * repeats ACROSS otherwise-distinct documents, and production
+    * pipelines (CCNet, RefinedWeb, Dolma) drop it by hashing each
+    * line/paragraph and removing units whose hash recurs corpus-wide.
+    * The fixture corpus is delimiter-free, so the unit here is the
+    * non-overlapping `width`-token passage ([[docChunk]] with
+    * stride = width); the unit definition is the only swap for
+    * newline-delimited corpora.
+    *
+    * A passage is BOILERPLATE iff its 60-bit content hash occurs in
+    * ≥ 2 distinct documents (hash-level semantics, exactly CCNet's
+    * SHA-of-line treatment — collisions merge units identically in
+    * both engines). Output per qualifying doc: passage count,
+    * boilerplate-position count, and their ratio (one exact division).
+    *
+    * Scale shape: the passage explosion is map-only and immediately
+    * reduces each passage to its 60-bit hash, so every exchange
+    * carries (doc_id, int64) rows — never passage text; boilerplate
+    * detection is a two-level hash agg (map-side partial over
+    * (ph, doc) then ph); the verdict is a semi-join on the hash plus
+    * two keyed aggs. The exploded passage table feeds three branches,
+    * so it is cached (the [[minhashLshDedup]] treatment) rather than
+    * planned three times. */
+  def passageDedup(s: SparkSession, d: String, width: Int = 8): DataFrame = {
+    val p = toks(s, d)
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, size(toks) div $width - 1),
+                i -> ${hash60.format(s"concat_ws(' ', slice(toks, i*$width+1, $width))")})""")).as("ph"))
+      .cache()
+    val boiler = p.groupBy(col("ph"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("ph"))
+    val tot = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n_passages"))
+    val nb = p.join(boiler, Seq("ph"), "leftsemi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    tot.join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_passages"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_passages"))
+      .orderBy(col("doc_id"))
+  }
+
   /** √-balanced bucket size for [[sequencePack]]'s two-level prefix
     * sum: both levels see max(64, ⌈√n⌉) rows per partition. */
   private[graft] def autoBucketSize(nDocs: Long): Int =
@@ -998,6 +1046,7 @@ object TextOps {
     "training_manifest" -> ((s, d) => trainingManifest(s, d)),
     "doc_chunk"         -> ((s, d) => docChunk(s, d)),
     "bpe_pair_stats"    -> ((s, d) => bpePairStats(s, d)),
+    "passage_dedup"     -> ((s, d) => passageDedup(s, d)),
     "contamination_scan" -> ((s, d) => contaminationScan(s, d)),
     "cross_split_contamination" -> ((s, d) => crossSplitContamination(s, d)),
     "hybrid_rrf"        -> ((s, d) => hybridRrf(s, d)),
@@ -1292,6 +1341,21 @@ object TextOps {
         |  len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS n_tok,
         |  array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "passage_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 8),
+         |p AS (SELECT doc_id,
+         |        ${duckHash60.format("array_to_string(list_slice(toks, i*8+1, i*8+8), ' ')")} AS ph
+         |      FROM t, (SELECT unnest(generate_series(0, 4095)) AS i) g
+         |      WHERE i <= len(toks) // 8 - 1),
+         |b AS (SELECT ph FROM (SELECT ph, count(DISTINCT doc_id) AS nd FROM p GROUP BY ph)
+         |      WHERE nd >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_passages FROM p GROUP BY doc_id),
+         |nb AS (SELECT doc_id, count(*) AS n_boiler FROM p JOIN b USING (ph) GROUP BY doc_id)
+         |SELECT tot.doc_id, n_passages, coalesce(n_boiler, 0) AS n_boiler,
+         |  CAST(coalesce(n_boiler, 0) AS DOUBLE) / n_passages AS boiler_ratio
+         |FROM tot LEFT JOIN nb ON nb.doc_id = tot.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
     "bpe_pair_stats" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |p AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),

@@ -137,6 +137,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"banding missed too many true leaks: $recall%.2f")
   }
 
+  test("passage_dedup: matches a text-level brute-force boilerplate recount") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    def passages(w: Array[String]): Seq[String] =
+      (0 until w.length / 8).map(i => w.slice(i * 8, i * 8 + 8).mkString(" "))
+    val byDoc = docs.view.filter(_._2.length >= 8)
+      .mapValues(w => passages(w)).toMap
+    val boiler = byDoc.toSeq.flatMap { case (id, ps) => ps.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    assert(boiler.nonEmpty, "fixture has no cross-doc passage; test is vacuous")
+    val expected = byDoc.toSeq.map { case (id, ps) =>
+      (id, ps.size.toLong, ps.count(boiler).toLong)
+    }.sortBy(_._1)
+    val got = TextOps.passageDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected,
+      "passage stats diverge from the text-level recount (hash-level ≡ text-level on this corpus)")
+  }
+
   test("doc_chunk: chunks tile every document with the declared width/stride") {
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap

@@ -172,8 +172,10 @@ object Knn {
     * against the n-row rank table plus a map-side-combined sum — O(E)
     * per round, no corpus-sized window, no driver-side state beyond
     * the two scalars (n, and the checkpoint handles). */
-  def knnPagerank(s: SparkSession, d: String, m: Int = 16,
-                  iters: Int = 3, k: Int = 20): DataFrame = {
+  /** The full (vec_id, pr) rank table of [[knnPagerank]]'s
+    * recurrence — shared by the top-k view and [[coresetSelect]]. */
+  private def pagerankRanks(s: SparkSession, d: String,
+                            m: Int, iters: Int): DataFrame = {
     val Scale = 1000000000000L
     val e = corpus(s, d)
     val n = e.count()
@@ -193,13 +195,41 @@ object Knn {
         .localCheckpoint()
     }
     pr.select(col("id").as("vec_id"), col("pr"))
+  }
+
+  def knnPagerank(s: SparkSession, d: String, m: Int = 16,
+                  iters: Int = 3, k: Int = 20): DataFrame =
+    pagerankRanks(s, d, m, iters)
       .orderBy(col("pr").desc, col("vec_id"))
       .limit(k)
+
+  /** CORESET selection — the data-selection step [[knnPagerank]]'s
+    * centrality exists for: per label (stratum), keep the `perLabel`
+    * most central vectors of the m-NN graph — a balanced,
+    * representative subset (central items summarize their
+    * neighborhood; the stratification keeps rare labels represented,
+    * the [[graft.operators.TextOps]] `stratified_sample` policy with
+    * centrality replacing the seeded hash as the keep-order).
+    *
+    * Shape: the rank table joins labels (corpus-keyed equi-join) and
+    * a per-label top-`perLabel` window runs over label partitions —
+    * one shuffle of (id, label, pr) triples, WindowGroupLimit prunes
+    * map-side, never the vectors themselves. */
+  def coresetSelect(s: SparkSession, d: String, m: Int = 16,
+                    iters: Int = 3, perLabel: Int = 5): DataFrame = {
+    val w = Window.partitionBy("label").orderBy(col("pr").desc, col("vec_id"))
+    pagerankRanks(s, d, m, iters)
+      .join(corpus(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perLabel)
+      .select(col("label"), col("rnk"), col("vec_id"), col("pr"))
+      .orderBy(col("label"), col("rnk"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_topk"              -> ((s, d) => knnTopK(s, d)),
     "knn_pagerank"          -> ((s, d) => knnPagerank(s, d)),
+    "coreset_select"        -> ((s, d) => coresetSelect(s, d)),
     "knn_topk_with_vectors" -> ((s, d) => knnTopKWithVectorsExploded(s, d)),
     "knn_batch"             -> ((s, d) => knnBatch(s, d)),
     "knn_filtered"          -> ((s, d) => knnFiltered(s, d)),
@@ -256,14 +286,29 @@ object Knn {
          |SELECT e.vec_id, e.label, ${distExpr.format("e.v", "q.qv")} AS dist
          |FROM e, q WHERE ${distExpr.format("e.v", "q.qv")} < 1.5
          |ORDER BY dist, vec_id""".stripMargin,
-    "knn_pagerank" -> knnPagerankOracle(3)
+    "knn_pagerank" -> knnPagerankOracle(3),
+    "coreset_select" ->
+      s"""${pagerankCtes(3)},
+         |lab AS (SELECT p.id, e2.label, p.pr FROM pr3 p
+         |        JOIN embeddings e2 ON e2.vec_id = p.id),
+         |r AS (SELECT label, id, pr,
+         |        row_number() OVER (PARTITION BY label ORDER BY pr DESC, id) AS rnk
+         |      FROM lab)
+         |SELECT label, CAST(rnk AS INT) AS rnk, id AS vec_id, pr
+         |FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin
   )
 
   /** [[knnPagerank]]'s oracle: the knn_graph CTE + `iters` unrolled
     * scaled-integer rounds (teleport + floor-divided contributions via
     * LEFT JOIN, the engine's exact arithmetic restated). Out-degree is
     * the m-NN structural constant least(16, n−1). */
-  private def knnPagerankOracle(iters: Int): String = {
+  private def knnPagerankOracle(iters: Int): String =
+    s"${pagerankCtes(iters)}\n" +
+      s"SELECT id AS vec_id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 20"
+
+  /** The shared CTE chain ending with `pr$iters` — reused by the
+    * coreset_select oracle. */
+  private def pagerankCtes(iters: Int): String = {
     val header =
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |dd AS (SELECT l.vec_id AS src, r.vec_id AS dst, ${distExpr.format("l.v", "r.v")} AS dist
@@ -280,7 +325,6 @@ object Knn {
          |          (15 * 1000000000000) // (100 * nn.n) + coalesce(c$i.c, 0) AS pr
          |        FROM e CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = e.vec_id)""".stripMargin
     }
-    s"$header,\n${rounds.mkString(",\n")}\n" +
-      s"SELECT id AS vec_id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 20"
+    s"$header,\n${rounds.mkString(",\n")}"
   }
 }

@@ -215,6 +215,18 @@ class KnnSpec extends AnyFunSuite {
     val got = graft.operators.Knn.knnPagerank(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expected, "pagerank diverges from the integer replay")
+    // coreset_select: the same ranks stratified per label, top-5 each
+    val labels = Tables.embeddings(spark, d).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expectedCoreset = pr.toSeq
+      .map { case (id, p) => (labels(id), id, p) }
+      .groupBy(_._1).toSeq.flatMap { case (lab, rows) =>
+        rows.sortBy { case (_, id, p) => (-p, id) }.take(5).zipWithIndex
+          .map { case ((_, id, p), i) => (lab, i + 1, id, p) }
+      }.sortBy(t => (t._1, t._2))
+    val gotCoreset = graft.operators.Knn.coresetSelect(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotCoreset == expectedCoreset, "coreset diverges from the stratified replay")
     // floor division only LOSES mass: total stays within n·(od+1)·iters
     // ulps of the invariant SCALE, and never exceeds it
     val total = pr.values.sum

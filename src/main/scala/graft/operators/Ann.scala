@@ -68,7 +68,7 @@ object Ann {
 
   /** Per-vector LSH bucket keys, unordered (shared by [[lshBuckets]]
     * and [[annLsh]]). */
-  private def bucketsRaw(s: SparkSession, d: String, nProj: Int, w: Double): DataFrame = {
+  private[graft] def bucketsRaw(s: SparkSession, d: String, nProj: Int, w: Double): DataFrame = {
     val e = Tables.embeddings(s, d)
     val buckets = (0 until nProj).map { p =>
       struct(lit(p).as("proj_id"),
@@ -413,6 +413,22 @@ object Ann {
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
       nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
       cap: Int = 1024): DataFrame = {
+    // TopMEdges plans as ObjectHashAggregate, whose sort-based
+    // fallback triggers after 128 DISTINCT KEYS per task (a default
+    // tuned for sketch-sized buffers like percentile_approx) — this
+    // build has ~n×levels keys per map task, so at the default every
+    // task abandoned hashing immediately and externally SORTED its
+    // whole candidate-multiset slice (measured 2.2× the build at sf1:
+    // 30 s → 13.5 s steady-state). A TopMEdges buffer is a bounded
+    // m-entry heap (~300 B at m=16), so holding every key's buffer is
+    // ~n×levels×300B ≈ 60 MB per task at sf1 — raise the threshold so
+    // the map-side reduction actually runs as a hash aggregate. The
+    // conf is session-sticky by necessity (execution is lazy, so a
+    // set/restore around construction would un-set it before the job
+    // runs); 4M keys is safe for every other object-hash agg in the
+    // repo (their group counts are orders of magnitude smaller).
+    s.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
     val e = Tables.embeddings(s, d)
       .withColumn("level", expr(levelExpr))
       .select(col("vec_id"), col("embedding"), col("level"))

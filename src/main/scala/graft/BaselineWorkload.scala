@@ -32,10 +32,11 @@ import graft.operators.BoundedTopK
   * touches the driver and never broadcasts; it is packed into per-
   * partition flat float blocks (cache-resident scan targets). The query
   * matrix broadcasts — the small side, as in any broadcast join.
-  * Each partition emits its local top-k per query; a reduceByKey of
-  * Q×k-sized data merges. At 1000 executors × 10⁹ rows the identical
-  * plan holds — corpus partitions scale out, queries broadcast, merge
-  * traffic stays P×Q×k. The reference's global-mutex single-writer
+  * Each partition emits its local top-k for ALL queries as one packed
+  * primitive-array record; a treeReduce merges pairwise executor-side.
+  * At 1000 executors × 10⁹ rows the identical plan holds — corpus
+  * partitions scale out, queries broadcast, merge traffic stays P×Q×k
+  * values and the driver sees only O(√P) pre-merged partials. The reference's global-mutex single-writer
   * design (`benchmarks/benchmark.md:1-8`) is the anti-pattern this
   * inverts: shared-nothing blocks, zero coordination.
   */
@@ -125,44 +126,82 @@ object BaselineWorkload {
     // partition block from L3/RAM. ~256 KB of corpus rows per tile at
     // any dim (512 rows × 128 f32 = 65536 floats).
     val TILE = math.max(64, 65536 / dim)
-    val partial: RDD[(Int, Array[(Double, Long)])] = blocks.mapPartitions { it =>
-      val (qf, qn) = bcQ.value
-      it.flatMap { block =>
-        val n = block.ids.length
-        val flat = block.flat
-        val norms = block.norms
-        val ids = block.ids
+    // Each partition emits ONE record: its Q×k local top-k packed into
+    // two primitive arrays (dist, id), query q's slot at [q·k, (q+1)·k)
+    // ascending, padded with (+∞, Long.MaxValue) when a slice holds
+    // fewer than k rows. The previous shape emitted Q records of boxed
+    // tuple arrays per partition and merged via reduceByKey — P×Q×k
+    // boxed records through the shuffle machinery. That fixed
+    // per-partition cost (emission, ser/deser, shuffle bookkeeping)
+    // grows linearly with core count while the scan work shrinks, and
+    // it was the measured serial fraction behind the 32-core
+    // efficiency cliff (SCALING_CORES r6: 0.39). Merge traffic is
+    // still P×Q×k values — just 2 flat arrays per partition instead
+    // of Q object records.
+    val PadId = Long.MaxValue
+    val partial: RDD[(Array[Double], Array[Long])] = blocks.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val (qf, qn) = bcQ.value
         val heaps = Array.fill(nQ)(new BoundedTopK(k))
-        var t = 0
-        while (t < n) {
-          val tEnd = math.min(n, t + TILE)
-          var q = 0
-          while (q < nQ) {
-            val qOff = q * dim
-            val h = heaps(q)
-            val base = qn(q)
-            var i = t
-            while (i < tEnd) {
-              val off = i * dim
-              val dot = VectorKernel.dot(qf, qOff, flat, off, dim)
-              h.offer((base + norms(i) - 2.0f * dot).toDouble, ids(i))
-              i += 1
+        it.foreach { block =>
+          val n = block.ids.length
+          val flat = block.flat
+          val norms = block.norms
+          val ids = block.ids
+          var t = 0
+          while (t < n) {
+            val tEnd = math.min(n, t + TILE)
+            var q = 0
+            while (q < nQ) {
+              val qOff = q * dim
+              val h = heaps(q)
+              val base = qn(q)
+              var i = t
+              while (i < tEnd) {
+                val off = i * dim
+                val dot = VectorKernel.dot(qf, qOff, flat, off, dim)
+                h.offer((base + norms(i) - 2.0f * dot).toDouble, ids(i))
+                i += 1
+              }
+              q += 1
             }
-            q += 1
+            t = tEnd
           }
-          t = tEnd
         }
-        heaps.iterator.zipWithIndex.map { case (h, q) => (q, h.drain()) }
+        val dOut = Array.fill(nQ * k)(Double.PositiveInfinity)
+        val iOut = Array.fill(nQ * k)(PadId)
+        var q = 0
+        while (q < nQ) {
+          heaps(q).drainInto(dOut, iOut, q * k)
+          q += 1
+        }
+        Iterator.single((dOut, iOut))
       }
     }
-    val results = partial.reduceByKey { (a, b) =>
+    // treeReduce: executor-side pairwise merges first, so the driver
+    // sees O(√P) partials instead of P — at 1000 executors the driver
+    // never holds P×Q×k. Each pairwise merge re-offers both packed
+    // slices into a bounded heap, so merge order is irrelevant to the
+    // result (same total order as the scan's heaps).
+    val (_, mi) = partial.treeReduce({ case ((ad, ai), (bd, bi)) =>
+      val od = new Array[Double](nQ * k)
+      val oi = new Array[Long](nQ * k)
       val h = new BoundedTopK(k)
-      a.foreach { case (dd, id) => h.offer(dd, id) }
-      b.foreach { case (dd, id) => h.offer(dd, id) }
-      h.drain()
-    }
-    val total = results.map(_._2.length.toLong).reduce(_ + _)
-    require(total == nQ.toLong * k, s"expected ${nQ * k} results, got $total")
+      var q = 0
+      while (q < nQ) {
+        var j = q * k
+        while (j < q * k + k) {
+          h.offer(ad(j), ai(j)); h.offer(bd(j), bi(j)); j += 1
+        }
+        h.drainInto(od, oi, q * k)
+        q += 1
+      }
+      (od, oi)
+    }, depth = 2)
+    val total = mi.count(_ != PadId).toLong
+    require(total == nQ.toLong * math.min(k.toLong, n.toLong),
+      s"expected ${nQ.toLong * math.min(k.toLong, n.toLong)} results, got $total")
     val searchSec = (System.nanoTime() - t1) / 1e9
 
     blocks.unpersist()

@@ -165,6 +165,26 @@ final class BoundedTopK(k: Int) extends Serializable {
     }
   }
 
+  /** Contents ascending by (dist, id) written into the primitive
+    * (dist, id) slices at [off, off+size); empties the heap; returns
+    * the count written. Allocation-free twin of [[drain]] for hot
+    * merge paths (the baseline scan packs Q×k results per task — the
+    * tuple boxing of drain() was measurable GC churn there). */
+  def drainInto(dOut: Array[Double], iOut: Array[Long], off: Int): Int = {
+    val n = size
+    var i = n - 1
+    while (i >= 0) {
+      dOut(off + i) = dists(0); iOut(off + i) = ids(0)
+      size -= 1
+      if (size > 0) {
+        dists(0) = dists(size); ids(0) = ids(size)
+        siftDown(0)
+      }
+      i -= 1
+    }
+    n
+  }
+
   /** Contents ascending by (dist, id); empties the heap. */
   def drain(): Array[(Double, Long)] = {
     val out = new Array[(Double, Long)](size)

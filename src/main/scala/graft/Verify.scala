@@ -20,10 +20,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Warm-up pass at the smallest SF (JIT-compiles each query's
-    // generated classes on ~1k rows; see Bench for rationale) unless
-    // we're already verifying the smallest SF.
-    if (!sfDir.contains("sf0.001")) {
+    // No warm-up pass. Bench warms every query at sf0.001 because it
+    // measures steady-state seconds; this main measures nothing — each
+    // query runs once and only the RESULT matters, so JIT cost is paid
+    // exactly once either way and a warm-up pass would near-double the
+    // plans executed. Gate wall-time is a budget (the r6 driver
+    // artifact came back empty, plausibly a driver-side timeout):
+    // dropping the warm-up cut the sf0.01 gate's Spark phase
+    // measurably with bitwise-identical output (results are
+    // JIT-independent by construction). SPARK_GRAFT_VERIFY_WARM=1
+    // restores it for A/B timing.
+    if (sys.env.get("SPARK_GRAFT_VERIFY_WARM").contains("1")
+        && !sfDir.contains("sf0.001")) {
       SparkEntry.queries.foreach { case (name, fn) =>
         if (keep(name)) {
           try fn(spark, "/root/testdata/sf0.001").count()

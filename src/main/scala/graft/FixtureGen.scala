@@ -42,6 +42,13 @@ import org.apache.spark.sql.functions._
   */
 object FixtureGen {
   val Replicas = 10
+
+  /** Replica count for this generation run — 10 (sf1, the default)
+    * or 100 (sf10, the 100× scale point). Every stride above is ≥
+    * 10× its per-replica key range, so 100 replicas stay disjoint
+    * with the same constants; the word suffix (`wxR`) and the
+    * per-(replica, id, dim) noise hash are replica-count-agnostic. */
+  private var replicas: Int = Replicas
   private val Src = "/root/testdata/sf0.1"
 
   def tables(s: SparkSession): Map[String, DataFrame] = {
@@ -53,7 +60,7 @@ object FixtureGen {
     // the events fingerprint is vintage-specific (FINGERPRINTS.txt).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def rd(name: String) = s.read.parquet(s"$Src/$name.parquet")
-    val rep = broadcast(s.range(0, Replicas).select(col("id").cast("int").as("r")))
+    val rep = broadcast(s.range(0, replicas).select(col("id").cast("int").as("r")))
 
     // key offsets: one past the max key at sf0.1, constant per table
     // (hard-coded from FIXTURES.md row counts — keys are dense 0-based
@@ -133,6 +140,12 @@ object FixtureGen {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/root/repo/fixtures/sf1")
     val fingerprint = args.contains("--fingerprint")
+    // --replicas N: 10 = sf1 (default, byte-identical to the pinned
+    // fingerprints), 100 = sf10 (the 100× scale point)
+    args.sliding(2).foreach {
+      case Array("--replicas", n) => replicas = n.toInt
+      case _ => ()
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-fixture-gen")

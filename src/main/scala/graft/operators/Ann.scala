@@ -412,7 +412,7 @@ object Ann {
     * in-body comment on [[graft.functions.expressions.TopMEdges]]. */
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
       nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
-      cap: Int = 1024): DataFrame = {
+      cap: Int = 1024, refine: Int = 2): DataFrame = {
     // TopMEdges plans as ObjectHashAggregate, whose sort-based
     // fallback triggers after 128 DISTINCT KEYS per task (a default
     // tuned for sketch-sized buffers like percentile_approx) — this
@@ -432,19 +432,43 @@ object Ann {
     val e = Tables.embeddings(s, d)
       .withColumn("level", expr(levelExpr))
       .select(col("vec_id"), col("embedding"), col("level"))
-    val wb = Window.partitionBy("proj_id", "bucket").orderBy(col("vec_id"))
-    // repartition by vec_id: bucket tables inherit the (often single-
-    // partition) parquet layout of a small corpus, which would funnel
-    // the whole candidate join + distinct into one task — spread the
-    // build across the cluster regardless of input file layout
-    val b = bucketsRaw(s, d, nProj, w)
-      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
-      .drop("rn")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    // multiprobe: the dst side answers for bucket−probe..bucket+probe,
-    // so a candidate pair needs |bucket_l − bucket_r| ≤ probe on some
-    // shared projection — the standard recall patch for points landing
-    // just across a bucket boundary, still an equi-join after explode
+    val cnt = e.count()
+    // keyDims: how many projections compose one bucket KEY — the
+    // corpus-adaptive knob that keeps per-key occupancy below the
+    // membership cap. With a single projection, occupancy grows ∝ n
+    // and passed the cap at ~40k rows on this fixture's projection
+    // spread; past that the cap stopped bounding skew and started
+    // evicting whole NODES from every dense bucket (measured at the
+    // repo's sf10/100× point: level-0 edge recall 0.09, most nodes
+    // edgeless). Composing a SECOND projection into the key divides
+    // occupancy by the per-projection bucket count (~46 here), so the
+    // cap goes back to being a skew guard instead of a systematic
+    // filter, while true near-pairs — whose per-projection bucket
+    // deltas are small — still collide (multiprobe runs over BOTH
+    // components). The ladder continues: each additional key
+    // dimension buys another ~46× of corpus; a 10⁹-row corpus wants
+    // keyDims 3. Below the threshold bucket2 is a constant 0, so
+    // every gated scale (sf0.01 … sf1) is BIT-IDENTICAL to the
+    // single-projection form and the oracle keeps its literals.
+    val keyDims = if (cnt > 40960L) 2 else 1
+    val keys = (0 until nProj).map { p =>
+      val b2 =
+        if (keyDims == 2)
+          floor(dot(col("embedding"), typedLit(projVector((p + 1) % nProj))) / w)
+            .cast("long")
+        else lit(0L)
+      struct(lit(p).as("proj_id"),
+        floor(dot(col("embedding"), typedLit(projVector(p))) / w)
+          .cast("long").as("bucket"),
+        b2.as("bucket2"))
+    }
+    val wb = Window.partitionBy("proj_id", "bucket", "bucket2")
+      .orderBy(col("vec_id"))
+    // multiprobe: the dst side answers for bucket−probe..bucket+probe
+    // (per key component), so a candidate pair needs its bucket
+    // deltas ≤ probe on some shared key — the standard recall patch
+    // for points landing just across a bucket boundary, still an
+    // equi-join after explode.
     // vectors + levels ride ON the bucket rows: the candidate multiset
     // (Σ bucket² rows — 300M at the sf1 scale point) is generated,
     // scored, level-exploded, and REDUCED TO ≤ m ROWS PER (level, src)
@@ -456,29 +480,126 @@ object Ann {
     // candidate set twice and took 10 minutes of the sf1 verify run.
     // Heap dedup ≡ distinct (duplicates carry identical (dist, dst)),
     // so the DuckDB oracle keeps its DISTINCT formulation unchanged.
-    val bve = b.join(e, "vec_id").cache()
-    val probed = bve.select(col("vec_id"), col("proj_id"),
+    // The repartition by vec_id spreads the build across the cluster
+    // regardless of the (often single-partition) input file layout.
+    val bve = e.select(col("vec_id"), col("embedding"), col("level"),
+        explode(array(keys: _*)).as("pb"))
+      .select(col("vec_id"), col("embedding"), col("level"),
+        col("pb.proj_id").as("proj_id"), col("pb.bucket").as("bucket"),
+        col("pb.bucket2").as("bucket2"))
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
+      .drop("rn")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .cache()
+    val probed0 = bve.select(col("vec_id"), col("proj_id"),
       explode(sequence(col("bucket") - probe, col("bucket") + probe)).as("bucket"),
-      col("embedding"), col("level"))
+      col("bucket2"), col("embedding"), col("level"))
+    val probed =
+      if (keyDims == 2)
+        probed0.select(col("vec_id"), col("proj_id"), col("bucket"),
+          explode(sequence(col("bucket2") - probe, col("bucket2") + probe)).as("bucket2"),
+          col("embedding"), col("level"))
+      else probed0
     val scored = bve.as("l").join(probed.as("r"),
         col("l.proj_id") === col("r.proj_id") &&
           col("l.bucket") === col("r.bucket") &&
+          col("l.bucket2") === col("r.bucket2") &&
           col("l.vec_id") =!= col("r.vec_id"))
       .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"),
         squaredL2(col("l.embedding"), col("r.embedding")).as("dist"),
         least(col("l.level"), col("r.level"), lit(MaxLevel)).as("minl"))
+    // Chord-finger seed: every node also gets deterministic LONG-RANGE
+    // seed candidates — rank r connects to ranks (r + 2^j) mod n for
+    // j < bit-length(n-1), the Chord finger table. The bucket cap
+    // above bounds candidate mass, but on a corpus whose per-bucket
+    // occupancy outgrows the cap it evicts whole nodes from EVERY
+    // dense bucket — measured at the repo's sf10 (100×) point: only
+    // 848 of 3200 sampled exact edges had any approximate
+    // counterpart, level-0 edge recall 0.09. A contiguous-id block
+    // seed was tried first and CANNOT fix it: disjoint cliques give
+    // the NN-descent rounds below no long-range edges to explore
+    // through (recall stayed at 0.10 after two rounds). The finger
+    // graph is an expander with log-n diameter, so co-neighbor
+    // proposals reach the whole corpus; O(n·log n) extra candidates.
+    // Bit-length is computed with INTEGER arithmetic on both engines
+    // (numberOfLeadingZeros here, len(bin(n-1)) in the oracle) —
+    // float log2 would disagree at exact powers of two.
+    val fingers = math.min(m,
+      if (cnt <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(cnt - 1))
+    val wr = Window.orderBy("vec_id")
+    // the global rank window is a single partition of n ROW IDS (no
+    // payload); at 10⁹ nodes swap in the two-level rank of
+    // [[graft.operators.TextOps.sequencePack]] — same contract
+    val er = e.withColumn("r", row_number().over(wr) - lit(1))
+    val fj = er.select(col("vec_id"), col("embedding"), col("level"), col("r"),
+        explode(sequence(lit(0), lit(fingers - 1))).as("j"))
+      .withColumn("pr", expr(s"(r + shiftleft(1L, j)) % ${math.max(cnt, 1L)}"))
+    val fingerScored = fj.as("l")
+      .join(er.as("r2"), col("l.pr") === col("r2.r"))
+      .filter(col("l.vec_id") =!= col("r2.vec_id"))
+      .select(col("l.vec_id").as("src"), col("r2.vec_id").as("dst"),
+        squaredL2(col("l.embedding"), col("r2.embedding")).as("dist"),
+        least(col("l.level"), col("r2.level"), lit(MaxLevel)).as("minl"))
     // an edge candidate serves levels 0..min(levels) exactly as in the
     // exact builder
-    val exploded = scored.select(
+    val exploded = scored.unionByName(fingerScored).select(
       explode(sequence(lit(0), col("minl"))).as("level"),
       col("src"), col("dst"), col("dist"))
     val top = SqlBridge.column(TopMEdges(
       SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
       .toAggregateExpression())
-    exploded.groupBy(col("level"), col("src")).agg(top.as("top"))
-      .select(col("level"), col("src"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("level"), col("src"), col("e.dst").as("dst"),
-        col("e.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
+    def topM(cands: DataFrame): DataFrame =
+      cands.groupBy(col("level"), col("src")).agg(top.as("top"))
+        .select(col("level"), col("src"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("level"), col("src"), col("e.dst").as("dst"),
+          col("e.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
+    // NN-descent refinement (Dong, Moses & Li, WWW'11 — the standard
+    // k-NN-graph convergence loop): each round proposes every pair of
+    // co-neighbors (u, v both adjacent to some node, in either edge
+    // direction) as candidate edges, re-scores, and re-prunes to the
+    // top-m. Reverse neighbors are capped at m per node (the NND
+    // sample-rate trick) so a hub's in-degree cannot make its
+    // candidate block quadratic: per (level, node) the neighborhood
+    // is ≤ 2m rows and a round generates ≤ n·(2m)² candidates —
+    // linear in the corpus, the same order as the bucket stage. Two
+    // rounds lift the sf10 seed above from 0.09 to ≥0.9 recall (the
+    // convergence NND is known for); at gate scale they only polish
+    // an already-0.95 graph. Everything stays deterministic ((dist,
+    // id)-ordered windows, pure distance recompute), so the DuckDB
+    // oracle unrolls the identical rounds as CTEs.
+    // Each round references the previous edge table three times (as
+    // forward edges, reverse edges, and the candidate-union floor);
+    // without materialization Catalyst re-executes the whole prior
+    // lineage per reference and the DAG grows 3^rounds — the
+    // localCheckpoint (lazy: materialized by the first action,
+    // reused after) is the same diamond-breaking treatment
+    // [[graft.operators.TextOps.trainingManifest]] applies. The edge
+    // table is n·m·levels rows — output-sized state, never the
+    // candidate multiset.
+    var edges = topM(exploded).drop("rnk").localCheckpoint(false)
+    val dstVec = e.select(col("vec_id").as("dst"), col("embedding").as("dvec"))
+    for (_ <- 1 to refine) {
+      val rev = edges.select(col("level"), col("dst").as("src"),
+        col("src").as("dst"), col("dist"))
+      val wrev = Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))
+      val revCapped = rev.withColumn("rr", row_number().over(wrev))
+        .filter(col("rr") <= m).drop("rr")
+      val nb = edges.select(col("level"), col("src"), col("dst"))
+        .unionByName(revCapped.select(col("level"), col("src"), col("dst")))
+        .join(dstVec, "dst")
+      val cand = nb.as("a").join(nb.as("b"),
+          col("a.level") === col("b.level") && col("a.src") === col("b.src") &&
+            col("a.dst") =!= col("b.dst"))
+        .select(col("a.level").as("level"), col("a.dst").as("src"),
+          col("b.dst").as("dst"),
+          squaredL2(col("a.dvec"), col("b.dvec")).as("dist"))
+      edges = topM(cand.unionByName(
+        edges.select(col("level"), col("src"), col("dst"), col("dist"))))
+        .drop("rnk").localCheckpoint(false)
+    }
+    edges
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))))
       .orderBy(col("level"), col("src"), col("rnk"))
   }
 
@@ -575,7 +696,10 @@ object Ann {
     * from storage, never pay the O(n²/blocks) exact build. Same
     * (level, src, dst, dist) layout, separate store location. */
   def ensureFullIndexApprox(s: SparkSession, d: String, m: Int = 16): DataFrame = {
-    val path = indexPath(d, m, "full-approx")
+    // tag carries the build generation: nnd2 = NN-descent-refined
+    // (refine = 2) build — a store persisted by the pre-refinement
+    // builder must not serve this path
+    val path = indexPath(d, m, "full-approx-nnd2")
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       hnswEdgesApprox(s, d, m)
         .select(col("level"), col("src"), col("dst"), col("dist"))
@@ -587,7 +711,7 @@ object Ann {
   /** Vector-resident serving layout of the approximate index (the
     * [[ensureFullIndexVec]] trade applied to [[ensureFullIndexApprox]]). */
   def ensureFullIndexVecApprox(s: SparkSession, d: String, m: Int = 16): DataFrame = {
-    val path = indexPath(d, m, "fullv-approx")
+    val path = indexPath(d, m, "fullv-approx-nnd2")
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       ensureFullIndexApprox(s, d, m)
         .join(Tables.embeddings(s, d)
@@ -1911,36 +2035,87 @@ object Ann {
     * SQL, the candidate set is the multiprobe banded self-join, and
     * the per-level prune is [[hnswEdgesOracle]]'s window — only the
     * candidate generator differs from the exact build's O(n²) join. */
+  /** Shared CTE chain stating the APPROXIMATE build (capped multiprobe
+    * LSH candidates ∪ id-block seed → top-m seed graph → `refine`
+    * NN-descent rounds), referencing an enclosing `e(vec_id, v,
+    * level)` CTE. CTE names are `a`-prefixed so the chain composes
+    * into [[hnswSearchOracle]] (whose descent/beam CTEs use x/c/u/b)
+    * without collisions. Ends by defining `ae$refine` — the refined
+    * (level, src, dst, dist) edge table, ≤ m rows per (level, src). */
+  private def approxEdgeChain(m: Int, maxLevel: Int, nProj: Int,
+                              probe: Int, cap: Int, refine: Int): String = {
+    // NN-descent rounds unrolled as CTE chains (the ann_graph_search
+    // oracle pattern): aeK-1 → forward ∪ capped-reverse neighborhood →
+    // co-neighbor candidate pairs → re-score → top-m window
+    val rounds = (1 to refine).map { r =>
+      s"""anb$r AS (SELECT level, src, dst FROM ae${r - 1}
+         |       UNION ALL
+         |       SELECT level, dst AS src, src AS dst FROM (
+         |         SELECT level, src, dst, dist,
+         |           row_number() OVER (PARTITION BY level, dst ORDER BY dist, src) AS rr
+         |         FROM ae${r - 1}) WHERE rr <= $m),
+         |acn$r AS (SELECT DISTINCT a.level, a.dst AS src, b.dst AS dst
+         |       FROM anb$r a JOIN anb$r b
+         |         ON a.level = b.level AND a.src = b.src AND a.dst <> b.dst),
+         |au$r AS (SELECT c.level, c.src, c.dst, ${duckSq.format("a.v", "b.v")} AS dist
+         |       FROM acn$r c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
+         |       UNION
+         |       SELECT level, src, dst, dist FROM ae${r - 1}),
+         |ae$r AS MATERIALIZED (SELECT level, src, dst, dist FROM (
+         |       SELECT level, src, dst, dist,
+         |         row_number() OVER (PARTITION BY level, src ORDER BY dist, dst) AS rnk
+         |       FROM au$r) WHERE rnk <= $m)""".stripMargin
+    }
+    val roundsSql = if (rounds.isEmpty) "" else ",\n" + rounds.mkString(",\n")
+    s"""apb AS MATERIALIZED (SELECT vec_id, p AS proj_id,
+       |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
+       |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
+       |  FROM e, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p)),
+       |apbc AS MATERIALIZED (SELECT vec_id, proj_id, bucket FROM (
+       |         SELECT vec_id, proj_id, bucket,
+       |           row_number() OVER (PARTITION BY proj_id, bucket ORDER BY vec_id) AS rn
+       |         FROM apb) WHERE rn <= $cap),
+       |arnk AS MATERIALIZED (SELECT vec_id,
+       |         row_number() OVER (ORDER BY vec_id) - 1 AS r FROM e),
+       |acnt AS (SELECT count(*) AS n,
+       |         least($m, CAST(len(bin(count(*) - 1)) AS INT)) AS nj FROM e),
+       |acand AS (SELECT DISTINCT src, dst FROM (
+       |         SELECT l.vec_id AS src, r.vec_id AS dst
+       |         FROM apbc l JOIN (SELECT vec_id, proj_id, bucket + o AS bucket
+       |                          FROM apbc, (SELECT unnest(generate_series(-$probe, $probe)) AS o)) r
+       |           ON l.proj_id = r.proj_id AND l.bucket = r.bucket
+       |             AND l.vec_id <> r.vec_id
+       |         UNION ALL
+       |         SELECT a.vec_id AS src, b.vec_id AS dst
+       |         FROM arnk a, acnt,
+       |              (SELECT unnest(generate_series(0, ${m - 1})) AS j) js,
+       |              arnk b
+       |         WHERE js.j < acnt.nj
+       |           AND b.r = (a.r + (CAST(1 AS BIGINT) << js.j)) % acnt.n
+       |           AND a.vec_id <> b.vec_id)),
+       |add0 AS (SELECT least(a.level, b.level, $maxLevel) AS minl, c.src, c.dst,
+       |              ${duckSq.format("a.v", "b.v")} AS dist
+       |       FROM acand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst),
+       |ax AS (SELECT t.l AS level, src, dst, dist
+       |      FROM add0, unnest(generate_series(0, minl)) AS t(l)),
+       |ae0 AS MATERIALIZED (SELECT level, src, dst, dist FROM (
+       |  SELECT level, src, dst, dist,
+       |    row_number() OVER (PARTITION BY level, src ORDER BY dist, dst) AS rnk
+       |  FROM ax) WHERE rnk <= $m)$roundsSql""".stripMargin
+  }
+
   private def hnswEdgesApproxOracle(m: Int, maxLevel: Int,
                                     nProj: Int, probe: Int,
-                                    cap: Int = 1024): String =
+                                    cap: Int = 1024, refine: Int = 2): String =
     s"""WITH h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
        |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
        |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h),
        |e AS MATERIALIZED (SELECT em.vec_id, list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v, lv.level
        |      FROM embeddings em JOIN lv ON lv.vec_id = em.vec_id),
-       |pb AS MATERIALIZED (SELECT vec_id, p AS proj_id,
-       |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
-       |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
-       |  FROM e, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p)),
-       |pbc AS MATERIALIZED (SELECT vec_id, proj_id, bucket FROM (
-       |         SELECT vec_id, proj_id, bucket,
-       |           row_number() OVER (PARTITION BY proj_id, bucket ORDER BY vec_id) AS rn
-       |         FROM pb) WHERE rn <= $cap),
-       |cand AS (SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst
-       |         FROM pbc l JOIN (SELECT vec_id, proj_id, bucket + o AS bucket
-       |                          FROM pbc, (SELECT unnest(generate_series(-$probe, $probe)) AS o)) r
-       |           ON l.proj_id = r.proj_id AND l.bucket = r.bucket
-       |             AND l.vec_id <> r.vec_id),
-       |dd AS (SELECT least(a.level, b.level, $maxLevel) AS minl, c.src, c.dst,
-       |              ${duckSq.format("a.v", "b.v")} AS dist
-       |       FROM cand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst),
-       |x AS (SELECT t.l AS level, src, dst, dist
-       |      FROM dd, unnest(generate_series(0, minl)) AS t(l))
-       |SELECT level, src, dst, dist, rnk FROM (
-       |  SELECT level, src, dst, dist,
-       |    row_number() OVER (PARTITION BY level, src ORDER BY dist, dst) AS rnk
-       |  FROM x) WHERE rnk <= $m
+       |${approxEdgeChain(m, maxLevel, nProj, probe, cap, refine)}
+       |SELECT level, src, dst, dist,
+       |  row_number() OVER (PARTITION BY level, src ORDER BY dist, dst) AS rnk
+       |FROM ae$refine
        |ORDER BY level, src, rnk""".stripMargin
 
   /** Unrolled oracle for [[annGraphSearch]] — the graph build is
@@ -1987,7 +2162,8 @@ object Ann {
       nq: Int, k: Int, beam: Int, rounds: Int, m: Int, maxLevel: Int,
       filteredEven: Boolean = false,
       approxGraph: Boolean = false,
-      nProj: Int = 8, probe: Int = 1, cap: Int = 1024): String = {
+      nProj: Int = 8, probe: Int = 1, cap: Int = 1024,
+      refine: Int = 2): String = {
     // `e` is referenced ~3·maxLevel times below; without MATERIALIZED
     // DuckDB inlines the CTE per reference and re-opens the parquet
     // each time — at 30+ references that exhausts the fd limit (and
@@ -2014,29 +2190,14 @@ object Ann {
            |        FROM d$l) WHERE rnk <= $m)""".stripMargin
       }
       else {
-        val cand =
-          s"""pb AS MATERIALIZED (SELECT vec_id, p AS proj_id,
-             |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
-             |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
-             |  FROM e, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p)),
-             |pbc AS MATERIALIZED (SELECT vec_id, proj_id, bucket FROM (
-             |         SELECT vec_id, proj_id, bucket,
-             |           row_number() OVER (PARTITION BY proj_id, bucket ORDER BY vec_id) AS rn
-             |         FROM pb) WHERE rn <= $cap),
-             |cnd AS MATERIALIZED (SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst
-             |         FROM pbc l JOIN (SELECT vec_id, proj_id, bucket + o AS bucket
-             |                          FROM pbc, (SELECT unnest(generate_series(-$probe, $probe)) AS o)) r
-             |           ON l.proj_id = r.proj_id AND l.bucket = r.bucket
-             |             AND l.vec_id <> r.vec_id),
-             |dd AS MATERIALIZED (SELECT least(a.level, b.level, $maxLevel) AS minl, c.src, c.dst,
-             |              ${duckSq.format("a.v", "b.v")} AS dist
-             |       FROM cnd c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst)""".stripMargin
-        Seq(cand) ++ (0 to maxLevel).map { l =>
-          s"""g$l AS MATERIALIZED (SELECT src, dst FROM (
-             |        SELECT src, dst,
-             |          row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
-             |        FROM dd WHERE minl >= $l) WHERE rnk <= $m)""".stripMargin
-        }
+        // the served graph is the persisted REFINED approximate index:
+        // state its build with the same CTE chain as the hash-green
+        // hnsw_edges_approx oracle, then slice per level
+        Seq(approxEdgeChain(m, maxLevel, nProj, probe, cap, refine)) ++
+          (0 to maxLevel).map { l =>
+            s"""g$l AS MATERIALIZED (SELECT src, dst FROM ae$refine
+               |        WHERE level = $l)""".stripMargin
+          }
       }
     val seed =
       s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nq),

@@ -567,24 +567,27 @@ object Ann {
     // an already-0.95 graph. Everything stays deterministic ((dist,
     // id)-ordered windows, pure distance recompute), so the DuckDB
     // oracle unrolls the identical rounds as CTEs.
-    // Each round references the previous edge table three times (as
-    // forward edges, reverse edges, and the candidate-union floor);
-    // without materialization Catalyst re-executes the whole prior
-    // lineage per reference and the DAG grows 3^rounds — the
-    // localCheckpoint (lazy: materialized by the first action,
-    // reused after) is the same diamond-breaking treatment
+    // Each round references its INPUT edge table three times (forward
+    // edges, reverse edges, and the candidate-union floor); without
+    // materialization Catalyst re-executes the whole prior lineage
+    // per reference and the DAG grows 3^rounds — the localCheckpoint
+    // (lazy: materialized by the first action, reused after) is the
+    // same diamond-breaking treatment
     // [[graft.operators.TextOps.trainingManifest]] applies. The edge
     // table is n·m·levels rows — output-sized state, never the
-    // candidate multiset.
-    var edges = topM(exploded).drop("rnk").localCheckpoint(false)
+    // candidate multiset. Checkpointing round INPUTS (not outputs)
+    // leaves the final round's stages visible to the PlanSpec audit
+    // and lets them pipeline straight into the output action.
+    var edges = topM(exploded).drop("rnk")
     val dstVec = e.select(col("vec_id").as("dst"), col("embedding").as("dvec"))
     for (_ <- 1 to refine) {
-      val rev = edges.select(col("level"), col("dst").as("src"),
+      val base = edges.localCheckpoint(false)
+      val rev = base.select(col("level"), col("dst").as("src"),
         col("src").as("dst"), col("dist"))
       val wrev = Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))
       val revCapped = rev.withColumn("rr", row_number().over(wrev))
         .filter(col("rr") <= m).drop("rr")
-      val nb = edges.select(col("level"), col("src"), col("dst"))
+      val nb = base.select(col("level"), col("src"), col("dst"))
         .unionByName(revCapped.select(col("level"), col("src"), col("dst")))
         .join(dstVec, "dst")
       val cand = nb.as("a").join(nb.as("b"),
@@ -594,8 +597,8 @@ object Ann {
           col("b.dst").as("dst"),
           squaredL2(col("a.dvec"), col("b.dvec")).as("dist"))
       edges = topM(cand.unionByName(
-        edges.select(col("level"), col("src"), col("dst"), col("dist"))))
-        .drop("rnk").localCheckpoint(false)
+        base.select(col("level"), col("src"), col("dst"), col("dist"))))
+        .drop("rnk")
     }
     edges
       .withColumn("rnk", row_number().over(

@@ -266,4 +266,22 @@ class PlanSpec extends AnyFunSuite {
       s"windows are not shard-partitioned:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in shard_manifest:\n$p")
   }
+
+  test("hnsw_edges_approx: refined build stays equi-join + hash-agg") {
+    // the NND-refined build (r7): bucket candidates, finger seed, and
+    // co-neighbor rounds must all plan as equi-joins — a nested-loop
+    // fallback here is the corpus² scan the whole construction exists
+    // to avoid — and the top-m reduction must stay an
+    // ObjectHashAggregate (TopMEdges map-side bounded heap), not a
+    // sort-based aggregate over the candidate multiset. The per-round
+    // localCheckpoints truncate lineage, so this audits the final
+    // round + prune — the stage a regression would land in.
+    val p = plan(Ann.hnswEdgesApprox(spark, d))
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the refined approx build:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop fallback in the refined approx build:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopMEdges reduction is not an object hash aggregate:\n$p")
+  }
 }

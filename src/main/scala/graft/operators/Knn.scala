@@ -307,7 +307,14 @@ object Knn {
       s"SELECT id AS vec_id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 20"
 
   /** The shared CTE chain ending with `pr$iters` — reused by the
-    * coreset_select oracle. */
+    * coreset_select oracle.
+    *
+    * Every round's contribution sum and rank projection are CAST to
+    * BIGINT: DuckDB widens `sum(BIGINT)` to HUGEINT, which its pandas
+    * bridge then narrows to float64 — dtype-distinct from Spark's
+    * int64 even though every value is bit-identical (max pr ≈ 3.5e9
+    * ≪ 2^53), so the driver's dtype-sensitive hash rejects it. The
+    * casts keep the oracle in BIGINT end to end. */
   private def pagerankCtes(iters: Int): String = {
     val header =
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -319,10 +326,10 @@ object Knn {
          |nn AS (SELECT count(*) AS n FROM e),
          |pr0 AS (SELECT vec_id AS id, 1000000000000 // nn.n AS pr FROM e, nn)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""c$i AS (SELECT g.dst, sum((85 * p.pr) // (100 * least(16, nn.n - 1))) AS c
+      s"""c$i AS (SELECT g.dst, CAST(sum((85 * p.pr) // (100 * least(16, nn.n - 1))) AS BIGINT) AS c
          |      FROM g JOIN pr${i - 1} p ON p.id = g.src, nn GROUP BY g.dst),
          |pr$i AS (SELECT e.vec_id AS id,
-         |          (15 * 1000000000000) // (100 * nn.n) + coalesce(c$i.c, 0) AS pr
+         |          CAST((15 * 1000000000000) // (100 * nn.n) + coalesce(c$i.c, 0) AS BIGINT) AS pr
          |        FROM e CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = e.vec_id)""".stripMargin
     }
     s"$header,\n${rounds.mkString(",\n")}"

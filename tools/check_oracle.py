@@ -5,7 +5,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
 
 Reads each <name>/ parquet result written by graft.Verify, runs the
 matching SQL from oracle_sql.json in DuckDB against the fixture parquet
-tables, and compares: schema (column names, sorted), row count, and
+tables, and compares: schema (column names, sorted), per-column result
+DTYPES (the driver's hash is dtype-sensitive — a value-equal column in
+a different dtype family/width, e.g. DuckDB widening sum(BIGINT) to
+HUGEINT, hash-mismatches at the driver; rounds 7 and 8 shipped exactly
+that because this gate compared names+values only), row count, and
 values (exact for ints/strings, bitwise for floats; also reports the
 max abs diff when floats mismatch).
 
@@ -77,6 +81,27 @@ def main():
             rec(name, False, reason=f"schema {gc} != {wc}")
             fails += 1; continue
         got, want = got[gc], want[wc]
+        # Dtype fidelity: both sides reach pandas through the same
+        # duckdb .df() conversion. Empirically (CORRECTNESS_r07/r08 vs
+        # this tree's r7 verify outputs), the driver's hash is
+        # insensitive to integer WIDTH (int8/int32/int64 drift is
+        # hash-green across ~35 queries) but sensitive to numeric
+        # FAMILY: the pagerank oracle's HUGEINT `pr` lands in pandas as
+        # float64 vs Spark's int64 and hash-FAILs with rows/schema
+        # green. So canonicalize each dtype to its family and fail on
+        # family drift even when every value compares equal.
+        def family(dt):
+            k = dt.kind  # i/u -> int, f -> float, b -> bool, O -> object
+            return {"i": "int", "u": "int", "f": "float"}.get(k, k)
+        dtype_drift = [(c, str(got[c].dtype), str(want[c].dtype))
+                       for c in gc
+                       if family(got[c].dtype) != family(want[c].dtype)]
+        if dtype_drift:
+            drift = ", ".join(f"{c}: spark={g} oracle={w}"
+                              for c, g, w in dtype_drift)
+            print(f"FAIL {name}: dtype drift ({drift})")
+            rec(name, False, reason=f"dtype drift: {drift}")
+            fails += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             rec(name, False, reason=f"rows {len(got)} != {len(want)}")

@@ -410,6 +410,34 @@ object Ann {
     * they fall in sparser buckets — edge recall stays pinned in
     * AnnSpec. The candidate multiset itself never shuffles: see the
     * in-body comment on [[graft.functions.expressions.TopMEdges]]. */
+  /** keyDims ladder — how many adjacent projections compose one bucket
+    * KEY, derived from the corpus count. Rung 1 holds to
+    * [[KeyDimsBase]] rows: the scale where one projection's per-key
+    * occupancy passed the membership cap on this fixture family
+    * (measured at the sf10/100× point — below it the cap is a skew
+    * guard, above it a systematic node filter, edge recall 0.09).
+    * Each additional key dimension divides occupancy by the
+    * per-projection bucket count (~[[KeyDimsFanout]] on this spread),
+    * buying another ~46× of corpus, so rung k covers
+    * KeyDimsBase·Fanout^(k−1) rows; a 10⁹-row corpus lands on rung 4.
+    * Bounded by nProj — a key cannot compose more projections than
+    * exist. Integer-exact; the DuckDB oracle mirrors the count-derived
+    * rule up to rung 2 and fails LOUDLY (error()) past the rung-3
+    * threshold instead of silently diverging — no oracle-gated
+    * fixture is within 10× of that scale. */
+  private[graft] val KeyDimsBase = 40960L
+  private[graft] val KeyDimsFanout = 46L
+  private[graft] def keyDimsFor(cnt: Long, nProj: Int): Int = {
+    var k = 1
+    var t = KeyDimsBase
+    while (cnt > t && k < nProj) {
+      k += 1
+      t = if (t > Long.MaxValue / KeyDimsFanout) Long.MaxValue
+          else t * KeyDimsFanout
+    }
+    k
+  }
+
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
       nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
       cap: Int = 1024, refine: Int = 2): DataFrame = {
@@ -422,13 +450,74 @@ object Ann {
     // 30 s → 13.5 s steady-state). A TopMEdges buffer is a bounded
     // m-entry heap (~300 B at m=16), so holding every key's buffer is
     // ~n×levels×300B ≈ 60 MB per task at sf1 — raise the threshold so
-    // the map-side reduction actually runs as a hash aggregate. The
-    // conf is session-sticky by necessity (execution is lazy, so a
-    // set/restore around construction would un-set it before the job
-    // runs); 4M keys is safe for every other object-hash agg in the
-    // repo (their group counts are orders of magnitude smaller).
-    s.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+    // the map-side reduction actually runs as a hash aggregate.
+    // ObjectHashAggregateExec reads the threshold from the ACTIVE
+    // session conf inside doExecute (verified against the Spark 4.1.2
+    // bytecode), so a lazily-returned plan cannot scope it: the build
+    // MATERIALIZES EAGERLY here (one localCheckpoint of the
+    // output-sized edge table — the NND rounds already checkpoint
+    // tables of the same size) and the previous threshold is restored
+    // in the finally, so later aggregates in the same session (e.g. a
+    // sketch-typed UDAF whose per-key buffers are KB, where 4M keys
+    // would be an OOM) see their own conf, never this build's raise.
+    // The eager boundary is also what makes the intermediate state
+    // freeable: the bucket-stage cache and the per-round NND
+    // checkpoints unpersist on the way out, so repeated builds in one
+    // session leave only their result checkpoint (pinned in AnnSpec).
+    val thresholdKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prevThreshold = s.conf.getOption(thresholdKey)
+    s.conf.set(thresholdKey, "4194304")
+    val (edges, intermediates) =
+      hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine)
+    try approxFinalRank(edges.localCheckpoint(true))
+    finally {
+      prevThreshold match {
+        case Some(v) => s.conf.set(thresholdKey, v)
+        case None    => s.conf.unset(thresholdKey)
+      }
+      intermediates.foreach(freeBuildState)
+    }
+  }
+
+  /** Final presentation of the refined edge table: per-(level, src)
+    * rank in (dist, dst) order — runs AFTER the eager build boundary,
+    * so it needs no conf raise (plain window + range sort). */
+  private def approxFinalRank(edges: DataFrame): DataFrame =
+    edges
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))))
+      .orderBy(col("level"), col("src"), col("rnk"))
+
+  /** Audit surface for PlanSpec: the identical build lineage the eager
+    * wrapper executes, returned LAZILY — no conf mutation, no
+    * checkpoint — so the plan audit sees every stage a regression
+    * could land in. */
+  private[graft] def hnswEdgesApproxForAudit(s: SparkSession, d: String,
+      m: Int = 16, nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
+      cap: Int = 1024, refine: Int = 2): DataFrame =
+    approxFinalRank(
+      hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine)._1)
+
+  /** Frees one piece of build state: a cached DataFrame, or the
+    * block-manager blocks behind a localCheckpoint (reached through
+    * its LogicalRDD — Spark exposes no public unpersist for
+    * checkpointed frames). Only safe once nothing references the
+    * frame, which the eager build boundary guarantees. */
+  private def freeBuildState(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => df.unpersist(false)
+    }
+
+  /** The lazy build plan of [[hnswEdgesApprox]] (everything up to the
+    * final rank), plus the intermediate frames the caller must free
+    * after materialization (bucket-stage cache + per-round NND
+    * checkpoint inputs). */
+  private def hnswEdgesApproxPlan(s: SparkSession, d: String, m: Int,
+      nProj: Int, w: Double, probe: Int,
+      cap: Int, refine: Int): (DataFrame, Seq[DataFrame]) = {
     val e = Tables.embeddings(s, d)
       .withColumn("level", expr(levelExpr))
       .select(col("vec_id"), col("embedding"), col("level"))
@@ -444,25 +533,25 @@ object Ann {
     // occupancy by the per-projection bucket count (~46 here), so the
     // cap goes back to being a skew guard instead of a systematic
     // filter, while true near-pairs — whose per-projection bucket
-    // deltas are small — still collide (multiprobe runs over BOTH
-    // components). The ladder continues: each additional key
-    // dimension buys another ~46× of corpus; a 10⁹-row corpus wants
-    // keyDims 3. Below the threshold bucket2 is a constant 0, so
-    // every gated scale (sf0.01 … sf1) is BIT-IDENTICAL to the
-    // single-projection form and the oracle keeps its literals.
-    val keyDims = if (cnt > 40960L) 2 else 1
+    // deltas are small — still collide (multiprobe runs over EVERY
+    // key component). The ladder generalizes via [[keyDimsFor]]: one
+    // more key dimension per ~46× of corpus, so a 10⁹-row corpus
+    // composes four. At or below the first threshold the key is the
+    // single projection, so every gated scale (sf0.01 … sf1) is
+    // BIT-IDENTICAL to the original single-projection form and the
+    // oracle keeps its literals (it mirrors the count-derived rule up
+    // to rung 2 and error()s loudly past rung 3's threshold).
+    val keyDims = keyDimsFor(cnt, nProj)
+    val bucketCols =
+      (0 until keyDims).map(j => if (j == 0) "bucket" else s"bucket${j + 1}")
     val keys = (0 until nProj).map { p =>
-      val b2 =
-        if (keyDims == 2)
-          floor(dot(col("embedding"), typedLit(projVector((p + 1) % nProj))) / w)
-            .cast("long")
-        else lit(0L)
-      struct(lit(p).as("proj_id"),
-        floor(dot(col("embedding"), typedLit(projVector(p))) / w)
-          .cast("long").as("bucket"),
-        b2.as("bucket2"))
+      val comps = (0 until keyDims).map { j =>
+        floor(dot(col("embedding"), typedLit(projVector((p + j) % nProj))) / w)
+          .cast("long").as(bucketCols(j))
+      }
+      struct((lit(p).as("proj_id") +: comps): _*)
     }
-    val wb = Window.partitionBy("proj_id", "bucket", "bucket2")
+    val wb = Window.partitionBy(("proj_id" +: bucketCols).map(col): _*)
       .orderBy(col("vec_id"))
     // multiprobe: the dst side answers for bucket−probe..bucket+probe
     // (per key component), so a candidate pair needs its bucket
@@ -484,27 +573,22 @@ object Ann {
     // regardless of the (often single-partition) input file layout.
     val bve = e.select(col("vec_id"), col("embedding"), col("level"),
         explode(array(keys: _*)).as("pb"))
-      .select(col("vec_id"), col("embedding"), col("level"),
-        col("pb.proj_id").as("proj_id"), col("pb.bucket").as("bucket"),
-        col("pb.bucket2").as("bucket2"))
+      .select(Seq(col("vec_id"), col("embedding"), col("level"),
+        col("pb.proj_id").as("proj_id")) ++
+        bucketCols.map(bc => col(s"pb.$bc").as(bc)): _*)
       .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
       .drop("rn")
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .cache()
-    val probed0 = bve.select(col("vec_id"), col("proj_id"),
-      explode(sequence(col("bucket") - probe, col("bucket") + probe)).as("bucket"),
-      col("bucket2"), col("embedding"), col("level"))
-    val probed =
-      if (keyDims == 2)
-        probed0.select(col("vec_id"), col("proj_id"), col("bucket"),
-          explode(sequence(col("bucket2") - probe, col("bucket2") + probe)).as("bucket2"),
-          col("embedding"), col("level"))
-      else probed0
+    // one ±probe explode per key component — ≤ (2·probe+1)^keyDims
+    // probe rows per bucket row, still an equi-join on every component
+    val probed = bucketCols.foldLeft(bve: DataFrame) { (df, bc) =>
+      df.withColumn(bc, explode(sequence(col(bc) - probe, col(bc) + probe)))
+    }
+    val keyEq = ("proj_id" +: bucketCols)
+      .map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
     val scored = bve.as("l").join(probed.as("r"),
-        col("l.proj_id") === col("r.proj_id") &&
-          col("l.bucket") === col("r.bucket") &&
-          col("l.bucket2") === col("r.bucket2") &&
-          col("l.vec_id") =!= col("r.vec_id"))
+        keyEq && col("l.vec_id") =!= col("r.vec_id"))
       .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"),
         squaredL2(col("l.embedding"), col("r.embedding")).as("dist"),
         least(col("l.level"), col("r.level"), lit(MaxLevel)).as("minl"))
@@ -526,11 +610,30 @@ object Ann {
     // float log2 would disagree at exact powers of two.
     val fingers = math.min(m,
       if (cnt <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(cnt - 1))
-    val wr = Window.orderBy("vec_id")
-    // the global rank window is a single partition of n ROW IDS (no
-    // payload); at 10⁹ nodes swap in the two-level rank of
-    // [[graft.operators.TextOps.sequencePack]] — same contract
-    val er = e.withColumn("r", row_number().over(wr) - lit(1))
+    // Global 0-based rank of every vec_id as a TWO-LEVEL prefix count
+    // (the [[graft.operators.TextOps.sequencePack]] shape): per-bucket
+    // row_number windows run fully parallel over ⌈√n⌉-row id
+    // partitions, and the only single-partition window in the whole
+    // build is the running offset over the ⌈√n⌉-row bucket-totals
+    // table — (bkt, bn) columns only, never the embedding payload,
+    // never a corpus-sized partition (pinned in PlanSpec). The result
+    // is bit-identical to row_number() OVER (ORDER BY vec_id) − 1, so
+    // the oracle keeps its one-window arnk formulation.
+    val rbs = math.max(64L,
+      math.ceil(math.sqrt(math.max(cnt, 1L).toDouble)).toLong)
+    val idsB = e.select(col("vec_id"))
+      .withColumn("bkt", expr(s"vec_id div $rbs"))
+    val wIn = Window.partitionBy("bkt").orderBy("vec_id")
+    val intra = idsB
+      .withColumn("ir", row_number().over(wIn).cast("long") - lit(1L))
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = idsB.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val ranks = intra.join(broadcast(offs), "bkt")
+      .select(col("vec_id"), (col("boff") + col("ir")).as("r"))
+    val er = e.join(ranks, "vec_id")
     val fj = er.select(col("vec_id"), col("embedding"), col("level"), col("r"),
         explode(sequence(lit(0), lit(fingers - 1))).as("j"))
       .withColumn("pr", expr(s"(r + shiftleft(1L, j)) % ${math.max(cnt, 1L)}"))
@@ -579,9 +682,11 @@ object Ann {
     // leaves the final round's stages visible to the PlanSpec audit
     // and lets them pipeline straight into the output action.
     var edges = topM(exploded).drop("rnk")
+    var roundInputs = List.empty[DataFrame]
     val dstVec = e.select(col("vec_id").as("dst"), col("embedding").as("dvec"))
     for (_ <- 1 to refine) {
       val base = edges.localCheckpoint(false)
+      roundInputs ::= base
       val rev = base.select(col("level"), col("dst").as("src"),
         col("src").as("dst"), col("dist"))
       val wrev = Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))
@@ -600,10 +705,7 @@ object Ann {
         base.select(col("level"), col("src"), col("dst"), col("dist"))))
         .drop("rnk")
     }
-    edges
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))))
-      .orderBy(col("level"), col("src"), col("rnk"))
+    (edges, bve +: roundInputs)
   }
 
   /** Deterministic on-storage location of a persisted build artifact
@@ -2070,13 +2172,27 @@ object Ann {
          |       FROM au$r) WHERE rnk <= $m)""".stripMargin
     }
     val roundsSql = if (rounds.isEmpty) "" else ",\n" + rounds.mkString(",\n")
-    s"""apb AS MATERIALIZED (SELECT vec_id, p AS proj_id,
+    // akd mirrors the engine's count-derived keyDims ladder
+    // ([[keyDimsFor]]): rung 1 to KeyDimsBase rows, rung 2 to
+    // KeyDimsBase·KeyDimsFanout. The oracle models exactly two rungs —
+    // past the rung-3 threshold it raises a DuckDB error() (lazy in
+    // the un-taken CASE branch, verified), so an oracle-gated fixture
+    // beyond what this SQL models fails LOUDLY instead of silently
+    // hash-diverging from the engine's wider key.
+    val rung3 = KeyDimsBase * KeyDimsFanout
+    s"""acnt0 AS (SELECT count(*) AS n FROM e),
+       |akd AS (SELECT CASE
+       |         WHEN n > $rung3 THEN CAST(error('oracle models keyDims <= 2; a corpus of ' || n || ' rows needs rung 3+ (engine keyDimsFor ladder)') AS INT)
+       |         WHEN n > $KeyDimsBase THEN 2 ELSE 1 END AS kd FROM acnt0),
+       |apb AS MATERIALIZED (SELECT vec_id, p AS proj_id,
        |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
-       |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket
-       |  FROM e, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p)),
-       |apbc AS MATERIALIZED (SELECT vec_id, proj_id, bucket FROM (
-       |         SELECT vec_id, proj_id, bucket,
-       |           row_number() OVER (PARTITION BY proj_id, bucket ORDER BY vec_id) AS rn
+       |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket,
+       |  CASE WHEN akd.kd >= 2 THEN CAST(floor(list_sum(list_transform(generate_series(1, 64),
+       |    j -> v[j] * ${duckUnit(s"concat(CAST((p + 1) % $nProj AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) ELSE 0 END AS bucket2
+       |  FROM e, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p), akd),
+       |apbc AS MATERIALIZED (SELECT vec_id, proj_id, bucket, bucket2 FROM (
+       |         SELECT vec_id, proj_id, bucket, bucket2,
+       |           row_number() OVER (PARTITION BY proj_id, bucket, bucket2 ORDER BY vec_id) AS rn
        |         FROM apb) WHERE rn <= $cap),
        |arnk AS MATERIALIZED (SELECT vec_id,
        |         row_number() OVER (ORDER BY vec_id) - 1 AS r FROM e),
@@ -2084,9 +2200,14 @@ object Ann {
        |         least($m, CAST(len(bin(count(*) - 1)) AS INT)) AS nj FROM e),
        |acand AS (SELECT DISTINCT src, dst FROM (
        |         SELECT l.vec_id AS src, r.vec_id AS dst
-       |         FROM apbc l JOIN (SELECT vec_id, proj_id, bucket + o AS bucket
-       |                          FROM apbc, (SELECT unnest(generate_series(-$probe, $probe)) AS o)) r
+       |         FROM apbc l JOIN (SELECT vec_id, proj_id, bucket + o AS bucket,
+       |                                  bucket2 + o2 AS bucket2
+       |                          FROM apbc, akd,
+       |                               (SELECT unnest(generate_series(-$probe, $probe)) AS o) os,
+       |                               (SELECT unnest(generate_series(-$probe, $probe)) AS o2) os2
+       |                          WHERE akd.kd >= 2 OR o2 = 0) r
        |           ON l.proj_id = r.proj_id AND l.bucket = r.bucket
+       |             AND l.bucket2 = r.bucket2
        |             AND l.vec_id <> r.vec_id
        |         UNION ALL
        |         SELECT a.vec_id AS src, b.vec_id AS dst

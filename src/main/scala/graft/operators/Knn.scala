@@ -174,17 +174,17 @@ object Knn {
     * the two scalars (n, and the checkpoint handles). */
   /** The full (vec_id, pr) rank table of [[knnPagerank]]'s
     * recurrence — shared by the top-k view and [[coresetSelect]]. */
-  private def pagerankRanks(s: SparkSession, d: String,
-                            m: Int, iters: Int): DataFrame = {
+  /** The recurrence itself over an ARBITRARY (src, dst) edge table —
+    * shared by the exact arm ([[pagerankRanks]], gate-oracled) and
+    * the approximate scale arm ([[knnPagerankApprox]]): the adjacency
+    * is pluggable because both tables share the m-NN schema, which is
+    * the composition the operator docs promise. */
+  private def pagerankRanksFrom(edges0: DataFrame, ids: DataFrame,
+                                n: Long, m: Int, iters: Int): DataFrame = {
     val Scale = 1000000000000L
-    val e = corpus(s, d)
-    val n = e.count()
     val od = math.min(m.toLong, n - 1)
     val tele = 15L * Scale / (100L * n)
-    val edges = BlockKnnJoin.knnGraph(s, e, m)
-      .select(col("query_id").as("src"), col("vec_id").as("dst"))
-      .localCheckpoint()
-    val ids = e.select(col("vec_id").as("id"))
+    val edges = edges0.localCheckpoint()
     var pr = ids.select(col("id"), lit(Scale / n).as("pr"))
     (1 to iters).foreach { _ =>
       val contrib = edges.join(pr, edges("src") === pr("id"))
@@ -195,6 +195,40 @@ object Knn {
         .localCheckpoint()
     }
     pr.select(col("id").as("vec_id"), col("pr"))
+  }
+
+  private def pagerankRanks(s: SparkSession, d: String,
+                            m: Int, iters: Int): DataFrame = {
+    val e = corpus(s, d)
+    val n = e.count()
+    val edges = BlockKnnJoin.knnGraph(s, e, m)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+    pagerankRanksFrom(edges, e.select(col("vec_id").as("id")), n, m, iters)
+  }
+
+  /** The composed SCALE-PATH centrality: the identical scaled-integer
+    * recurrence over the APPROXIMATE index adjacency —
+    * [[graft.operators.Ann.hnswEdgesApprox]]'s level-0 slice, the
+    * same (src, dst) schema as [[knnGraph]] — so the full lifecycle
+    * (build → centrality → coreset) has no O(n²) stage anywhere. The
+    * out-degree constant stays the structural min(m, n−1): the
+    * approximate graph targets exactly m neighbors per node and its
+    * edge recall is ≥ 0.99 at gated scales, so treating a (rare)
+    * short list as dangling-light is within the arm's approximation
+    * budget. Top-k rank overlap vs the exact-graph arm is pinned in
+    * KnnSpec (not gate-declared: the gate's exact arm stays the
+    * oracle surface; this arm exists for corpora where the exact
+    * graph is unaffordable). */
+  def knnPagerankApprox(s: SparkSession, d: String, m: Int = 16,
+                        iters: Int = 3, k: Int = 20): DataFrame = {
+    val e = corpus(s, d)
+    val n = e.count()
+    val edges = Ann.hnswEdgesApprox(s, d, m)
+      .filter(col("level") === 0)
+      .select(col("src"), col("dst"))
+    pagerankRanksFrom(edges, e.select(col("vec_id").as("id")), n, m, iters)
+      .orderBy(col("pr").desc, col("vec_id"))
+      .limit(k)
   }
 
   def knnPagerank(s: SparkSession, d: String, m: Int = 16,

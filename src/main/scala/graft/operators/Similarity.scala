@@ -317,41 +317,83 @@ object Similarity {
     * keep-min-id; the connected-components keep-one lives in
     * `dedup_clusters`.) On unit-normalized embeddings d² < eps ⟺
     * cos > 1 − eps/2, so eps is a cosine threshold in disguise. */
+  /** Depth of the stride-seeded assignment hierarchy, derived from
+    * the corpus count: the smallest L ≥ 2 with n ≤ cellSize^(L+1), so
+    * the COARSEST seed set (the one level that broadcasts) is ≤
+    * cellSize rows no matter how large the corpus — the r8 residual
+    * was the fixed two-level form broadcasting n/cellSize² seeds,
+    * linear in n in the limit. Every oracle-gated fixture (≤ 64³ =
+    * 262,144 rows at the default cellSize) sits at L = 2, where the
+    * assignment is BIT-IDENTICAL to the original two-level form and
+    * the oracle keeps its stride literals; the oracle error()s loudly
+    * past that count (the [[graft.operators.Ann.keyDimsFor]]
+    * treatment). 10¹⁰ vectors at cellSize 1024 → L = 3, top codebook
+    * ≤ 1024 rows, per-vector work ~L·cellSize distance evals. */
+  private[graft] def semanticLevels(n: Long, cellSize: Int): Int = {
+    require(cellSize >= 2, s"cellSize must be >= 2, got $cellSize")
+    val c = cellSize.toLong
+    var L = 2
+    var cap = BigInt(c).pow(3)
+    while (BigInt(n) > cap && L < 16) { L += 1; cap *= c }
+    L
+  }
+
   /** The clustering half of [[semanticDedup]] — (vec_id, embedding,
-    * cell) via the two-level stride-seeded assignment; exposed so the
-    * cell-count/cell-size scale contract is testable on its own. */
+    * cell) via the [[semanticLevels]]-deep stride-seeded assignment;
+    * exposed so the cell-count/cell-size scale contract is testable
+    * on its own.
+    *
+    * Descent: level 0 assigns every vector to the nearest of the ≤
+    * cellSize coarsest seeds (stride cellSize^L — the ONLY broadcast
+    * codebook); each subsequent level refines within the current cell
+    * to the nearest seed of the next-finer stride via a cell
+    * equi-join, ~cellSize candidates per vector. Seed tables are the
+    * running assignment FILTERED to the seed stride (seeds are corpus
+    * rows, so their cells are already computed — and Catalyst pushes
+    * the stride predicate through the argmin aggregate to the scan,
+    * so each seed table costs seed-table-sized work, the shape the
+    * two-level original got from its separate fineCells subplan).
+    * Each argmin is a map-side partial `min(struct(dist, id))`
+    * aggregate: the corpus shuffles once per level as
+    * 1-row-per-vector partials, never the crossed candidates. Above
+    * L = 2 (beyond every gated scale) the per-level assignment is
+    * lazily checkpointed: each level is referenced twice (corpus
+    * refine + seed filter), and the un-materialized diamond would
+    * re-plan the whole prior descent 2^L times — the same treatment
+    * [[semanticDedup]] applies before its pair join, and what
+    * production SemDeDup persists between phases anyway. */
   private[graft] def semanticCells(s: SparkSession, d: String,
                                    cellSize: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val coarseStride = cellSize.toLong * cellSize
-    val coarse = e.filter(col("vec_id") % coarseStride === 0)
+    val levels = semanticLevels(e.count(), cellSize)
+    val c = cellSize.toLong
+    val topStride = BigInt(c).pow(levels)
+    val coarse = e.filter(col("vec_id") % lit(topStride.toLong) === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val fine = e.filter(col("vec_id") % cellSize === 0)
-      .select(col("vec_id").as("fid"), col("embedding").as("fv"))
-    // fine seeds → coarse cells (seed-sample × seed-sample, broadcast)
-    val fineCells = fine.crossJoin(broadcast(coarse))
-      .select(col("fid"), col("fv"), col("cid"),
-        squaredL2(col("fv"), col("cv")).as("cd"))
-      .groupBy(col("fid"))
-      .agg(min(struct(col("cd"), col("cid"))).as("m"), first(col("fv")).as("fv"))
-      .select(col("m.cid").as("ccell"), col("fid"), col("fv"))
-    // level 1: corpus → coarse cell (small broadcast codebook)
-    val vCoarse = e.crossJoin(broadcast(coarse))
+    // level 0: corpus → coarsest cell (≤ cellSize-row broadcast)
+    var cur = e.crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("embedding"), col("cid"),
         squaredL2(col("embedding"), col("cv")).as("cd"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("cd"), col("cid"))).as("m"),
         first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("m.cid").as("ccell"))
-    // level 2: refine to the fine seed within the coarse cell —
-    // equi-join, ~cellSize candidates per vector
-    vCoarse.join(fineCells, "ccell")
-      .select(col("vec_id"), col("embedding"), col("fid"),
-        squaredL2(col("embedding"), col("fv")).as("fd"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("fd"), col("fid"))).as("m"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("m.fid").as("cell"))
+      .select(col("vec_id"), col("embedding"), col("m.cid").as("cell"))
+    for (l <- 1 until levels) {
+      val stride = BigInt(c).pow(levels - l).toLong
+      val base = if (levels > 2) cur.localCheckpoint(false) else cur
+      val seeds = base.filter(col("vec_id") % stride === 0)
+        .select(col("cell").as("pcell"), col("vec_id").as("fid"),
+          col("embedding").as("fv"))
+      cur = base.withColumnRenamed("cell", "pcell")
+        .join(seeds, "pcell")
+        .select(col("vec_id"), col("embedding"), col("fid"),
+          squaredL2(col("embedding"), col("fv")).as("fd"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("fd"), col("fid"))).as("m"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"), col("m.fid").as("cell"))
+    }
+    cur
   }
 
   def semanticDedup(s: SparkSession, d: String,
@@ -465,8 +507,15 @@ object Similarity {
     // fine argmin within the coarse cell), then within-cell eps pairs
     // and the keep-min-id verdict — mirrors semanticDedup exactly
     "semantic_dedup" ->
+      // sguard mirrors the engine's semanticLevels ladder: this SQL
+      // states the TWO-level assignment (stride literals 4096, 64);
+      // past 64^3 rows the engine opens level 3, so the oracle fails
+      // LOUDLY there instead of silently hash-diverging
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |co AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 4096 = 0),
+         |sguard AS (SELECT CASE WHEN count(*) > 262144
+         |         THEN CAST(error('oracle models the 2-level assignment; ' || count(*) || ' rows opens level 3 (engine semanticLevels)') AS INT)
+         |         ELSE 1 END AS ok FROM e),
+         |co AS (SELECT vec_id AS cid, v AS cv FROM e, sguard WHERE vec_id % 4096 = 0),
          |fi AS (SELECT vec_id AS fid, v AS fv FROM e WHERE vec_id % 64 = 0),
          |fa AS (SELECT fid, fv, cid AS ccell FROM (
          |        SELECT fi.fid, fi.fv, co.cid,

@@ -364,6 +364,53 @@ class AnnSpec extends AnyFunSuite {
     assert(rec >= 0.9, f"approximate build edge recall too low: $rec%.4f")
   }
 
+  test("keyDimsFor: the corpus-adaptive ladder — one key dimension per ~46x") {
+    // rung k covers KeyDimsBase * KeyDimsFanout^(k-1) rows; every gated
+    // fixture (sf0.01 .. sf1) sits on rung 1, the measured sf10 point
+    // on rung 2, and a 1e9-row corpus composes four projections. The
+    // ladder is bounded by nProj (a key cannot compose more
+    // projections than exist).
+    val b = Ann.KeyDimsBase
+    val f = Ann.KeyDimsFanout
+    assert(Ann.keyDimsFor(500L, 8) == 1)            // sf0.01 gate
+    assert(Ann.keyDimsFor(b, 8) == 1)               // at the threshold
+    assert(Ann.keyDimsFor(b + 1, 8) == 2)           // just past it
+    assert(Ann.keyDimsFor(200000L, 8) == 2)         // the sf10 point
+    assert(Ann.keyDimsFor(b * f, 8) == 2)           // rung-2 ceiling
+    assert(Ann.keyDimsFor(b * f + 1, 8) == 3)       // rung 3 opens
+    assert(Ann.keyDimsFor(b * f * f, 8) == 3)
+    assert(Ann.keyDimsFor(1000000000L, 8) == 4)     // 1e9 rows
+    assert(Ann.keyDimsFor(Long.MaxValue, 8) == 8)   // nProj-bounded
+    assert(Ann.keyDimsFor(Long.MaxValue, 3) == 3)
+  }
+
+  test("hnsw_edges_approx: conf restored and intermediate state freed after the eager build") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    // pre-set a sentinel so the restore path through an existing value
+    // is the one exercised (the unset path is the same finally block)
+    val sentinel = "4096"
+    spark.conf.set(key, sentinel)
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val r1 = Ann.hnswEdgesApprox(spark, d)
+      assert(r1.count() > 0)
+      assert(spark.conf.get(key) == sentinel,
+        "fallback-threshold raise leaked out of the build")
+      val after1 = spark.sparkContext.getPersistentRDDs.size
+      // each build may leave exactly ONE persisted artifact — its
+      // result checkpoint (caller-owned); the bucket-stage cache and
+      // the per-round NND checkpoints must be gone. Before the r9
+      // cleanup every build leaked 4 (bve + 2 round inputs + result).
+      assert(after1 - before <= 1,
+        s"build leaked intermediate storage: $before -> $after1 persistent RDDs")
+      val r2 = Ann.hnswEdgesApprox(spark, d)
+      assert(r2.count() > 0)
+      val after2 = spark.sparkContext.getPersistentRDDs.size
+      assert(after2 - after1 <= 1,
+        s"repeated builds accumulate storage: $after1 -> $after2 persistent RDDs")
+    } finally spark.conf.unset(key)
+  }
+
   test("ann_ivfpq: composed index keeps useful recall; self reachable through own cell") {
     // at this fixture scale the nprobe=3/10 cell restriction costs
     // more recall than the residual codes win back (the residual
@@ -420,7 +467,38 @@ class AnnSpec extends AnyFunSuite {
       val sumSq = sizes.map(c => c * c).sum
       assert(sumSq <= 4L * n * cs,
         s"cellSize=$cs: candidate mass $sumSq exceeds 4·n·cellSize=${4L * n * cs}")
+      // the broadcast (top-level) codebook is the ladder's whole
+      // point: its seed-set size must be bounded by cellSize, never
+      // n/constant (the r8 residual: the fixed 2-level form broadcast
+      // n/cellSize² seeds, O(n) in the limit)
+      val lv = Similarity.semanticLevels(n, cs)
+      val topSeeds = graft.Tables.embeddings(spark, d)
+        .filter(col("vec_id") % math.pow(cs, lv).toLong === 0).count()
+      assert(topSeeds <= cs,
+        s"cellSize=$cs: top codebook has $topSeeds seeds > cellSize=$cs")
     }
+  }
+
+  test("semantic_dedup: the level ladder derives from the corpus count and deepens correctly") {
+    import graft.operators.Similarity
+    // the rule: smallest L >= 2 with n <= cellSize^(L+1)
+    assert(Similarity.semanticLevels(500L, 64) == 2)
+    assert(Similarity.semanticLevels(262144L, 64) == 2)    // 64^3 ceiling
+    assert(Similarity.semanticLevels(262145L, 64) == 3)    // level 3 opens
+    assert(Similarity.semanticLevels(16777216L, 64) == 3)  // 64^4 ceiling
+    assert(Similarity.semanticLevels(10000000000L, 1024) == 3)
+    // exercise a DEEP ladder at gate scale: cellSize=4 on 500 rows
+    // derives L=4 (4^5 = 1024 >= 500), so the loop actually recurses —
+    // the assignment must still cover every vector and keep the
+    // top codebook within cellSize
+    val n = graft.Tables.embeddings(spark, d).count()
+    val lv = Similarity.semanticLevels(n, 4)
+    assert(lv >= 3, s"fixture too small to exercise the deep ladder (L=$lv)")
+    val cells = Similarity.semanticCells(spark, d, 4)
+    assert(cells.count() == n, "deep-ladder assignment dropped vectors")
+    val topSeeds = graft.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % math.pow(4, lv).toLong === 0).count()
+    assert(topSeeds <= 4, s"deep ladder top codebook $topSeeds > 4")
   }
 
   test("semantic_dedup: drops are true within-cell eps-neighbors, subset of the global eps-join") {

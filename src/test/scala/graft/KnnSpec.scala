@@ -101,6 +101,24 @@ class KnnSpec extends AnyFunSuite {
     assert(viaOperator.toSeq == viaFunction.toSeq)
   }
 
+  test("knn_pagerank over the approximate index tracks the exact-graph ranks") {
+    // the composed scale path: the same scaled-integer PageRank run
+    // over hnsw_edges_approx's level-0 adjacency must surface (nearly)
+    // the same top-k central nodes as the exact m-NN graph — the
+    // lifecycle promise that graph analytics also survives swapping
+    // the O(n²) build for the LSH+NND one. Pinned as top-20 set
+    // overlap; at gate scale the approximate graph holds ≥0.99 edge
+    // recall, so rank agreement should be near-total.
+    val d = "/root/testdata/sf0.01"
+    val exact = operators.Knn.knnPagerank(spark, d)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = operators.Knn.knnPagerankApprox(spark, d)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val overlap = exact.intersect(approx).size.toDouble / exact.size
+    info(f"approximate-graph pagerank top-20 overlap = $overlap%.2f")
+    assert(overlap >= 0.8, f"approx centrality diverged: overlap $overlap%.2f")
+  }
+
   // test_hnsw.zig "Consistency" (:275-317)
   test("repeated identical searches return identical results") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")

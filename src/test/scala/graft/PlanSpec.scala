@@ -273,15 +273,42 @@ class PlanSpec extends AnyFunSuite {
     // fallback here is the corpus² scan the whole construction exists
     // to avoid — and the top-m reduction must stay an
     // ObjectHashAggregate (TopMEdges map-side bounded heap), not a
-    // sort-based aggregate over the candidate multiset. The per-round
-    // localCheckpoints truncate lineage, so this audits the final
-    // round + prune — the stage a regression would land in.
-    val p = plan(Ann.hnswEdgesApprox(spark, d))
+    // sort-based aggregate over the candidate multiset. The audit runs
+    // over the LAZY build lineage (hnswEdgesApproxForAudit — the
+    // public operator materializes eagerly behind a checkpoint, which
+    // would hide the build stages from the plan string); the per-round
+    // localCheckpoints still truncate lineage, so this audits the
+    // final round + prune — the stage a regression would land in.
+    val p = plan(Ann.hnswEdgesApproxForAudit(spark, d))
     assert(!p.contains("CartesianProduct"),
       s"cartesian in the refined approx build:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"nested-loop fallback in the refined approx build:\n$p")
     assert(p.contains("ObjectHashAggregate"),
       s"TopMEdges reduction is not an object hash aggregate:\n$p")
+  }
+
+  test("hnsw_edges_approx: no single-partition window carries the corpus or its payload") {
+    // the finger-seed global rank is a two-level prefix count: the
+    // only zero-partition window allowed in the build is the running
+    // offset over the √n-row bucket-totals table, whose input is
+    // exactly (bkt, bn) — never the embedding payload, never a
+    // corpus-sized row set (the r7 advice item: the global rank window
+    // used to carry the full 64-dim embedding through one partition).
+    // refine = 0: the NND rounds checkpoint their inputs, which
+    // truncates lineage — the un-refined plan is the one that still
+    // shows the seed stage this pin audits.
+    val df = Ann.hnswEdgesApproxForAudit(spark, d, refine = 0)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.nonEmpty,
+      "expected the bucket-offset window in the build plan")
+    globalWindows.foreach { w =>
+      val in = w.child.output.map(_.name).toSet
+      assert(in.subsetOf(Set("bkt", "bn")),
+        s"zero-partition window carries more than the bucket totals: $in")
+    }
   }
 }

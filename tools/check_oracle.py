@@ -35,6 +35,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
+        # repo-generated fixtures (FixtureGen) are Spark part-file
+        # DIRECTORIES; driver fixtures are single files — glob the dir
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         if t == "events":
             # driver fixtures carry ts as TIMESTAMP_NS; repo-generated
             # sf1 carries BIGINT nanos (Spark cannot write ns

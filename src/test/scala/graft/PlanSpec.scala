@@ -190,6 +190,27 @@ class PlanSpec extends AnyFunSuite {
       s"no materialized-assignment scan in semantic_dedup:\n$p")
   }
 
+  test("semantic_dedup: the seed-stride filter pushes below the assignment argmin") {
+    // the r9 ladder derives each level's seed table by FILTERING the
+    // running assignment (seeds are corpus rows, so their cells are
+    // already computed) — the cost contract is that Catalyst pushes
+    // the stride predicate through the argmin Aggregate to the scan,
+    // so the seed branch does seed-table-sized work (the shape the
+    // old two-level form got from its separate fineCells subplan). A
+    // filter stranded ABOVE the aggregate recomputes the full-corpus
+    // assignment just to keep 1/cellSize of it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val opt = Similarity.semanticCells(spark, d, 64)
+      .queryExecution.optimizedPlan
+    val strideFilters = opt.collect {
+      case f: Filter if f.condition.toString.contains("% 64") => f
+    }
+    assert(strideFilters.nonEmpty, s"no seed-stride filter in the plan:\n$opt")
+    assert(strideFilters.exists(f =>
+      f.child.collect { case a: Aggregate => a }.isEmpty),
+      s"seed-stride filter stranded above the assignment aggregate:\n$opt")
+  }
+
   test("cross_split_contamination: band-key equi-join candidates, no pair enumeration") {
     // the eval×train candidate stage must be an equi-join on the band
     // key — a nested loop here is the |eval|×|train| scan the banding

@@ -39,6 +39,14 @@ import org.apache.spark.sql.functions._
   * rows) so FIXTURES.md can pin regeneration stability.
   *
   * Usage: runMain graft.FixtureGen <outDir> [--fingerprint]
+  *          [--replicas N] [--tables a,b,c]
+  *
+  * `--tables` restricts generation to the named tables — the rung-3
+  * key-ladder scale point needs ONLY a ~2M-row embeddings table
+  * (1000 replicas), and generating the 600M-row lineitem alongside
+  * it would be pure waste. Strides are replica-count-agnostic:
+  * disjointness needs stride ≥ the per-replica key range, which
+  * holds at any N.
   */
 object FixtureGen {
   val Replicas = 10
@@ -142,8 +150,10 @@ object FixtureGen {
     val fingerprint = args.contains("--fingerprint")
     // --replicas N: 10 = sf1 (default, byte-identical to the pinned
     // fingerprints), 100 = sf10 (the 100× scale point)
+    var only = Set.empty[String]
     args.sliding(2).foreach {
       case Array("--replicas", n) => replicas = n.toInt
+      case Array("--tables", t) => only = t.split(",").toSet
       case _ => ()
     }
     val spark = SparkSession.builder()
@@ -155,7 +165,9 @@ object FixtureGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    tables(spark).toSeq.sortBy(_._1).foreach { case (name, df) =>
+    tables(spark).toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       if (fingerprint) {
         // order-insensitive content hash: sum of xxhash64 over the

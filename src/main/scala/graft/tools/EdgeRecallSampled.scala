@@ -6,12 +6,26 @@ import org.apache.spark.sql.functions._
 /** Sampled edge recall of the approximate index build at scales where
   * the full exact m-NN graph is out of reach (sf10: 200k² pairs). For
   * a deterministic sample of source nodes, the exact top-m neighbor
-  * set is computed by a broadcast-sample × corpus scan (|S|·n pairs —
-  * seconds), and the approximate build's level-0 edges for those
-  * sources are graded against it. This is the 100×-point recall
-  * measurement behind the membership cap's quality claim: the cap
-  * bounds candidate mass (time stays ~flat sf1 → sf10), and THIS
-  * tool shows what that bound costs in edge quality.
+  * set is computed by a broadcast-sample × corpus scan (|S|·n pairs),
+  * and the approximate build's level-0 edges for those sources are
+  * graded against it. This is the 100×-point recall measurement
+  * behind the membership cap's quality claim: the cap bounds
+  * candidate mass (time stays ~flat sf1 → sf10), and THIS tool shows
+  * what that bound costs in edge quality.
+  *
+  * The exact stage reduces the |S|·n scored pairs to |S|·m rows with
+  * the SAME map-side bounded-heap aggregate the build uses
+  * ([[graft.functions.expressions.TopMEdges]] — ties (dist, id),
+  * identical to the window `ORDER BY dist, dst` it replaces). The
+  * original window formulation shuffled ALL scored pairs to rank
+  * them: invisible at sf10 (4×10⁷ rows) but 4×10⁹ rows / tens of GB
+  * of exchange at the 2M-vector rung-3 point — the tool failing its
+  * own would-this-survive-100× rule. The fallback threshold is
+  * raised past |S| for this session (2,000 groups per task is above
+  * the 128-key default, which would silently demote the typed
+  * aggregate to a sort of the whole candidate stream), and the
+  * corpus is repartitioned so a few large parquet row-groups cannot
+  * serialize the scan.
   *
   * Usage: runMain graft.tools.EdgeRecallSampled [sfDir] [sampleStride] [m]
   */
@@ -32,22 +46,29 @@ object EdgeRecallSampled {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Ann
+    import graft.functions.expressions.TopMEdges
+    import org.apache.spark.sql.graftbridge.SqlBridge
 
     val e = graft.Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))
     val sample = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("src"), col("embedding").as("sv"))
     // exact top-m for the sampled sources: broadcast the sample, scan
-    // the corpus once — |S|·n distance evaluations
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy(col("dist"), col("dst"))
-    val exact = e.crossJoin(broadcast(sample))
+    // the corpus once — |S|·n distance evaluations, reduced to |S|·m
+    // rows map-side by the build's own bounded heap (see header)
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    val top = SqlBridge.column(TopMEdges(
+      SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
+      .toAggregateExpression())
+    val exact = e.repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("src"))
       .select(col("src"), col("vec_id").as("dst"),
         graft.functions.VectorFunctions.squaredL2(col("embedding"), col("sv")).as("dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= m)
-      .select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(top.as("top"))
+      .select(col("src"), explode(col("top")).as("e"))
+      .select(col("src"), col("e.dst").as("dst"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val t0 = System.nanoTime()

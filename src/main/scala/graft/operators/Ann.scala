@@ -427,6 +427,22 @@ object Ann {
     * fixture is within 10× of that scale. */
   private[graft] val KeyDimsBase = 40960L
   private[graft] val KeyDimsFanout = 46L
+
+  /** Corpus-row ceiling for the build's broadcast vector fetch
+    * (~2.2 GB of 64-dim f32 payload at the ceiling). The build's
+    * candidate streams shuffle SLIM (ids + bucket keys only) and
+    * re-attach the embedding payload map-side from one broadcast of
+    * the corpus — at rung 3 the probe explode is 27× per bucket row,
+    * and carrying the 256 B vector through it (the original shape)
+    * wrote ~130 GB of exchange at the 2M-vector fixture vs ~10 GB
+    * slim, filling the single-node disk. Past the ceiling the fetch
+    * degrades to a plain shuffle join: the pair stream still moves
+    * id-only rows, and aggregate shuffle capacity is the resource
+    * that actually scales with a cluster. (The next rung, if a
+    * ≥10⁹-vector corpus ever needs the broadcast back, is a
+    * bucket-co-partitioned fetch — the
+    * [[graft.operators.Similarity.semanticCells]] treatment.) */
+  private[graft] val BroadcastFetchMaxRows = 8388608L
   private[graft] def keyDimsFor(cnt: Long, nProj: Int): Int = {
     var k = 1
     var t = KeyDimsBase
@@ -558,19 +574,23 @@ object Ann {
     // deltas ≤ probe on some shared key — the standard recall patch
     // for points landing just across a bucket boundary, still an
     // equi-join after explode.
-    // vectors + levels ride ON the bucket rows: the candidate multiset
-    // (Σ bucket² rows — 300M at the sf1 scale point) is generated,
-    // scored, level-exploded, and REDUCED TO ≤ m ROWS PER (level, src)
-    // all inside one map stage — [[graft.functions.expressions.TopMEdges]]
+    // Only the OCCUPANT side of the bucket join carries the vector
+    // payload (×1 per bucket row); every exploded or derived
+    // candidate stream shuffles SLIM and re-attaches embeddings
+    // map-side via `attach` below. The candidate multiset (Σ bucket²
+    // rows — 300M at the sf1 scale point) is generated, scored,
+    // level-exploded, and REDUCED TO ≤ m ROWS PER (level, src) all
+    // inside one map stage — [[graft.functions.expressions.TopMEdges]]
     // is a TypedImperativeAggregate, so Spark's partial-merge-final
-    // pipeline runs the bounded heap map-side and the only exchange in
-    // the whole build carries n×m partial heaps. The previous shape
-    // (distinct → two vector joins → window rank) shuffled the full
-    // candidate set twice and took 10 minutes of the sf1 verify run.
-    // Heap dedup ≡ distinct (duplicates carry identical (dist, dst)),
-    // so the DuckDB oracle keeps its DISTINCT formulation unchanged.
-    // The repartition by vec_id spreads the build across the cluster
-    // regardless of the (often single-partition) input file layout.
+    // pipeline runs the bounded heap map-side and the only
+    // corpus-scale exchange in the whole build carries n×m partial
+    // heaps. The previous shape (distinct → two vector joins → window
+    // rank) shuffled the full candidate set twice and took 10 minutes
+    // of the sf1 verify run. Heap dedup ≡ distinct (duplicates carry
+    // identical (dist, dst)), so the DuckDB oracle keeps its DISTINCT
+    // formulation unchanged. The repartition by vec_id spreads the
+    // build across the cluster regardless of the (often
+    // single-partition) input file layout.
     val bve = e.select(col("vec_id"), col("embedding"), col("level"),
         explode(array(keys: _*)).as("pb"))
       .select(Seq(col("vec_id"), col("embedding"), col("level"),
@@ -580,18 +600,36 @@ object Ann {
       .drop("rn")
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .cache()
+    // the payload re-attach: one broadcast of the corpus serves every
+    // slim candidate stream (see [[BroadcastFetchMaxRows]]); identical
+    // rows to joining the fat streams directly, so the gate hashes and
+    // the oracle SQL are untouched by the slim/fat distinction
+    val fetch = e.select(col("vec_id"), col("embedding"))
+    def attach(df: DataFrame, idCol: String, out: String): DataFrame = {
+      val ft = fetch.select(col("vec_id").as(idCol), col("embedding").as(out))
+      df.join(if (cnt <= BroadcastFetchMaxRows) broadcast(ft) else ft,
+        Seq(idCol))
+    }
     // one ±probe explode per key component — ≤ (2·probe+1)^keyDims
-    // probe rows per bucket row, still an equi-join on every component
-    val probed = bucketCols.foldLeft(bve: DataFrame) { (df, bc) =>
+    // probe rows per bucket row, still an equi-join on every
+    // component. The probe stream drops the embedding BEFORE the
+    // explode: at rung 3 the explode is 27×, and 27 copies of a
+    // 256 B vector per bucket row was ~130 GB of exchange at the
+    // 2M-vector fixture (vs ~10 GB slim).
+    val probed = bucketCols.foldLeft(bve.drop("embedding")) { (df, bc) =>
       df.withColumn(bc, explode(sequence(col(bc) - probe, col(bc) + probe)))
     }
     val keyEq = ("proj_id" +: bucketCols)
       .map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
-    val scored = bve.as("l").join(probed.as("r"),
-        keyEq && col("l.vec_id") =!= col("r.vec_id"))
-      .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"),
-        squaredL2(col("l.embedding"), col("r.embedding")).as("dist"),
-        least(col("l.level"), col("r.level"), lit(MaxLevel)).as("minl"))
+    val scored = attach(
+      bve.as("l").join(probed.as("r"),
+          keyEq && col("l.vec_id") =!= col("r.vec_id"))
+        .select(col("l.vec_id").as("src"), col("l.embedding").as("lv"),
+          col("r.vec_id").as("dst"),
+          least(col("l.level"), col("r.level"), lit(MaxLevel)).as("minl")),
+      "dst", "rv")
+      .select(col("src"), col("dst"),
+        squaredL2(col("lv"), col("rv")).as("dist"), col("minl"))
     // Chord-finger seed: every node also gets deterministic LONG-RANGE
     // seed candidates — rank r connects to ranks (r + 2^j) mod n for
     // j < bit-length(n-1), the Chord finger table. The bucket cap
@@ -633,16 +671,21 @@ object Ann {
       .select(col("bkt"), col("boff"))
     val ranks = intra.join(broadcast(offs), "bkt")
       .select(col("vec_id"), (col("boff") + col("ir")).as("r"))
-    val er = e.join(ranks, "vec_id")
-    val fj = er.select(col("vec_id"), col("embedding"), col("level"), col("r"),
+    // finger pairs move (id, level, rank) only — n·fingers slim rows
+    // through the rank equi-join, payloads re-attached map-side
+    val er = e.select(col("vec_id"), col("level")).join(ranks, "vec_id")
+    val fj = er.select(col("vec_id"), col("level"), col("r"),
         explode(sequence(lit(0), lit(fingers - 1))).as("j"))
       .withColumn("pr", expr(s"(r + shiftleft(1L, j)) % ${math.max(cnt, 1L)}"))
-    val fingerScored = fj.as("l")
-      .join(er.as("r2"), col("l.pr") === col("r2.r"))
-      .filter(col("l.vec_id") =!= col("r2.vec_id"))
-      .select(col("l.vec_id").as("src"), col("r2.vec_id").as("dst"),
-        squaredL2(col("l.embedding"), col("r2.embedding")).as("dist"),
-        least(col("l.level"), col("r2.level"), lit(MaxLevel)).as("minl"))
+    val fingerScored = attach(attach(
+      fj.as("l")
+        .join(er.as("r2"), col("l.pr") === col("r2.r"))
+        .filter(col("l.vec_id") =!= col("r2.vec_id"))
+        .select(col("l.vec_id").as("src"), col("r2.vec_id").as("dst"),
+          least(col("l.level"), col("r2.level"), lit(MaxLevel)).as("minl")),
+      "src", "lv"), "dst", "rv")
+      .select(col("src"), col("dst"),
+        squaredL2(col("lv"), col("rv")).as("dist"), col("minl"))
     // an edge candidate serves levels 0..min(levels) exactly as in the
     // exact builder
     val exploded = scored.unionByName(fingerScored).select(
@@ -683,7 +726,6 @@ object Ann {
     // and lets them pipeline straight into the output action.
     var edges = topM(exploded).drop("rnk")
     var roundInputs = List.empty[DataFrame]
-    val dstVec = e.select(col("vec_id").as("dst"), col("embedding").as("dvec"))
     for (_ <- 1 to refine) {
       val base = edges.localCheckpoint(false)
       roundInputs ::= base
@@ -692,15 +734,23 @@ object Ann {
       val wrev = Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))
       val revCapped = rev.withColumn("rr", row_number().over(wrev))
         .filter(col("rr") <= m).drop("rr")
+      // the neighborhood table self-joins SLIM — (level, src, dst)
+      // only; attaching the vectors before the self-join (the
+      // original shape) put the ≤2m-per-node payload through BOTH
+      // shuffle sides, ~76 GB at the 2M-vector fixture. The n·(2m)²
+      // candidate stream never shuffles at all: self-join → attach ×2
+      // → score → partial TopMEdges heap is one map stage.
       val nb = base.select(col("level"), col("src"), col("dst"))
         .unionByName(revCapped.select(col("level"), col("src"), col("dst")))
-        .join(dstVec, "dst")
-      val cand = nb.as("a").join(nb.as("b"),
-          col("a.level") === col("b.level") && col("a.src") === col("b.src") &&
-            col("a.dst") =!= col("b.dst"))
-        .select(col("a.level").as("level"), col("a.dst").as("src"),
-          col("b.dst").as("dst"),
-          squaredL2(col("a.dvec"), col("b.dvec")).as("dist"))
+      val cand = attach(attach(
+        nb.as("a").join(nb.as("b"),
+            col("a.level") === col("b.level") && col("a.src") === col("b.src") &&
+              col("a.dst") =!= col("b.dst"))
+          .select(col("a.level").as("level"), col("a.dst").as("src"),
+            col("b.dst").as("dst")),
+        "src", "av"), "dst", "bv")
+        .select(col("level"), col("src"), col("dst"),
+          squaredL2(col("av"), col("bv")).as("dist"))
       edges = topM(cand.unionByName(
         base.select(col("level"), col("src"), col("dst"), col("dist"))))
         .drop("rnk")

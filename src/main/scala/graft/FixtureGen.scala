@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   * rows) so FIXTURES.md can pin regeneration stability.
   *
   * Usage: runMain graft.FixtureGen <outDir> [--fingerprint]
-  *          [--replicas N] [--tables a,b,c]
+  *          [--replicas N] [--tables a,b,c] [--spread]
   *
   * `--tables` restricts generation to the named tables — the rung-3
   * key-ladder scale point needs ONLY a ~2M-row embeddings table
@@ -47,6 +47,23 @@ import org.apache.spark.sql.functions._
   * it would be pure waste. Strides are replica-count-agnostic:
   * disjointness needs stride ≥ the per-replica key range, which
   * holds at any N.
+  *
+  * `--spread` switches the EMBEDDINGS decorrelation from base+noise
+  * to full per-replica regeneration. The ±0.05 noise keeps every
+  * clone family within near-dup range (clone-pair dist² ≈ 0.11 vs
+  * the corpus's natural nn dist² ≈ 1.3) — intended for dedup
+  * honesty at sf1/sf10, but at 1000 replicas it makes bucket-stage
+  * candidate mass ∝ replicas² (clones co-bucket by construction),
+  * a fixture artifact that swamps any key-ladder measurement
+  * (observed: the clone-structured 2M fixture ground ~4×10¹¹
+  * candidate pairs, ~300× the sf10 stage, killed after 2h22m).
+  * Spread replicas draw each dim i.i.d. uniform in
+  * [-0.2165, 0.2165) — matching the driver corpus's per-dim
+  * envelope (std 0.125), so the per-projection bucket fanout the
+  * keyDims ladder was calibrated on (~46) carries over — giving a corpus
+  * whose bucket occupancy actually divides when the ladder adds a
+  * key dimension, i.e. the thing the rung-3 point measures.
+  * Replica 0 stays verbatim either way.
   */
 object FixtureGen {
   val Replicas = 10
@@ -57,6 +74,7 @@ object FixtureGen {
     * with the same constants; the word suffix (`wxR`) and the
     * per-(replica, id, dim) noise hash are replica-count-agnostic. */
   private var replicas: Int = Replicas
+  private var spread: Boolean = false
   private val Src = "/root/testdata/sf0.1"
 
   def tables(s: SparkSession): Map[String, DataFrame] = {
@@ -125,16 +143,27 @@ object FixtureGen {
       col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
-    val embeddings = rd("embeddings").crossJoin(rep).select(
-      (col("vec_id") + col("r") * vecStride).as("vec_id"),
-      when(col("r") === 0, col("embedding")).otherwise(
+    // spread mode: replicas r ≥ 1 regenerate each dim i.i.d. uniform
+    // in [-0.2165, 0.2165) (std 0.125 = the driver corpus's per-dim
+    // envelope) from the same per-(replica, id, dim) hash — no clone
+    // structure at all; see the --spread scaladoc
+    val replicaEmbedding =
+      if (spread)
+        expr("""transform(embedding, (x, i) -> CAST(
+               |  (pmod(xxhash64(vec_id, i, r), 1000000) / 1000000.0D - 0.5D) * 0.433D
+               |  AS FLOAT))""".stripMargin.replaceAll("\n", " "))
+      else
         // per-(replica, id, dim) uniform noise in [-0.05, 0.05):
         // xxhash64 (overflow-free under ANSI mode, unlike hand-rolled
         // integer mixing) drives pmod into [0, 10⁶), scaled and
         // centered; FLOAT keeps the declared ARRAY<FLOAT> schema
         expr("""transform(embedding, (x, i) -> CAST(x +
                |  (pmod(xxhash64(vec_id, i, r), 1000000) / 10000000.0D - 0.05D)
-               |  AS FLOAT))""".stripMargin.replaceAll("\n", " ")))
+               |  AS FLOAT))""".stripMargin.replaceAll("\n", " "))
+
+    val embeddings = rd("embeddings").crossJoin(rep).select(
+      (col("vec_id") + col("r") * vecStride).as("vec_id"),
+      when(col("r") === 0, col("embedding")).otherwise(replicaEmbedding)
         .as("embedding"),
       col("label"))
 
@@ -156,6 +185,7 @@ object FixtureGen {
       case Array("--tables", t) => only = t.split(",").toSet
       case _ => ()
     }
+    spread = args.contains("--spread")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-fixture-gen")

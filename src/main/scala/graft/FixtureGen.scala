@@ -73,11 +73,10 @@ object FixtureGen {
     * 10× its per-replica key range, so 100 replicas stay disjoint
     * with the same constants; the word suffix (`wxR`) and the
     * per-(replica, id, dim) noise hash are replica-count-agnostic. */
-  private var replicas: Int = Replicas
-  private var spread: Boolean = false
   private val Src = "/root/testdata/sf0.1"
 
-  def tables(s: SparkSession): Map[String, DataFrame] = {
+  def tables(s: SparkSession, replicas: Int = Replicas,
+      spread: Boolean = false): Map[String, DataFrame] = {
     // events.ts passes through VERBATIM in whatever physical type the
     // driver fixture carries — BIGINT nanos (older TIMESTAMP(NANOS)
     // vintage, via the legacy flag) or timestamp[us] (newer vintage).
@@ -180,12 +179,13 @@ object FixtureGen {
     // --replicas N: 10 = sf1 (default, byte-identical to the pinned
     // fingerprints), 100 = sf10 (the 100× scale point)
     var only = Set.empty[String]
+    var replicas = Replicas
     args.sliding(2).foreach {
       case Array("--replicas", n) => replicas = n.toInt
       case Array("--tables", t) => only = t.split(",").toSet
       case _ => ()
     }
-    spread = args.contains("--spread")
+    val spread = args.contains("--spread")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-fixture-gen")
@@ -195,7 +195,7 @@ object FixtureGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    tables(spark).toSeq.sortBy(_._1)
+    tables(spark, replicas, spread).toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")

@@ -1,11 +1,12 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native codegen'd vector kernels.
   *
@@ -29,7 +30,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 abstract class BinaryDoubleArrayFold extends BinaryExpression {
   // Inputs must already be ARRAY<DOUBLE> — all call sites cast floats
   // to double up front (Tables.embeddings), which is also what the
-  // DuckDB-oracle parity contract requires.
+  // DuckDB-oracle parity contract requires. ENFORCED at analysis time:
+  // an ARRAY<FLOAT> slipping through is not a type error at runtime —
+  // UnsafeArrayData.toDoubleArray bulk-reinterprets the 4-byte packed
+  // floats as 8-byte doubles and the fold returns garbage ~1e-12
+  // "distances" (observed: a spec passing the raw float embedding
+  // column got plausible-looking near-zero results, the silent-wrong
+  // failure mode). Fail the query instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<DOUBLE> arguments (cast " +
+          s"ARRAY<FLOAT> explicitly), got ${l.simpleString} and ${r.simpleString}")
+    }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -131,6 +146,15 @@ case class SimHash(child: Expression, bits: Int)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = true
   override def prettyName: String = s"simhash$bits"
+
+  // Same analysis-time guard as BinaryDoubleArrayFold: getLong(i) over
+  // an UnsafeArrayData of narrower elements reads off-stride garbage
+  // rather than failing — require ARRAY<BIGINT> up front.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<BIGINT> argument, got ${t.simpleString}")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -38,6 +38,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(3) == (1L << 63) + (1L << 62) + (1L << 61))
   }
 
+  test("ARRAY<FLOAT> input fails at analysis instead of silently reinterpreting") {
+    // regression: UnsafeArrayData.toDoubleArray on packed floats
+    // bulk-reinterprets 4-byte elements as 8-byte doubles — before the
+    // checkInputDataTypes guard, squared_l2 over a raw float embedding
+    // column returned plausible near-zero garbage (~1e-12) instead of
+    // erroring; simhash over non-BIGINT arrays has the same failure
+    // shape through getLong. The analysis error is the contract.
+    GraftExtensions.register(spark)
+    val floats = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS v")
+    floats.createOrReplaceTempView("float_vecs")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT squared_l2(v, v) FROM float_vecs").collect()
+    }
+    assert(e1.getMessage.contains("ARRAY<DOUBLE>"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(array(CAST(7 AS INT)))").collect()
+    }
+    assert(e2.getMessage.contains("ARRAY<BIGINT>"), e2.getMessage)
+  }
+
   test("SQL-only consumer path: pure-SQL top-k over a view equals the operator") {
     // the (c)-level integration contract: a consumer who only speaks
     // SQL (registered functions + temp views, no Column API) gets

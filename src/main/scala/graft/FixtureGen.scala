@@ -59,10 +59,10 @@ import org.apache.spark.sql.functions._
   * candidate pairs, ~300× the sf10 stage, killed after 2h22m).
   * Spread replicas draw each dim i.i.d. uniform in
   * [-0.2165, 0.2165) — matching the driver corpus's per-dim
-  * envelope (std 0.125), so the per-projection bucket fanout the
-  * keyDims ladder was calibrated on (~46) carries over — giving a corpus
-  * whose bucket occupancy actually divides when the ladder adds a
-  * key dimension, i.e. the thing the rung-3 point measures.
+  * envelope (std 0.125), so the per-projection bucket fanout carries
+  * over from the gated fixtures — giving a corpus whose bucket
+  * occupancy actually divides when [[graft.operators.Ann.measuredKeyDims]]
+  * widens the key, i.e. the thing the rung-3 point measures.
   * Replica 0 stays verbatim either way.
   */
 object FixtureGen {

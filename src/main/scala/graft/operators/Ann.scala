@@ -410,23 +410,33 @@ object Ann {
     * they fall in sparser buckets — edge recall stays pinned in
     * AnnSpec. The candidate multiset itself never shuffles: see the
     * in-body comment on [[graft.functions.expressions.TopMEdges]]. */
-  /** keyDims ladder — how many adjacent projections compose one bucket
-    * KEY, derived from the corpus count. Rung 1 holds to
-    * [[KeyDimsBase]] rows: the scale where one projection's per-key
-    * occupancy passed the membership cap on this fixture family
-    * (measured at the sf10/100× point — below it the cap is a skew
-    * guard, above it a systematic node filter, edge recall 0.09).
-    * Each additional key dimension divides occupancy by the
-    * per-projection bucket count (~[[KeyDimsFanout]] on this spread),
-    * buying another ~46× of corpus, so rung k covers
-    * KeyDimsBase·Fanout^(k−1) rows; a 10⁹-row corpus lands on rung 4.
-    * Bounded by nProj — a key cannot compose more projections than
-    * exist. Integer-exact; the DuckDB oracle mirrors the count-derived
-    * rule up to rung 2 and fails LOUDLY (error()) past the rung-3
-    * threshold instead of silently diverging — no oracle-gated
+  /** keyDims target — the weighted collider budget that picks how many
+    * adjacent projections compose one bucket KEY. keyDims is the
+    * smallest k whose MEASURED per-key collider mass Σ occ² (over the
+    * uncapped bucket table, all nProj rotated composite keys) is
+    * ≤ target · n · nProj — i.e. a mean vector meets ≤ `target`
+    * candidates per projection key. 2048 = 2 × the membership cap:
+    * at that mass the cap truncates only the densest tail instead of
+    * evicting systematically, and it is the PROVEN-quality band — the
+    * sf10/100× point shipped at a measured 1,803 colliders/vec
+    * (k = 2) with sampled edge recall 0.9972.
+    *
+    * Measured, not count-derived: round 9 replaced a count ladder
+    * (rung k per 46× of corpus) after the 2M-vector rung-3 fixture
+    * showed the per-dimension division factor is a DATA property —
+    * ~10.4 on the uniform-envelope fixtures (46 was a distinct-bucket
+    * count, not an occupancy divisor), so the count ladder's rungs
+    * ended with 4.4× more colliders each and diverged at scale; the
+    * measured rule lands every gated fixture on the same k the ladder
+    * chose (sf0.01…sf1 → 1, kd2/sf10 → 2, sf100 → 3) and adapts to
+    * any distribution. One count-only aggregation over the n·nProj
+    * bucket rows per k tried (k is final-k small); integer-exact on
+    * both engines (the oracle sums the identical GROUP BY counts —
+    * DECIMAL here, HUGEINT there, compared against the same
+    * target·n·nProj bound). The oracle models k ≤ 2 and fails LOUDLY
+    * (error()) when the measured mass needs k ≥ 3 — no oracle-gated
     * fixture is within 10× of that scale. */
-  private[graft] val KeyDimsBase = 40960L
-  private[graft] val KeyDimsFanout = 46L
+  private[graft] val KeyDimsColliderTarget = 2048L
 
   /** Corpus-row ceiling for the build's broadcast vector fetch
     * (~2.2 GB of 64-dim f32 payload at the ceiling). The build's
@@ -443,15 +453,40 @@ object Ann {
     * bucket-co-partitioned fetch — the
     * [[graft.operators.Similarity.semanticCells]] treatment.) */
   private[graft] val BroadcastFetchMaxRows = 8388608L
-  private[graft] def keyDimsFor(cnt: Long, nProj: Int): Int = {
-    var k = 1
-    var t = KeyDimsBase
-    while (cnt > t && k < nProj) {
-      k += 1
-      t = if (t > Long.MaxValue / KeyDimsFanout) Long.MaxValue
-          else t * KeyDimsFanout
-    }
-    k
+
+  /** The measured keyDims rule (see [[KeyDimsColliderTarget]]): the
+    * smallest key width k whose collider mass Σ occ² over the uncapped
+    * n·nProj bucket table is ≤ target·n·nProj, bounded by nProj. One
+    * count-only aggregation per k tried, over a cached slim frame of
+    * the nProj raw per-projection buckets (composite keys are
+    * rotations of the SAME nProj raw values, so the corpus-scale dot
+    * products run once, not once per k). DECIMAL sum — a degenerate
+    * 10⁹-row corpus in one bucket would overflow Σ occ² in BIGINT. */
+  private[graft] def measuredKeyDims(e: DataFrame, cnt: Long, nProj: Int,
+      w: Double): Int = {
+    if (cnt <= 1L) return 1
+    val raw = e.select((0 until nProj).map(p =>
+        floor(dot(col("embedding"), typedLit(projVector(p))) / w)
+          .cast("long").as(s"rb$p")): _*)
+      .cache()
+    try {
+      val bound = BigDecimal(KeyDimsColliderTarget) * cnt * nProj
+      var k = 1
+      var found = false
+      while (!found && k < nProj) {
+        val keys = (0 until nProj).map { p =>
+          struct((lit(p).as("proj_id") +:
+            (0 until k).map(j => col(s"rb${(p + j) % nProj}").as(s"b$j"))): _*)
+        }
+        val mass = raw.select(explode(array(keys: _*)).as("key"))
+          .groupBy(col("key")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("mass"))
+          .head.getDecimal(0)
+        if (mass == null || BigDecimal(mass) <= bound) found = true
+        else k += 1
+      }
+      k
+    } finally raw.unpersist(false)
   }
 
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
@@ -545,19 +580,20 @@ object Ann {
     // spread; past that the cap stopped bounding skew and started
     // evicting whole NODES from every dense bucket (measured at the
     // repo's sf10/100× point: level-0 edge recall 0.09, most nodes
-    // edgeless). Composing a SECOND projection into the key divides
-    // occupancy by the per-projection bucket count (~46 here), so the
-    // cap goes back to being a skew guard instead of a systematic
-    // filter, while true near-pairs — whose per-projection bucket
-    // deltas are small — still collide (multiprobe runs over EVERY
-    // key component). The ladder generalizes via [[keyDimsFor]]: one
-    // more key dimension per ~46× of corpus, so a 10⁹-row corpus
-    // composes four. At or below the first threshold the key is the
-    // single projection, so every gated scale (sf0.01 … sf1) is
-    // BIT-IDENTICAL to the original single-projection form and the
-    // oracle keeps its literals (it mirrors the count-derived rule up
-    // to rung 2 and error()s loudly past rung 3's threshold).
-    val keyDims = keyDimsFor(cnt, nProj)
+    // edgeless). Composing another projection into the key divides
+    // occupancy by a DATA-DEPENDENT factor (~10× on the uniform
+    // envelope fixtures), so the cap goes back to being a skew guard
+    // instead of a systematic filter, while true near-pairs — whose
+    // per-projection bucket deltas are small — still collide
+    // (multiprobe runs over EVERY key component). The width comes from
+    // [[measuredKeyDims]]: the smallest k whose MEASURED collider
+    // mass meets the [[KeyDimsColliderTarget]] budget. At every gated
+    // scale the measured choice coincides with the retired count
+    // ladder's (sf0.01 … sf1 → 1, 50k/sf10 → 2), so the single-key
+    // fixtures stay BIT-IDENTICAL to the original single-projection
+    // form; the oracle measures the same masses in SQL and error()s
+    // loudly when the data needs k ≥ 3.
+    val keyDims = measuredKeyDims(e, cnt, nProj, w)
     val bucketCols =
       (0 until keyDims).map(j => if (j == 0) "bucket" else s"bucket${j + 1}")
     val keys = (0 until nProj).map { p =>
@@ -2222,24 +2258,36 @@ object Ann {
          |       FROM au$r) WHERE rnk <= $m)""".stripMargin
     }
     val roundsSql = if (rounds.isEmpty) "" else ",\n" + rounds.mkString(",\n")
-    // akd mirrors the engine's count-derived keyDims ladder
-    // ([[keyDimsFor]]): rung 1 to KeyDimsBase rows, rung 2 to
-    // KeyDimsBase·KeyDimsFanout. The oracle models exactly two rungs —
-    // past the rung-3 threshold it raises a DuckDB error() (lazy in
-    // the un-taken CASE branch, verified), so an oracle-gated fixture
+    // akd mirrors the engine's MEASURED keyDims rule
+    // ([[measuredKeyDims]]): both raw bucket components are computed
+    // unconditionally (apb0), the k=1 and k=2 collider masses Σ occ²
+    // come from the identical GROUP BY counts the engine aggregates
+    // (BIGINT counts — sum widens to HUGEINT here, DECIMAL there,
+    // both exact), and kd is the smallest k whose mass meets the
+    // target·n·nProj budget. The oracle models k ≤ 2 — when even the
+    // k=2 mass is over budget it raises a DuckDB error() (lazy in the
+    // un-taken CASE branch, verified), so an oracle-gated fixture
     // beyond what this SQL models fails LOUDLY instead of silently
     // hash-diverging from the engine's wider key.
-    val rung3 = KeyDimsBase * KeyDimsFanout
     s"""acnt0 AS (SELECT count(*) AS n FROM e),
-       |akd AS (SELECT CASE
-       |         WHEN n > $rung3 THEN CAST(error('oracle models keyDims <= 2; a corpus of ' || n || ' rows needs rung 3+ (engine keyDimsFor ladder)') AS INT)
-       |         WHEN n > $KeyDimsBase THEN 2 ELSE 1 END AS kd FROM acnt0),
-       |apb AS MATERIALIZED (SELECT vec_id, p AS proj_id,
+       |apb0 AS MATERIALIZED (SELECT vec_id, p AS proj_id,
        |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
        |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket,
-       |  CASE WHEN akd.kd >= 2 THEN CAST(floor(list_sum(list_transform(generate_series(1, 64),
-       |    j -> v[j] * ${duckUnit(s"concat(CAST((p + 1) % $nProj AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) ELSE 0 END AS bucket2
-       |  FROM e, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p), akd),
+       |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
+       |    j -> v[j] * ${duckUnit(s"concat(CAST((p + 1) % $nProj AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket2
+       |  FROM e, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p)),
+       |am1 AS (SELECT sum(c * c) AS mass FROM (
+       |         SELECT count(*) AS c FROM apb0 GROUP BY proj_id, bucket) t),
+       |am2 AS (SELECT sum(c * c) AS mass FROM (
+       |         SELECT count(*) AS c FROM apb0 GROUP BY proj_id, bucket, bucket2) t),
+       |akd AS (SELECT CASE
+       |         WHEN coalesce(am1.mass, 0) <= $KeyDimsColliderTarget * n * $nProj THEN 1
+       |         WHEN coalesce(am2.mass, 0) <= $KeyDimsColliderTarget * n * $nProj THEN 2
+       |         ELSE CAST(error('oracle models keyDims <= 2; the measured collider mass of this corpus needs k >= 3 (engine measuredKeyDims)') AS INT)
+       |         END AS kd FROM acnt0, am1, am2),
+       |apb AS MATERIALIZED (SELECT vec_id, proj_id, bucket,
+       |         CASE WHEN akd.kd >= 2 THEN bucket2 ELSE 0 END AS bucket2
+       |       FROM apb0, akd),
        |apbc AS MATERIALIZED (SELECT vec_id, proj_id, bucket, bucket2 FROM (
        |         SELECT vec_id, proj_id, bucket, bucket2,
        |           row_number() OVER (PARTITION BY proj_id, bucket, bucket2 ORDER BY vec_id) AS rn

@@ -326,7 +326,7 @@ object Similarity {
     * 262,144 rows at the default cellSize) sits at L = 2, where the
     * assignment is BIT-IDENTICAL to the original two-level form and
     * the oracle keeps its stride literals; the oracle error()s loudly
-    * past that count (the [[graft.operators.Ann.keyDimsFor]]
+    * past that count (the [[graft.operators.Ann.measuredKeyDims]]
     * treatment). 10¹⁰ vectors at cellSize 1024 → L = 3, top codebook
     * ≤ 1024 rows, per-vector work ~L·cellSize distance evals. */
   private[graft] def semanticLevels(n: Long, cellSize: Int): Int = {

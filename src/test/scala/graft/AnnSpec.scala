@@ -364,24 +364,26 @@ class AnnSpec extends AnyFunSuite {
     assert(rec >= 0.9, f"approximate build edge recall too low: $rec%.4f")
   }
 
-  test("keyDimsFor: the corpus-adaptive ladder — one key dimension per ~46x") {
-    // rung k covers KeyDimsBase * KeyDimsFanout^(k-1) rows; every gated
-    // fixture (sf0.01 .. sf1) sits on rung 1, the measured sf10 point
-    // on rung 2, and a 1e9-row corpus composes four projections. The
-    // ladder is bounded by nProj (a key cannot compose more
-    // projections than exist).
-    val b = Ann.KeyDimsBase
-    val f = Ann.KeyDimsFanout
-    assert(Ann.keyDimsFor(500L, 8) == 1)            // sf0.01 gate
-    assert(Ann.keyDimsFor(b, 8) == 1)               // at the threshold
-    assert(Ann.keyDimsFor(b + 1, 8) == 2)           // just past it
-    assert(Ann.keyDimsFor(200000L, 8) == 2)         // the sf10 point
-    assert(Ann.keyDimsFor(b * f, 8) == 2)           // rung-2 ceiling
-    assert(Ann.keyDimsFor(b * f + 1, 8) == 3)       // rung 3 opens
-    assert(Ann.keyDimsFor(b * f * f, 8) == 3)
-    assert(Ann.keyDimsFor(1000000000L, 8) == 4)     // 1e9 rows
-    assert(Ann.keyDimsFor(Long.MaxValue, 8) == 8)   // nProj-bounded
-    assert(Ann.keyDimsFor(Long.MaxValue, 3) == 3)
+  test("measuredKeyDims: the occupancy-measured key width") {
+    // A corpus of IDENTICAL vectors puts the whole corpus in one
+    // bucket per rotated key, so the measured collider mass is
+    // Σ occ² = n²·nProj at EVERY key width — the target·n·nProj
+    // budget passes exactly at n = KeyDimsColliderTarget (2048,
+    // boundary inclusive), and past it no key width can help: the
+    // rule must fall through to the nProj bound. This pins the
+    // budget arithmetic integer-exactly AND the degenerate-data
+    // behavior (a width the count ladder this replaced would have
+    // mispredicted: it saw only n, never the data).
+    def clones(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      typedLit(Array.fill(64)(0.0)).as("embedding"))
+    assert(Ann.measuredKeyDims(clones(100), 100L, 4, 0.1) == 1)
+    assert(Ann.measuredKeyDims(clones(2048), 2048L, 4, 0.1) == 1)
+    assert(Ann.measuredKeyDims(clones(2049), 2049L, 4, 0.1) == 4)
+    assert(Ann.measuredKeyDims(clones(2049), 2049L, 2, 0.1) == 2)
+    // degenerate sizes take the k=1 early-out (no measurement job)
+    assert(Ann.measuredKeyDims(clones(1), 1L, 8, 0.1) == 1)
+    assert(Ann.measuredKeyDims(clones(0), 0L, 8, 0.1) == 1)
   }
 
   test("hnsw_edges_approx: conf restored and intermediate state freed after the eager build") {

@@ -65,9 +65,10 @@ class FixtureGenSpec extends AnyFunSuite {
   }
 
   test("spread replicas match the driver corpus's per-dim envelope") {
-    // std 0.125 is the calibration KeyDimsFanout (~46 buckets per
-    // projection) was measured on — the spread fixture must reproduce
-    // it or the rung thresholds stop mapping to real occupancy
+    // std 0.125 is the envelope the gated fixtures' per-projection
+    // bucket fanout was measured on — the spread fixture must
+    // reproduce it or measuredKeyDims's per-width occupancy division
+    // stops matching the gated family's
     val r = emb(spread = true).filter(col("vec_id") >= 10000)
       .select(explode(col("embedding")).as("xf"))
       .select(col("xf").cast("double").as("x"))

@@ -33,6 +33,16 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
+    # Bound the oracle's memory and let it SPILL instead of dying:
+    # DuckDB's default limit is 80% of PHYSICAL RAM, blind to
+    # co-resident JVMs — the round-9 kd2 (50k-row approx-chain)
+    # adjudication grew to 68 GB next to a 53 GB Spark heap and the
+    # kernel OOM-killed it (exit 137, no verdict at all). A bounded,
+    # spilling oracle is also the honest posture for a gate tool on
+    # a shared host. Override via GRAFT_ORACLE_MEM.
+    mem = os.environ.get("GRAFT_ORACLE_MEM", "24GB")
+    con.sql(f"SET memory_limit='{mem}'")
+    con.sql("SET temp_directory='/tmp/graft_oracle_spill'")
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
         # repo-generated fixtures (FixtureGen) are Spark part-file

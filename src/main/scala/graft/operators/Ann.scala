@@ -489,6 +489,34 @@ object Ann {
     } finally raw.unpersist(false)
   }
 
+  /** Map-side hash budget for the build's TopMEdges reduction: how
+    * many DISTINCT (level, src) buffers one task may hold before
+    * ObjectHashAggregate falls back to sort-based aggregation. Round
+    * 7 raised the 128-key default to a constant 4,194,304 so map
+    * tasks actually hash; the 2M-vector fixture then found the
+    * constant's other edge. The BUCKET stage is safe at any corpus —
+    * its candidates come from a vec_id-partitioned slice, so a task
+    * meets ~n/tasks src keys — but an NND round's co-neighbor stream
+    * is NOT src-partitioned (src is a neighbor's dst), so every task
+    * can meet every (level, src) key: ~4M buffers × ~450 B × 32
+    * tasks ≈ 58 GB, and a constant threshold sitting JUST above the
+    * key count kept every task hashing into heap death (observed:
+    * java.lang.OutOfMemoryError at -Xmx48g in the round-1 NND stage,
+    * 4h into the 2M-vector build). The threshold is therefore the
+    * per-task heap share instead: ~40% of heap/parallelism at
+    * ~512 B/buffer, capped at the old 4M, floored well above the
+    * 128 default. Past the budget, tasks fall back to SORT-BASED
+    * aggregation — the same reduction, externally sorted and
+    * spillable, slower but alive; results are identical either path,
+    * so the gate hashes cannot move. (local-mode heap == executor
+    * heap; on a separated cluster this reads the driver's JVM as a
+    * proxy — conservative when executors are larger.) */
+  private[graft] def topMFallbackThreshold(heapBytes: Long,
+      parallelism: Int): Long = {
+    val perTask = heapBytes / math.max(1, parallelism)
+    math.min(4194304L, math.max(131072L, perTask * 2 / 5 / 512))
+  }
+
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
       nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
       cap: Int = 1024, refine: Int = 2): DataFrame = {
@@ -501,7 +529,10 @@ object Ann {
     // 30 s → 13.5 s steady-state). A TopMEdges buffer is a bounded
     // m-entry heap (~300 B at m=16), so holding every key's buffer is
     // ~n×levels×300B ≈ 60 MB per task at sf1 — raise the threshold so
-    // the map-side reduction actually runs as a hash aggregate.
+    // the map-side reduction actually runs as a hash aggregate. The
+    // raise is memory-DERIVED, not a constant ([[topMFallbackThreshold]]):
+    // the 2M-vector fixture found the constant's other edge — see
+    // that method's doc for the stage-85 heap death it replaces.
     // ObjectHashAggregateExec reads the threshold from the ACTIVE
     // session conf inside doExecute (verified against the Spark 4.1.2
     // bytecode), so a lazily-returned plan cannot scope it: the build
@@ -518,7 +549,9 @@ object Ann {
     val thresholdKey =
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prevThreshold = s.conf.getOption(thresholdKey)
-    s.conf.set(thresholdKey, "4194304")
+    s.conf.set(thresholdKey, topMFallbackThreshold(
+      Runtime.getRuntime.maxMemory,
+      s.sparkContext.defaultParallelism).toString)
     val (edges, intermediates) =
       hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine)
     try approxFinalRank(edges.localCheckpoint(true))

@@ -386,6 +386,22 @@ class AnnSpec extends AnyFunSuite {
     assert(Ann.measuredKeyDims(clones(0), 0L, 8, 0.1) == 1)
   }
 
+  test("topMFallbackThreshold: the map-side hash budget derives from heap share") {
+    val g = 1L << 30
+    // 512 MB, 1 task: 512M*2/5/512 = 419,430 buffers
+    assert(Ann.topMFallbackThreshold(512L << 20, 1) == 419430L)
+    // the 2M-point failure shape: 48 GB heap, 32 tasks — the budget
+    // (~1.26M buffers/task) now sits BELOW the ~4M NND keys, so tasks
+    // fall back to spillable sort-based aggregation instead of
+    // hashing into heap death as the old 4,194,304 constant let them
+    assert(Ann.topMFallbackThreshold(48L * g, 32) < 4000000L)
+    assert(Ann.topMFallbackThreshold(48L * g, 32) > 1000000L)
+    // big heap, few tasks: capped at the old constant
+    assert(Ann.topMFallbackThreshold(96L * g, 8) == 4194304L)
+    // tiny heap: floored well above the 128-key default
+    assert(Ann.topMFallbackThreshold(256L << 20, 64) == 131072L)
+  }
+
   test("hnsw_edges_approx: conf restored and intermediate state freed after the eager build") {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     // pre-set a sentinel so the restore path through an existing value

@@ -40,9 +40,19 @@ def main():
     # kernel OOM-killed it (exit 137, no verdict at all). A bounded,
     # spilling oracle is also the honest posture for a gate tool on
     # a shared host. Override via GRAFT_ORACLE_MEM.
-    mem = os.environ.get("GRAFT_ORACLE_MEM", "24GB")
+    # 32GB default: the sf0.01 hnsw_search_filtered oracle (31 levels
+    # of materialized O(n^2) CTEs) peaks within ~2GB of 24 and failed
+    # a pin there once under concurrent load.
+    mem = os.environ.get("GRAFT_ORACLE_MEM", "32GB")
     con.sql(f"SET memory_limit='{mem}'")
     con.sql("SET temp_directory='/tmp/graft_oracle_spill'")
+    # Fewer threads directly shrink peak memory (per-thread operator
+    # state) — the lever to pull when a big-fixture adjudication must
+    # fit beside other work. Default 16 (not DuckDB's all-cores): the
+    # sf0.01 search oracle at 32 threads peaked past 32GB and OOM'd
+    # its own limit on a run where 16 threads fit with room.
+    thr = os.environ.get("GRAFT_ORACLE_THREADS", "16")
+    con.sql(f"SET threads={int(thr)}")
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
         # repo-generated fixtures (FixtureGen) are Spark part-file
@@ -66,6 +76,13 @@ def main():
     if not os.path.exists(oracle_path):
         oracle_path = f"{out_dir}/oracle_sql.partial.json"
     oracle = json.load(open(oracle_path))
+    # GRAFT_ORACLE_ONLY=a,b re-adjudicates named queries alone — for
+    # re-running one heavy oracle after an environmental (memory)
+    # failure without paying the other 101.
+    only = os.environ.get("GRAFT_ORACLE_ONLY")
+    if only:
+        keep = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     fails = 0
     record = {}
 

@@ -517,6 +517,102 @@ object Ann {
     math.min(4194304L, math.max(131072L, perTask * 2 / 5 / 512))
   }
 
+  /** Floor for the build's MEASURED true-neighbor capture (and for the
+    * escalated refinement's sampled recall). The rung-3 measurement
+    * (SCALING_SF10.md §5) showed the collider-mass budget alone is
+    * blind to quality: at the 2M-vector point the mass-chosen key
+    * width had on-budget candidate mass (1,817/vec — same as sf10's
+    * healthy 1,803) yet captured only 32% of true neighbor pairs,
+    * and shipped a 0.19-recall index with no signal. The build now
+    * measures capture on a stride-sampled exact ground truth and,
+    * below this floor, keeps running NN-descent rounds until the
+    * SAME sample's recall reaches the floor, stalls, or hits
+    * [[MaxNndRounds]]. Every gated fixture measures ≥ 0.99 (sf1
+    * 0.9947, kd2 0.9990, sf10 1.0000 — KeyCaptureDiagnostic), so
+    * gated builds never escalate and stay bit-identical; the oracle
+    * computes the same capture in SQL and error()s where the engine
+    * would escalate. */
+  private[graft] val CaptureFloor = 0.90
+
+  /** Hard cap on total NN-descent rounds when the capture guard
+    * escalates — bounds build cost on a corpus whose geometry defeats
+    * the bucket family outright (each round is O(n·(2m)²) candidates,
+    * the same order as the bucket stage). */
+  private[graft] val MaxNndRounds = 10
+
+  /** Minimum per-round sampled-recall gain to keep escalating:
+    * NN-descent that has stopped moving will not start again (its
+    * candidate proposals are a function of the current graph), so a
+    * stalled loop burns rounds for nothing. */
+  private[graft] val MinNndGain = 0.01
+
+  /** Test/tooling observation surface: diagnostics of the most recent
+    * [[hnswEdgesApprox]] build in this JVM — the measured capture,
+    * total NN-descent rounds run, and (when the guard escalated) the
+    * final sampled level-0 recall. Written once per build; never read
+    * by the build itself. */
+  @volatile private[graft] var lastBuildDiag: Option[BuildDiag] = None
+  private[graft] final case class BuildDiag(capture: Double, rounds: Int,
+      sampledRecall: Option[Double])
+
+  /** The stride of the build's capture/recall sample: ≤ ~2048 sources,
+    * integer-exact on both engines (`greatest(1, n // 2048)`). */
+  private[graft] def captureSampleStride(cnt: Long): Long =
+    math.max(1L, cnt / 2048L)
+
+  /** Stride-sampled exact top-`m` ground truth: one broadcast of the
+    * ≤ 2048-row sample against a single corpus scan, reduced map-side
+    * by the build's own bounded heap ([[TopMEdges]], (dist, id) ties)
+    * — the [[graft.tools.EdgeRecallSampled]] exact stage, run INSIDE
+    * the build (~2 min of the 157-min 2M-vector build). Returns the
+    * (src, dst) pair table, eagerly checkpointed (≤ 2048·m rows). */
+  private[graft] def sampledExactPairs(e: DataFrame, cnt: Long,
+      m: Int): DataFrame = {
+    val stride = captureSampleStride(cnt)
+    val sample = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("qsrc"), col("embedding").as("sv"))
+    val top = SqlBridge.column(TopMEdges(
+      SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
+      .toAggregateExpression())
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(sample))
+      .filter(col("vec_id") =!= col("qsrc"))
+      .select(col("qsrc").as("src"), col("vec_id").as("dst"),
+        squaredL2(col("embedding"), col("sv")).as("dist"))
+      .groupBy(col("src")).agg(top.as("top"))
+      .select(col("src"), explode(col("top")).as("te"))
+      .select(col("src"), col("te.dst").as("dst"))
+      .localCheckpoint(true)
+  }
+
+  /** The measured capture of key configuration (keyDims, w, probe) on
+    * a sampled exact pair table: the fraction of true (src, dst)
+    * pairs whose per-projection bucket deltas are ≤ probe on ALL
+    * keyDims components of ≥ 1 of the nProj rotated keys — i.e. the
+    * fraction the bucket join can possibly seed, before the
+    * membership cap. Buckets are computed for the involved ids only
+    * (≤ |S|·(m+1) rows); empty-pair corpora measure 1.0. */
+  private[graft] def measuredCapture(e: DataFrame, exactPairs: DataFrame,
+      keyDims: Int, nProj: Int, w: Double, probe: Int): Double = {
+    val inv = exactPairs.select(col("src").as("vec_id"))
+      .union(exactPairs.select(col("dst").as("vec_id"))).distinct()
+    val rawB = e.join(broadcast(inv), "vec_id")
+      .select(col("vec_id") +: (0 until nProj).map(p =>
+        floor(dot(col("embedding"), typedLit(projVector(p))) / w)
+          .cast("long").as(s"rb$p")): _*)
+    val collide = (0 until nProj).map { p =>
+      (0 until keyDims).map { j =>
+        val c = s"rb${(p + j) % nProj}"
+        abs(col(s"l.$c") - col(s"r.$c")) <= probe
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    exactPairs
+      .join(broadcast(rawB.as("l")), col("src") === col("l.vec_id"))
+      .join(broadcast(rawB.as("r")), col("dst") === col("r.vec_id"))
+      .agg(coalesce(avg(when(collide, 1.0).otherwise(0.0)), lit(1.0)))
+      .head.getDouble(0)
+  }
+
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
       nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
       cap: Int = 1024, refine: Int = 2): DataFrame = {
@@ -581,7 +677,8 @@ object Ann {
       m: Int = 16, nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
       cap: Int = 1024, refine: Int = 2): DataFrame =
     approxFinalRank(
-      hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine)._1)
+      hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine,
+        audit = true)._1)
 
   /** Frees one piece of build state: a cached DataFrame, or the
     * block-manager blocks behind a localCheckpoint (reached through
@@ -601,7 +698,7 @@ object Ann {
     * checkpoint inputs). */
   private def hnswEdgesApproxPlan(s: SparkSession, d: String, m: Int,
       nProj: Int, w: Double, probe: Int,
-      cap: Int, refine: Int): (DataFrame, Seq[DataFrame]) = {
+      cap: Int, refine: Int, audit: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     val e = Tables.embeddings(s, d)
       .withColumn("level", expr(levelExpr))
       .select(col("vec_id"), col("embedding"), col("level"))
@@ -795,9 +892,7 @@ object Ann {
     // and lets them pipeline straight into the output action.
     var edges = topM(exploded).drop("rnk")
     var roundInputs = List.empty[DataFrame]
-    for (_ <- 1 to refine) {
-      val base = edges.localCheckpoint(false)
-      roundInputs ::= base
+    def nndRound(base: DataFrame): DataFrame = {
       val rev = base.select(col("level"), col("dst").as("src"),
         col("src").as("dst"), col("dist"))
       val wrev = Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))
@@ -820,11 +915,62 @@ object Ann {
         "src", "av"), "dst", "bv")
         .select(col("level"), col("src"), col("dst"),
           squaredL2(col("av"), col("bv")).as("dist"))
-      edges = topM(cand.unionByName(
+      topM(cand.unionByName(
         base.select(col("level"), col("src"), col("dst"), col("dist"))))
         .drop("rnk")
     }
+    for (_ <- 1 to refine) {
+      val base = edges.localCheckpoint(false)
+      roundInputs ::= base
+      edges = nndRound(base)
+    }
+    // The measured capture guard (see [[CaptureFloor]]): when the
+    // chosen key configuration geometrically misses too many true
+    // neighbor pairs — the rung-3 failure mode the mass budget cannot
+    // see — keep running NN-descent rounds, graded against the SAME
+    // sampled exact ground truth, until the sample's level-0 recall
+    // reaches the floor, stops improving, or hits [[MaxNndRounds]].
+    // Every gated fixture measures capture ≥ 0.99, so this branch
+    // never runs there and gated plans/hashes are untouched; the
+    // DuckDB oracle computes the same capture and error()s loudly on
+    // a corpus that would escalate (it unrolls exactly `refine`
+    // rounds and cannot model a measured round count). The audit
+    // path skips the guard: it is an eager measurement (the audit
+    // contract is a lazy lineage), and on a non-escalating corpus
+    // the audited lineage is the shipped lineage either way.
+    if (audit) { (edges, bve +: roundInputs) } else {
+    val exact = sampledExactPairs(e, cnt, m)
+    val capture = measuredCapture(e, exact, keyDims, nProj, w, probe)
+    var roundsRun = refine
+    var finalRecall: Option[Double] = None
+    if (capture < CaptureFloor) {
+      val exactCnt = math.max(1L, exact.count())
+      def sampledRecall(ed: DataFrame): Double =
+        ed.filter(col("level") === 0)
+          .join(broadcast(exact), Seq("src", "dst"), "left_semi")
+          .count().toDouble / exactCnt
+      // escalated rounds materialize eagerly so each recall probe
+      // reads a computed table instead of re-running the round
+      var cur = edges.localCheckpoint(true)
+      roundInputs ::= cur
+      var rec = sampledRecall(cur)
+      var gain = 1.0
+      while (rec < CaptureFloor && roundsRun < MaxNndRounds &&
+          gain >= MinNndGain) {
+        cur = nndRound(cur).localCheckpoint(true)
+        roundInputs ::= cur
+        roundsRun += 1
+        val nr = sampledRecall(cur)
+        gain = nr - rec
+        rec = nr
+      }
+      finalRecall = Some(rec)
+      edges = cur
+    }
+    roundInputs ::= exact
+    lastBuildDiag = Some(BuildDiag(capture, roundsRun, finalRecall))
     (edges, bve +: roundInputs)
+    }
   }
 
   /** Deterministic on-storage location of a persisted build artifact
@@ -2318,6 +2464,27 @@ object Ann {
        |         WHEN coalesce(am2.mass, 0) <= $KeyDimsColliderTarget * n * $nProj THEN 2
        |         ELSE CAST(error('oracle models keyDims <= 2; the measured collider mass of this corpus needs k >= 3 (engine measuredKeyDims)') AS INT)
        |         END AS kd FROM acnt0, am1, am2),
+       |asmp AS (SELECT greatest(1, n // 2048) AS stride FROM acnt0),
+       |asx AS (SELECT e.vec_id AS src, e.v AS sv FROM e, asmp
+       |        WHERE e.vec_id % asmp.stride = 0),
+       |asd AS (SELECT s.src, e.vec_id AS dst, ${duckSq.format("e.v", "s.sv")} AS dist
+       |        FROM e, asx s WHERE e.vec_id <> s.src),
+       |asp AS MATERIALIZED (SELECT src, dst FROM (
+       |        SELECT src, dst,
+       |          row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+       |        FROM asd) WHERE rnk <= $m),
+       |acap AS (SELECT coalesce(avg(hit), 1.0) AS capture FROM (
+       |        SELECT p.src, p.dst,
+       |          max(CASE WHEN abs(l.bucket - r.bucket) <= $probe
+       |                AND (akd.kd < 2 OR abs(l.bucket2 - r.bucket2) <= $probe)
+       |              THEN 1 ELSE 0 END) AS hit
+       |        FROM asp p
+       |        JOIN apb0 l ON l.vec_id = p.src
+       |        JOIN apb0 r ON r.vec_id = p.dst AND r.proj_id = l.proj_id, akd
+       |        GROUP BY p.src, p.dst) t),
+       |acapok AS (SELECT CASE WHEN capture >= $CaptureFloor THEN 1
+       |        ELSE CAST(error('measured capture below floor; the engine escalates NN-descent rounds beyond the fixed count this oracle unrolls (Ann.CaptureFloor guard)') AS INT)
+       |        END AS ok FROM acap),
        |apb AS MATERIALIZED (SELECT vec_id, proj_id, bucket,
        |         CASE WHEN akd.kd >= 2 THEN bucket2 ELSE 0 END AS bucket2
        |       FROM apb0, akd),
@@ -2356,7 +2523,7 @@ object Ann {
        |ae0 AS MATERIALIZED (SELECT level, src, dst, dist FROM (
        |  SELECT level, src, dst, dist,
        |    row_number() OVER (PARTITION BY level, src ORDER BY dist, dst) AS rnk
-       |  FROM ax) WHERE rnk <= $m)$roundsSql""".stripMargin
+       |  FROM ax) CROSS JOIN acapok WHERE rnk <= $m AND acapok.ok = 1)$roundsSql""".stripMargin
   }
 
   private def hnswEdgesApproxOracle(m: Int, maxLevel: Int,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -613,6 +613,212 @@ object Ann {
       .head.getDouble(0)
   }
 
+  // ---- scored multiprobe (Lv et al. 2007, "Multi-Probe LSH") ----
+  //
+  // Grid multiprobe explodes every key to (2·probe+1)^keyDims
+  // neighbor buckets — affordable at keyDims ≤ 3, ruinous at the
+  // wide keys a LOW-CONTRAST corpus needs (the round-9 sf100
+  // measurement, SCALING_SF10.md §5: no (k ≤ 4, w ≤ 0.4) cell holds
+  // both capture and candidate mass; the cells that could, k ≥ 6,
+  // would cost 3^k ≥ 729 grid probes). Scored multiprobe caps that
+  // at T probes per key, ranked by Lv's expected-distance score:
+  // for rotated key p over k components, bucket b_j = floor(raw_j),
+  // frac f_j = raw_j − b_j, closer-boundary distance
+  // x_j = min(f_j, 1 − f_j), direction d_j = −1 if f_j < 0.5 else +1.
+  // A probe is a bitmask t over components — probing component j
+  // moves b_j by d_j — with score Σ_{j∈t} x_j², the squared distance
+  // (bucket units) from the query to the region the probe targets.
+  // The direction is restricted to the CLOSER side per component:
+  // the farther side both costs more under the score and is the less
+  // likely side for a true neighbor given the query's in-bucket
+  // position; a pair straddling the farther side of one endpoint is
+  // usually the CLOSER side of the other, and capture tests/joins
+  // run from both endpoints. All 2^k subsets are scored per row with
+  // one HOF transform over a LITERAL bitmask array (the x2/b/d
+  // inputs are materialized as columns first, so the per-element
+  // lambda is k adds — never a re-evaluated dot product), sorted,
+  // and cut to the top T. Deterministic end to end: scores are pure
+  // column math off the md5-derived projections, ties break on the
+  // bitmask value inside the sorted (score, t) struct.
+
+  /** Per-node scored-probe working columns for key family (k, w):
+    * vec_id, `keep` pass-throughs, and per raw projection q < nProj
+    * the bucket `b\$q` (long), closer direction `d\$q` (long), and
+    * closer-boundary distance `x\$q` (double, bucket units, ∈ [0, ½]).
+    * One projection layer — every downstream subset/probe expression
+    * references these as plain columns, computed once per row. */
+  private def scoredBaseCols(df: DataFrame, keep: Seq[String],
+      nProj: Int, w: Double): DataFrame = {
+    val raws = df.select((col("vec_id") +: keep.map(col)) ++
+      (0 until nProj).map(q =>
+        (dot(col("embedding"), typedLit(projVector(q))) / w).as(s"raw$q")): _*)
+    raws.select((col("vec_id") +: keep.map(col)) ++
+      (0 until nProj).flatMap { q =>
+        val r = col(s"raw$q")
+        val f = r - floor(r)
+        Seq(floor(r).cast("long").as(s"b$q"),
+          when(f < 0.5, lit(-1L)).otherwise(lit(1L)).as(s"d$q"),
+          least(f, lit(1.0) - f).as(s"x$q"))
+      }: _*)
+  }
+
+  /** Digit of probe code t for component j: base-(dirs+1), so
+    * one-direction codes are bitmasks and two-direction codes are
+    * trit vectors. Digit 0 = home, 1 = closer side (move by d_j,
+    * cost x_j²), 2 = farther side (move by −d_j, cost (1−x_j)²). */
+  private def probeDigit(t: Column, j: Int, dirs: Int): Column = {
+    val base = dirs + 1
+    var div = 1; var i = 0
+    while (i < j) { div *= base; i += 1 }
+    (t / lit(div)).cast("int") % lit(base)
+  }
+
+  private[graft] def probeCodeCount(k: Int, dirs: Int): Int = {
+    val base = dirs + 1
+    var n = 1; var i = 0
+    while (i < k) { n *= base; i += 1 }
+    n
+  }
+
+  /** The sorted (score, t) probe-code array for rotated key p: all
+    * (dirs+1)^k codes ranked ascending by Lv score (home bucket
+    * t = 0, score 0, always first). References the `x\$q` columns of
+    * [[scoredBaseCols]]. */
+  private def sortedSubsets(p: Int, k: Int, nProj: Int, dirs: Int): Column = {
+    val masks = typedLit((0 until probeCodeCount(k, dirs)).toList)
+    array_sort(transform(masks, t => struct(
+      (0 until k).map { j =>
+        val x = col(s"x${(p + j) % nProj}")
+        val dg = probeDigit(t, j, dirs)
+        when(dg === 1, x * x)
+          .when(dg === 2, (lit(1.0) - x) * (lit(1.0) - x))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _).as("s"),
+      t.as("t"))))
+  }
+
+  /** Slim probe rows for the scored bucket join: per node and rotated
+    * key p, the top-T probe keys — (vec_id, `keep`..., proj_id,
+    * b0..b{k−1}). nProj·T rows per node, no embedding payload. */
+  private[graft] def scoredProbeRows(df: DataFrame, keep: Seq[String],
+      nProj: Int, k: Int, w: Double, T: Int, dirs: Int = 1): DataFrame = {
+    val base = scoredBaseCols(df, keep, nProj, w)
+    val probeArrs = (0 until nProj).map { p =>
+      transform(slice(sortedSubsets(p, k, nProj, dirs), 1, T), st =>
+        struct((lit(p).as("proj_id") +: (0 until k).map { j =>
+          val q = (p + j) % nProj
+          val dg = probeDigit(st.getField("t"), j, dirs)
+          (col(s"b$q") + when(dg === 1, col(s"d$q"))
+            .when(dg === 2, col(s"d$q") * -1L)
+            .otherwise(lit(0L))).as(s"b$j")
+        }): _*))
+    }
+    base.select((col("vec_id") +: keep.map(col)) :+
+        explode(flatten(array(probeArrs: _*))).as("pk"): _*)
+      .select((col("vec_id") +: keep.map(col)) ++
+        (col("pk.proj_id").as("proj_id") +:
+          (0 until k).map(j => col(s"pk.b$j").as(scoredBucketCol(j)))): _*)
+  }
+
+  /** Home-bucket key rows (the occupant side of the scored join and
+    * the occupancy table): per node and rotated key p, the exact
+    * floor buckets — (vec_id, `keep`..., proj_id, b0..b{k−1}). */
+  private[graft] def scoredExactKeyRows(df: DataFrame, keep: Seq[String],
+      nProj: Int, k: Int, w: Double): DataFrame = {
+    val base = scoredBaseCols(df, keep, nProj, w)
+    val keyArr = array((0 until nProj).map { p =>
+      struct((lit(p).as("proj_id") +: (0 until k).map { j =>
+        col(s"b${(p + j) % nProj}").as(s"b$j")
+      }): _*)
+    }: _*)
+    base.select((col("vec_id") +: keep.map(col)) :+ explode(keyArr).as("pk"): _*)
+      .select((col("vec_id") +: keep.map(col)) ++
+        (col("pk.proj_id").as("proj_id") +:
+          (0 until k).map(j => col(s"pk.b$j").as(scoredBucketCol(j)))): _*)
+  }
+
+  private[graft] def scoredBucketCol(j: Int): String =
+    if (j == 0) "bucket" else s"bucket${j + 1}"
+
+  /** Measured capture of scored multiprobe on a sampled exact pair
+    * table, as a curve over probe counts `Ts`: for each true
+    * (src, dst) pair, the minimum rank (1-based position in the
+    * sorted subset sequence) at which EITHER endpoint's probe
+    * sequence reaches the other's home bucket on ANY rotated key;
+    * capture at T = fraction of pairs with min rank ≤ T. Sample-sized
+    * work only (involved ids ≤ |S|·(m+1)). */
+  private[graft] def scoredCaptureCurve(e: DataFrame, exactPairs: DataFrame,
+      nProj: Int, k: Int, w: Double, Ts: Seq[Int],
+      dirs: Int = 1): Seq[Double] = {
+    val inv = exactPairs.select(col("src").as("vec_id"))
+      .union(exactPairs.select(col("dst").as("vec_id"))).distinct()
+    val base = scoredBaseCols(e.join(broadcast(inv), "vec_id"), Nil, nProj, w)
+    val nf = base.select((col("vec_id") +:
+      (0 until nProj).flatMap(q => Seq(col(s"b$q"), col(s"d$q")))) ++
+      (0 until nProj).map(p =>
+        transform(sortedSubsets(p, k, nProj, dirs), st => st.getField("t"))
+          .as(s"st$p")): _*)
+    val lName = nf.columns.map(c => if (c == "vec_id") "src" else s"l_$c")
+    val rName = nf.columns.map(c => if (c == "vec_id") "dst" else s"r_$c")
+    val joined = exactPairs
+      .join(broadcast(nf.toDF(lName.toIndexedSeq: _*)), "src")
+      .join(broadcast(nf.toDF(rName.toIndexedSeq: _*)), "dst")
+    val NoRank = Long.MaxValue
+    val base_ = dirs + 1
+    // probing FROM node n reaches the peer iff every component delta
+    // is 0, d_n (digit 1), or — with dirs = 2 — −d_n (digit 2); the
+    // reaching probe code's rank in n's sorted sequence is the T at
+    // which the pair becomes captured from n's side.
+    def rankFrom(pfx: String, p: Int, comps: Seq[(Column, Int)]): Column = {
+      val digits = comps.zipWithIndex.map { case ((dlt, q), j) =>
+        var place = 1; var i = 0
+        while (i < j) { place *= base_; i += 1 }
+        when(dlt === 0, lit(0))
+          .when(dlt === col(s"${pfx}_d$q"), lit(place))
+          .when(lit(dirs) === 2 && dlt === col(s"${pfx}_d$q") * -1,
+            lit(2 * place))
+          .otherwise(lit(-1))
+      }
+      val anyInvalid = digits.map(_ === -1).reduce(_ || _)
+      val tStar = digits.reduce(_ + _)
+      when(!anyInvalid, array_position(col(s"${pfx}_st$p"), tStar))
+        .otherwise(lit(NoRank))
+    }
+    val ranks = (0 until nProj).flatMap { p =>
+      val comps = (0 until k).map { j =>
+        val q = (p + j) % nProj
+        (col(s"r_b$q") - col(s"l_b$q"), q)
+      }
+      val compsNeg = comps.map { case (dlt, q) => (dlt * -1, q) }
+      // from L the delta to reach is b_R − b_L; from R it is b_L − b_R
+      Seq(rankFrom("l", p, comps), rankFrom("r", p, compsNeg))
+    }
+    val minRank = ranks.reduce(least(_, _))
+    val aggs = Ts.map(t =>
+      coalesce(avg(when(minRank <= t, 1.0).otherwise(0.0)), lit(1.0)))
+    val row = joined.agg(aggs.head, aggs.tail: _*).head
+    Ts.indices.map(row.getDouble)
+  }
+
+  /** Measured candidate mass of a scored-probe configuration: mean
+    * candidates a query meets across its nProj·T probes, each probed
+    * bucket contributing min(occupancy, cap) — the membership-capped
+    * quantity the join actually generates. Occupancy is one
+    * corpus-scale groupBy; the probe side is a stride sample. */
+  private[graft] def scoredProbeMass(e: DataFrame, nProj: Int, k: Int,
+      w: Double, T: Int, cap: Int, stride: Long, dirs: Int = 1): Double = {
+    val keyCols = "proj_id" +: (0 until k).map(scoredBucketCol)
+    val occ = scoredExactKeyRows(e, Nil, nProj, k, w)
+      .groupBy(keyCols.map(col): _*)
+      .agg(least(count(lit(1)), lit(cap.toLong)).as("occ"))
+    val sample = e.filter(col("vec_id") % stride === 0)
+    val nSample = math.max(1L, sample.count())
+    val probes = scoredProbeRows(sample, Nil, nProj, k, w, T, dirs)
+    val total = probes.join(occ, keyCols.toSeq)
+      .agg(coalesce(sum(col("occ")), lit(0L))).head.getLong(0)
+    total.toDouble / nSample
+  }
+
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
       nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
       cap: Int = 1024, refine: Int = 2): DataFrame = {
@@ -648,15 +854,23 @@ object Ann {
     s.conf.set(thresholdKey, topMFallbackThreshold(
       Runtime.getRuntime.maxMemory,
       s.sparkContext.defaultParallelism).toString)
-    val (edges, intermediates) =
-      hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine)
-    try approxFinalRank(edges.localCheckpoint(true))
-    finally {
+    // the plan call itself runs eager jobs (measuredKeyDims,
+    // sampledExactPairs, measuredCapture, escalated NND rounds), so it
+    // sits INSIDE the try: a failure mid-build must still restore the
+    // conf and free whatever state was registered up to the throw —
+    // the plan registers each cache/checkpoint into `track` the moment
+    // it creates it, not on return.
+    val track = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
+      val edges =
+        hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine, track)
+      approxFinalRank(edges.localCheckpoint(true))
+    } finally {
       prevThreshold match {
         case Some(v) => s.conf.set(thresholdKey, v)
         case None    => s.conf.unset(thresholdKey)
       }
-      intermediates.foreach(freeBuildState)
+      track.foreach(freeBuildState)
     }
   }
 
@@ -678,27 +892,30 @@ object Ann {
       cap: Int = 1024, refine: Int = 2): DataFrame =
     approxFinalRank(
       hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine,
-        audit = true)._1)
+        scala.collection.mutable.ListBuffer.empty[DataFrame], audit = true))
 
   /** Frees one piece of build state: a cached DataFrame, or the
     * block-manager blocks behind a localCheckpoint (reached through
     * its LogicalRDD — Spark exposes no public unpersist for
     * checkpointed frames). Only safe once nothing references the
     * frame, which the eager build boundary guarantees. */
-  private def freeBuildState(df: DataFrame): Unit =
+  private[graft] def freeBuildState(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)
       case _ => df.unpersist(false)
     }
 
-  /** The lazy build plan of [[hnswEdgesApprox]] (everything up to the
-    * final rank), plus the intermediate frames the caller must free
-    * after materialization (bucket-stage cache + per-round NND
-    * checkpoint inputs). */
+  /** The build plan of [[hnswEdgesApprox]] (everything up to the
+    * final rank). Every intermediate frame the caller must free after
+    * materialization (bucket-stage cache + per-round NND checkpoint
+    * inputs + the capture sample) is appended to `track` AS CREATED —
+    * so a caller's finally can free partial state even when the
+    * build's eager stages throw mid-way. */
   private def hnswEdgesApproxPlan(s: SparkSession, d: String, m: Int,
-      nProj: Int, w: Double, probe: Int,
-      cap: Int, refine: Int, audit: Boolean = false): (DataFrame, Seq[DataFrame]) = {
+      nProj: Int, w: Double, probe: Int, cap: Int, refine: Int,
+      track: scala.collection.mutable.Buffer[DataFrame],
+      audit: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, d)
       .withColumn("level", expr(levelExpr))
       .select(col("vec_id"), col("embedding"), col("level"))
@@ -766,6 +983,7 @@ object Ann {
       .drop("rn")
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .cache()
+    track += bve
     // the payload re-attach: one broadcast of the corpus serves every
     // slim candidate stream (see [[BroadcastFetchMaxRows]]); identical
     // rows to joining the fat streams directly, so the gate hashes and
@@ -891,7 +1109,6 @@ object Ann {
     // leaves the final round's stages visible to the PlanSpec audit
     // and lets them pipeline straight into the output action.
     var edges = topM(exploded).drop("rnk")
-    var roundInputs = List.empty[DataFrame]
     def nndRound(base: DataFrame): DataFrame = {
       val rev = base.select(col("level"), col("dst").as("src"),
         col("src").as("dst"), col("dist"))
@@ -921,7 +1138,7 @@ object Ann {
     }
     for (_ <- 1 to refine) {
       val base = edges.localCheckpoint(false)
-      roundInputs ::= base
+      track += base
       edges = nndRound(base)
     }
     // The measured capture guard (see [[CaptureFloor]]): when the
@@ -938,8 +1155,9 @@ object Ann {
     // path skips the guard: it is an eager measurement (the audit
     // contract is a lazy lineage), and on a non-escalating corpus
     // the audited lineage is the shipped lineage either way.
-    if (audit) { (edges, bve +: roundInputs) } else {
+    if (audit) { edges } else {
     val exact = sampledExactPairs(e, cnt, m)
+    track += exact
     val capture = measuredCapture(e, exact, keyDims, nProj, w, probe)
     var roundsRun = refine
     var finalRecall: Option[Double] = None
@@ -952,13 +1170,13 @@ object Ann {
       // escalated rounds materialize eagerly so each recall probe
       // reads a computed table instead of re-running the round
       var cur = edges.localCheckpoint(true)
-      roundInputs ::= cur
+      track += cur
       var rec = sampledRecall(cur)
       var gain = 1.0
       while (rec < CaptureFloor && roundsRun < MaxNndRounds &&
           gain >= MinNndGain) {
         cur = nndRound(cur).localCheckpoint(true)
-        roundInputs ::= cur
+        track += cur
         roundsRun += 1
         val nr = sampledRecall(cur)
         gain = nr - rec
@@ -967,9 +1185,8 @@ object Ann {
       finalRecall = Some(rec)
       edges = cur
     }
-    roundInputs ::= exact
     lastBuildDiag = Some(BuildDiag(capture, roundsRun, finalRecall))
-    (edges, bve +: roundInputs)
+    edges
     }
   }
 

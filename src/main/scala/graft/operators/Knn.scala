@@ -182,13 +182,24 @@ object Knn {
   private def pagerankRanksFrom(edges0: DataFrame, ids: DataFrame,
                                 n: Long, m: Int, iters: Int): DataFrame = {
     val Scale = 1000000000000L
-    val od = math.min(m.toLong, n - 1)
     val tele = 15L * Scale / (100L * n)
-    val edges = edges0.localCheckpoint()
+    // Each node's contribution divides by its ACTUAL out-degree, not
+    // the structural min(m, n−1): the exact m-NN graph has exactly
+    // min(m, n−1) out-edges per node, so the gate-oracled arm is
+    // value-identical to the constant-divisor form (the oracle keeps
+    // its constant) — but the approximate adjacency can ship short
+    // lists (sampled recall ~0.90 after a capture-floor escalation),
+    // and a constant divisor silently drops rank mass there. One
+    // O(E) count + equi-join, folded into the per-iteration
+    // checkpoint the recurrence already pays for.
+    val base = edges0.localCheckpoint()
+    val edges = base
+      .join(base.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
+      .localCheckpoint()
     var pr = ids.select(col("id"), lit(Scale / n).as("pr"))
     (1 to iters).foreach { _ =>
       val contrib = edges.join(pr, edges("src") === pr("id"))
-        .select(col("dst"), expr(s"(85 * pr) div (100 * $od)").as("c"))
+        .select(col("dst"), expr(s"(85 * pr) div (100 * od)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
       pr = ids.join(contrib, col("id") === col("dst"), "left")
         .select(col("id"), (lit(tele) + coalesce(col("c"), lit(0L))).as("pr"))
@@ -210,12 +221,13 @@ object Knn {
     * recurrence over the APPROXIMATE index adjacency —
     * [[graft.operators.Ann.hnswEdgesApprox]]'s level-0 slice, the
     * same (src, dst) schema as [[knnGraph]] — so the full lifecycle
-    * (build → centrality → coreset) has no O(n²) stage anywhere. The
-    * out-degree constant stays the structural min(m, n−1): the
-    * approximate graph targets exactly m neighbors per node and its
-    * edge recall is ≥ 0.99 at gated scales, so treating a (rare)
-    * short list as dangling-light is within the arm's approximation
-    * budget. Top-k rank overlap vs the exact-graph arm is pinned in
+    * (build → centrality → coreset) has no O(n²) stage anywhere.
+    * [[pagerankRanksFrom]] divides by each node's ACTUAL out-degree,
+    * so a short neighbor list (possible after a capture-floor
+    * escalation that lands at ~0.90 sampled recall) keeps its full
+    * rank mass instead of leaking it — on the exact arm every node
+    * has exactly min(m, n−1) out-edges and the division is
+    * value-identical. Top-k rank overlap vs the exact-graph arm is pinned in
     * KnnSpec (not gate-declared: the gate's exact arm stays the
     * oracle surface; this arm exists for corpora where the exact
     * graph is unaffordable). */

@@ -378,9 +378,18 @@ object Similarity {
       .agg(min(struct(col("cd"), col("cid"))).as("m"),
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("m.cid").as("cell"))
+    // levels > 2 only (beyond every gated scale): per-level
+    // checkpoints are freed after the FINAL assignment materializes —
+    // the Ann build's track/freeBuildState treatment — so repeated
+    // semanticCells calls in one session don't accumulate
+    // block-manager state at exactly the corpus sizes where the
+    // checkpoint matters. At L = 2 nothing checkpoints and the
+    // returned plan is the original lazy two-level form, bit-identical.
+    val bases = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (l <- 1 until levels) {
       val stride = BigInt(c).pow(levels - l).toLong
-      val base = if (levels > 2) cur.localCheckpoint(false) else cur
+      val base = if (levels > 2) { val b = cur.localCheckpoint(false)
+        bases += b; b } else cur
       val seeds = base.filter(col("vec_id") % stride === 0)
         .select(col("cell").as("pcell"), col("vec_id").as("fid"),
           col("embedding").as("fv"))
@@ -393,7 +402,15 @@ object Similarity {
           first(col("embedding")).as("embedding"))
         .select(col("vec_id"), col("embedding"), col("m.fid").as("cell"))
     }
-    cur
+    if (bases.nonEmpty) {
+      // materialize the final assignment BEFORE freeing its lineage
+      // inputs (localCheckpoint truncates lineage, so an unpersisted
+      // base cannot be recomputed); eager at L > 2 is what the
+      // checkpoint already bought — one corpus-sized table either way
+      val out = cur.localCheckpoint(true)
+      bases.foreach(Ann.freeBuildState)
+      out
+    } else cur
   }
 
   def semanticDedup(s: SparkSession, d: String,

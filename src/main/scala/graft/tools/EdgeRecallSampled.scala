@@ -56,20 +56,30 @@ object EdgeRecallSampled {
     // exact top-m for the sampled sources: broadcast the sample, scan
     // the corpus once — |S|·n distance evaluations, reduced to |S|·m
     // rows map-side by the build's own bounded heap (see header)
-    spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    // scoped raise (save/restore around the exact stage, as
+    // hnswEdgesApprox does): any later in-session aggregate with
+    // KB-sized buffers must see its own conf, not this tool's raise
+    val thresholdKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prevThreshold = spark.conf.getOption(thresholdKey)
+    spark.conf.set(thresholdKey, "65536")
     val top = SqlBridge.column(TopMEdges(
       SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
       .toAggregateExpression())
-    val exact = e.repartition(spark.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(sample))
-      .filter(col("vec_id") =!= col("src"))
-      .select(col("src"), col("vec_id").as("dst"),
-        graft.functions.VectorFunctions.squaredL2(col("embedding"), col("sv")).as("dist"))
-      .groupBy(col("src")).agg(top.as("top"))
-      .select(col("src"), explode(col("top")).as("e"))
-      .select(col("src"), col("e.dst").as("dst"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = try {
+      e.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(sample))
+        .filter(col("vec_id") =!= col("src"))
+        .select(col("src"), col("vec_id").as("dst"),
+          graft.functions.VectorFunctions.squaredL2(col("embedding"), col("sv")).as("dist"))
+        .groupBy(col("src")).agg(top.as("top"))
+        .select(col("src"), explode(col("top")).as("e"))
+        .select(col("src"), col("e.dst").as("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally prevThreshold match {
+      case Some(v) => spark.conf.set(thresholdKey, v)
+      case None    => spark.conf.unset(thresholdKey)
+    }
 
     val t0 = System.nanoTime()
     val approx = Ann.hnswEdgesApprox(spark, d, m = m, refine = refine)

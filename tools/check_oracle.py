@@ -23,7 +23,7 @@ Falls back to oracle_sql.partial.json when oracle_sql.json is absent
 (a filtered graft.Verify dev run writes the suffixed name so it cannot
 shadow a full artifact).
 """
-import sys, json, glob, math, os
+import sys, json, glob, math, os, tempfile
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -45,7 +45,13 @@ def main():
     # a pin there once under concurrent load.
     mem = os.environ.get("GRAFT_ORACLE_MEM", "32GB")
     con.sql(f"SET memory_limit='{mem}'")
-    con.sql("SET temp_directory='/tmp/graft_oracle_spill'")
+    # Per-process spill dir (pid-suffixed): a fixed world-shared path
+    # collides when two adjudications run concurrently or another user
+    # shares the host. Override via GRAFT_ORACLE_SPILL_DIR.
+    spill = os.environ.get(
+        "GRAFT_ORACLE_SPILL_DIR",
+        os.path.join(tempfile.gettempdir(), f"graft_oracle_spill_{os.getpid()}"))
+    con.sql(f"SET temp_directory='{spill}'")
     # Fewer threads directly shrink peak memory (per-thread operator
     # state) — the lever to pull when a big-fixture adjudication must
     # fit beside other work. Default 16 (not DuckDB's all-cores): the

@@ -1011,6 +1011,66 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact repeated-SPAN detection — the suffix-array substring dedup
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed relationally: where [[passageDedup]]
+    * drops fixed-grid units whose hash recurs, this finds the MAXIMAL
+    * cross-document repeated token spans at every alignment — the
+    * dedup mode that most improves LM training data (verbatim
+    * license blocks, quoted passages, mirrored articles), which
+    * grid-aligned units miss whenever the repeat straddles a passage
+    * boundary.
+    *
+    * Definition (shared verbatim with the oracle): a POSITIONAL
+    * `width`-token shingle (doc_id, pos, hash60 of toks[pos..pos+width−1])
+    * is DUPLICATED iff its hash occurs in ≥ 2 distinct documents.
+    * Within a doc, duplicated positions whose token windows overlap
+    * or touch (gap ≤ width) merge into one span — the relational
+    * equivalent of the suffix-array's maximal repeated substring,
+    * lower-bounded by `width` (a repeat shorter than `width` tokens
+    * produces no duplicated shingle, exactly Lee et al.'s min-length
+    * threshold). Output per span: (doc_id, span_idx, tok_start,
+    * tok_end, n_toks), 1-based token positions.
+    *
+    * Scale shape (the suffix-array replacement): a distributed suffix
+    * array is a full corpus sort of variable-length suffixes; this
+    * formulation shuffles only (doc_id, pos, int64-hash) triples —
+    * O(total tokens) slim rows — through ONE hash aggregation on the
+    * shingle hash (map-side combined) and a semi-join back; the
+    * run-merge is a per-document window (documents are bounded, the
+    * partition never exceeds one doc's shingles). The positional
+    * shingle table feeds both the duplicate census and the semi-join,
+    * so it is cached once (the [[passageDedup]] treatment). At 100 TB
+    * nothing is corpus-quadratic and no stage carries text past the
+    * initial hash. */
+  def substringDedup(s: SparkSession, d: String, width: Int = 5): DataFrame = {
+    val sh = toks(s, d)
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - $width + 1),
+              i -> struct(i AS pos, ${hash60.format(s"concat_ws(' ', slice(toks, i, $width))")} AS sh))""")).as("ps"))
+      .select(col("doc_id"), col("ps.pos").cast("long").as("pos"),
+        col("ps.sh").as("sh"))
+      .cache()
+    val dup = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("sh"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    sh.join(dup, Seq("sh"), "leftsemi")
+      .withColumn("brk",
+        when(coalesce(col("pos") - lag(col("pos"), 1).over(wd),
+          lit(Long.MaxValue)) > width, 1L).otherwise(0L))
+      .withColumn("span_idx", sum(col("brk")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_idx"))
+      .agg(min(col("pos")).as("tok_start"),
+        (max(col("pos")) + lit(width.toLong - 1)).as("tok_end"))
+      .select(col("doc_id"), col("span_idx"), col("tok_start"), col("tok_end"),
+        (col("tok_end") - col("tok_start") + 1L).as("n_toks"))
+      .orderBy(col("doc_id"), col("span_idx"))
+  }
+
   /** √-balanced bucket size for [[sequencePack]]'s two-level prefix
     * sum: both levels see max(64, ⌈√n⌉) rows per partition. */
   private[graft] def autoBucketSize(nDocs: Long): Int =
@@ -1047,6 +1107,7 @@ object TextOps {
     "doc_chunk"         -> ((s, d) => docChunk(s, d)),
     "bpe_pair_stats"    -> ((s, d) => bpePairStats(s, d)),
     "passage_dedup"     -> ((s, d) => passageDedup(s, d)),
+    "substring_dedup"   -> ((s, d) => substringDedup(s, d)),
     "contamination_scan" -> ((s, d) => contaminationScan(s, d)),
     "cross_split_contamination" -> ((s, d) => crossSplitContamination(s, d)),
     "hybrid_rrf"        -> ((s, d) => hybridRrf(s, d)),
@@ -1356,6 +1417,29 @@ object TextOps {
          |  CAST(coalesce(n_boiler, 0) AS DOUBLE) / n_passages AS boiler_ratio
          |FROM tot LEFT JOIN nb ON nb.doc_id = tot.doc_id
          |ORDER BY tot.doc_id""".stripMargin,
+    "substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 5),
+         |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |        ${duckHash60.format("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS sh
+         |      FROM t, (SELECT unnest(generate_series(1, 4096)) AS i) g
+         |      WHERE i <= len(toks) - 4),
+         |dup AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd FROM p GROUP BY sh)
+         |        WHERE nd >= 2),
+         |m AS (SELECT doc_id, pos FROM p WHERE sh IN (SELECT sh FROM dup)),
+         |f AS (SELECT doc_id, pos,
+         |        CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+         |                           9223372036854775807) > 5 THEN 1 ELSE 0 END AS brk
+         |      FROM m),
+         |g2 AS (SELECT doc_id, pos,
+         |         CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_idx
+         |       FROM f),
+         |sp AS (SELECT doc_id, span_idx, min(pos) AS tok_start, max(pos) + 4 AS tok_end
+         |       FROM g2 GROUP BY doc_id, span_idx)
+         |SELECT doc_id, span_idx, tok_start, tok_end,
+         |  tok_end - tok_start + 1 AS n_toks
+         |FROM sp ORDER BY doc_id, span_idx""".stripMargin,
     "bpe_pair_stats" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |p AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),

@@ -156,6 +156,38 @@ class TextOpsSpec extends AnyFunSuite {
       "passage stats diverge from the text-level recount (hash-level ≡ text-level on this corpus)")
   }
 
+  test("substring_dedup: matches a text-level brute-force span recount") {
+    // re-derive the maximal cross-document repeated spans from raw
+    // text (no hashing): positional 5-shingles, duplicated iff seen
+    // in >= 2 distinct docs, merged while gaps <= width — the exact
+    // definition the operator and its oracle share
+    val width = 5
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val shingles = docs.view.filter(_._2.length >= width).toSeq.flatMap {
+      case (id, w) => (0 to w.length - width).map(i =>
+        (id, i + 1L, w.slice(i, i + width).mkString(" ")))
+    }
+    val dup = shingles.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    assert(dup.nonEmpty, "fixture has no cross-doc repeated span; test is vacuous")
+    val expected = shingles.filter(s => dup(s._3))
+      .groupBy(_._1).toSeq.flatMap { case (id, ss) =>
+        val ps = ss.map(_._2).sorted
+        // islands: split where the position gap exceeds width
+        val spans = ps.tail.foldLeft(List((ps.head, ps.head))) {
+          case ((s0, e0) :: rest, p) =>
+            if (p - e0 <= width) (s0, p) :: rest else (p, p) :: (s0, e0) :: rest
+          case (Nil, p) => List((p, p))
+        }.reverse
+        spans.zipWithIndex.map { case ((s0, e0), i) =>
+          (id, i + 1L, s0, e0 + width - 1L, e0 + width - s0) }
+      }.sortBy(t => (t._1, t._2))
+    val got = TextOps.substringDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected,
+      "spans diverge from the text-level recount (hash-level ≡ text-level on this corpus)")
+  }
+
   test("doc_chunk: chunks tile every document with the declared width/stride") {
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap

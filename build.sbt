@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run stdout through UNDECORATED: sbt's default logger
+// prefixes every child stdout line with "[info] ", which breaks any
+// consumer that extracts the benchmark's one-line JSON from the
+// process tail (the driver's bench capture has recorded parsed:null
+// every round because of it). StdoutOutput hands the child's stdout
+// to this process's stdout verbatim — graft.Bench's JSON line arrives
+// bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

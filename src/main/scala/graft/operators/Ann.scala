@@ -641,19 +641,35 @@ object Ann {
   // column math off the md5-derived projections, ties break on the
   // bitmask value inside the sorted (score, t) struct.
 
-  /** Per-node scored-probe working columns for key family (k, w):
-    * vec_id, `keep` pass-throughs, and per raw projection q < nProj
-    * the bucket `b\$q` (long), closer direction `d\$q` (long), and
-    * closer-boundary distance `x\$q` (double, bucket units, ∈ [0, ½]).
-    * One projection layer — every downstream subset/probe expression
-    * references these as plain columns, computed once per row. */
+  /** Key LAYOUTS — which raw projections compose each bucket key.
+    * `rotatedKeys` is the grid path's layout (key p = projections
+    * p, p+1, …, p+k−1 mod nProj): cheap (nProj dot products total)
+    * but heavily CORRELATED — adjacent keys share k−1 of k
+    * components, so the OR over nProj keys behaves like ~1–2
+    * independent chances, not nProj. `disjointKeys` gives each key
+    * its own k projections (nKeys·k raws): nKeys genuinely
+    * independent capture chances per pair side — the difference is
+    * decisive at wide keys (measured on the sf100 spread corpus,
+    * SCALING_SF10.md §6). */
+  private[graft] def rotatedKeys(nProj: Int, k: Int): Seq[Seq[Int]] =
+    (0 until nProj).map(p => (0 until k).map(j => (p + j) % nProj))
+  private[graft] def disjointKeys(nKeys: Int, k: Int): Seq[Seq[Int]] =
+    (0 until nKeys).map(p => (0 until k).map(j => p * k + j))
+
+  /** Per-node scored-probe working columns for bucket width w and a
+    * key layout touching raw projections 0 until nRaw: vec_id, `keep`
+    * pass-throughs, and per raw projection q the bucket `b\$q` (long),
+    * closer direction `d\$q` (long), and closer-boundary distance
+    * `x\$q` (double, bucket units, ∈ [0, ½]). One projection layer —
+    * every downstream subset/probe expression references these as
+    * plain columns, computed once per row. */
   private def scoredBaseCols(df: DataFrame, keep: Seq[String],
-      nProj: Int, w: Double): DataFrame = {
+      nRaw: Int, w: Double): DataFrame = {
     val raws = df.select((col("vec_id") +: keep.map(col)) ++
-      (0 until nProj).map(q =>
+      (0 until nRaw).map(q =>
         (dot(col("embedding"), typedLit(projVector(q))) / w).as(s"raw$q")): _*)
     raws.select((col("vec_id") +: keep.map(col)) ++
-      (0 until nProj).flatMap { q =>
+      (0 until nRaw).flatMap { q =>
         val r = col(s"raw$q")
         val f = r - floor(r)
         Seq(floor(r).cast("long").as(s"b$q"),
@@ -661,6 +677,8 @@ object Ann {
           least(f, lit(1.0) - f).as(s"x$q"))
       }: _*)
   }
+
+  private def nRawOf(keys: Seq[Seq[Int]]): Int = keys.flatten.max + 1
 
   /** Digit of probe code t for component j: base-(dirs+1), so
     * one-direction codes are bitmasks and two-direction codes are
@@ -680,15 +698,15 @@ object Ann {
     n
   }
 
-  /** The sorted (score, t) probe-code array for rotated key p: all
-    * (dirs+1)^k codes ranked ascending by Lv score (home bucket
-    * t = 0, score 0, always first). References the `x\$q` columns of
-    * [[scoredBaseCols]]. */
-  private def sortedSubsets(p: Int, k: Int, nProj: Int, dirs: Int): Column = {
-    val masks = typedLit((0 until probeCodeCount(k, dirs)).toList)
+  /** The sorted (score, t) probe-code array for the key over raw
+    * projections `key`: all (dirs+1)^k codes ranked ascending by Lv
+    * score (home bucket t = 0, score 0, always first). References the
+    * `x\$q` columns of [[scoredBaseCols]]. */
+  private def sortedSubsets(key: Seq[Int], dirs: Int): Column = {
+    val masks = typedLit((0 until probeCodeCount(key.size, dirs)).toList)
     array_sort(transform(masks, t => struct(
-      (0 until k).map { j =>
-        val x = col(s"x${(p + j) % nProj}")
+      key.zipWithIndex.map { case (q, j) =>
+        val x = col(s"x$q")
         val dg = probeDigit(t, j, dirs)
         when(dg === 1, x * x)
           .when(dg === 2, (lit(1.0) - x) * (lit(1.0) - x))
@@ -697,16 +715,16 @@ object Ann {
       t.as("t"))))
   }
 
-  /** Slim probe rows for the scored bucket join: per node and rotated
-    * key p, the top-T probe keys — (vec_id, `keep`..., proj_id,
-    * b0..b{k−1}). nProj·T rows per node, no embedding payload. */
+  /** Slim probe rows for the scored bucket join: per node and key p,
+    * the top-T probe keys — (vec_id, `keep`..., proj_id, bucket,
+    * bucket2, …). keys.size·T rows per node, no embedding payload. */
   private[graft] def scoredProbeRows(df: DataFrame, keep: Seq[String],
-      nProj: Int, k: Int, w: Double, T: Int, dirs: Int = 1): DataFrame = {
-    val base = scoredBaseCols(df, keep, nProj, w)
-    val probeArrs = (0 until nProj).map { p =>
-      transform(slice(sortedSubsets(p, k, nProj, dirs), 1, T), st =>
-        struct((lit(p).as("proj_id") +: (0 until k).map { j =>
-          val q = (p + j) % nProj
+      keys: Seq[Seq[Int]], w: Double, T: Int, dirs: Int = 1): DataFrame = {
+    val k = keys.head.size
+    val base = scoredBaseCols(df, keep, nRawOf(keys), w)
+    val probeArrs = keys.zipWithIndex.map { case (key, p) =>
+      transform(slice(sortedSubsets(key, dirs), 1, T), st =>
+        struct((lit(p).as("proj_id") +: key.zipWithIndex.map { case (q, j) =>
           val dg = probeDigit(st.getField("t"), j, dirs)
           (col(s"b$q") + when(dg === 1, col(s"d$q"))
             .when(dg === 2, col(s"d$q") * -1L)
@@ -721,14 +739,15 @@ object Ann {
   }
 
   /** Home-bucket key rows (the occupant side of the scored join and
-    * the occupancy table): per node and rotated key p, the exact
-    * floor buckets — (vec_id, `keep`..., proj_id, b0..b{k−1}). */
+    * the occupancy table): per node and key p, the exact floor
+    * buckets — (vec_id, `keep`..., proj_id, bucket, bucket2, …). */
   private[graft] def scoredExactKeyRows(df: DataFrame, keep: Seq[String],
-      nProj: Int, k: Int, w: Double): DataFrame = {
-    val base = scoredBaseCols(df, keep, nProj, w)
-    val keyArr = array((0 until nProj).map { p =>
-      struct((lit(p).as("proj_id") +: (0 until k).map { j =>
-        col(s"b${(p + j) % nProj}").as(s"b$j")
+      keys: Seq[Seq[Int]], w: Double): DataFrame = {
+    val k = keys.head.size
+    val base = scoredBaseCols(df, keep, nRawOf(keys), w)
+    val keyArr = array(keys.zipWithIndex.map { case (key, p) =>
+      struct((lit(p).as("proj_id") +: key.zipWithIndex.map { case (q, j) =>
+        col(s"b$q").as(s"b$j")
       }): _*)
     }: _*)
     base.select((col("vec_id") +: keep.map(col)) :+ explode(keyArr).as("pk"): _*)
@@ -748,15 +767,16 @@ object Ann {
     * capture at T = fraction of pairs with min rank ≤ T. Sample-sized
     * work only (involved ids ≤ |S|·(m+1)). */
   private[graft] def scoredCaptureCurve(e: DataFrame, exactPairs: DataFrame,
-      nProj: Int, k: Int, w: Double, Ts: Seq[Int],
+      keys: Seq[Seq[Int]], w: Double, Ts: Seq[Int],
       dirs: Int = 1): Seq[Double] = {
+    val nRaw = nRawOf(keys)
     val inv = exactPairs.select(col("src").as("vec_id"))
       .union(exactPairs.select(col("dst").as("vec_id"))).distinct()
-    val base = scoredBaseCols(e.join(broadcast(inv), "vec_id"), Nil, nProj, w)
+    val base = scoredBaseCols(e.join(broadcast(inv), "vec_id"), Nil, nRaw, w)
     val nf = base.select((col("vec_id") +:
-      (0 until nProj).flatMap(q => Seq(col(s"b$q"), col(s"d$q")))) ++
-      (0 until nProj).map(p =>
-        transform(sortedSubsets(p, k, nProj, dirs), st => st.getField("t"))
+      (0 until nRaw).flatMap(q => Seq(col(s"b$q"), col(s"d$q")))) ++
+      keys.indices.map(p =>
+        transform(sortedSubsets(keys(p), dirs), st => st.getField("t"))
           .as(s"st$p")): _*)
     val lName = nf.columns.map(c => if (c == "vec_id") "src" else s"l_$c")
     val rName = nf.columns.map(c => if (c == "vec_id") "dst" else s"r_$c")
@@ -784,9 +804,8 @@ object Ann {
       when(!anyInvalid, array_position(col(s"${pfx}_st$p"), tStar))
         .otherwise(lit(NoRank))
     }
-    val ranks = (0 until nProj).flatMap { p =>
-      val comps = (0 until k).map { j =>
-        val q = (p + j) % nProj
+    val ranks = keys.indices.flatMap { p =>
+      val comps = keys(p).map { q =>
         (col(s"r_b$q") - col(s"l_b$q"), q)
       }
       val compsNeg = comps.map { case (dlt, q) => (dlt * -1, q) }
@@ -805,15 +824,15 @@ object Ann {
     * bucket contributing min(occupancy, cap) — the membership-capped
     * quantity the join actually generates. Occupancy is one
     * corpus-scale groupBy; the probe side is a stride sample. */
-  private[graft] def scoredProbeMass(e: DataFrame, nProj: Int, k: Int,
+  private[graft] def scoredProbeMass(e: DataFrame, keys: Seq[Seq[Int]],
       w: Double, T: Int, cap: Int, stride: Long, dirs: Int = 1): Double = {
-    val keyCols = "proj_id" +: (0 until k).map(scoredBucketCol)
-    val occ = scoredExactKeyRows(e, Nil, nProj, k, w)
+    val keyCols = "proj_id" +: (0 until keys.head.size).map(scoredBucketCol)
+    val occ = scoredExactKeyRows(e, Nil, keys, w)
       .groupBy(keyCols.map(col): _*)
       .agg(least(count(lit(1)), lit(cap.toLong)).as("occ"))
     val sample = e.filter(col("vec_id") % stride === 0)
     val nSample = math.max(1L, sample.count())
-    val probes = scoredProbeRows(sample, Nil, nProj, k, w, T, dirs)
+    val probes = scoredProbeRows(sample, Nil, keys, w, T, dirs)
     val total = probes.join(occ, keyCols.toSeq)
       .agg(coalesce(sum(col("occ")), lit(0L))).head.getLong(0)
     total.toDouble / nSample
@@ -1362,7 +1381,8 @@ object Ann {
     * aggregate over the persisted edge table + a 1-row broadcast raw-
     * size scalar; layers above the top occupied edge level report 0
     * edges (their nodes exist but have nothing to link to). */
-  def indexStats(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+  def indexStats(s: SparkSession, d: String, m: Int = 16,
+                 nProj: Int = 8, w: Double = 0.1, probe: Int = 1): DataFrame = {
     val lv = Tables.embeddings(s, d).withColumn("level", expr(levelExpr))
     val pn = lv
       .select(explode(sequence(lit(0), least(col("level"), lit(MaxLevel)))).as("layer"))
@@ -1372,6 +1392,27 @@ object Ann {
     // fixture embeddings are fixed 64-dim (FIXTURES.md) — 512 B/row raw
     val raw = Tables.embeddings(s, d)
       .agg((count(lit(1)) * lit(64L * 8L)).as("raw_bytes"))
+    // The approximate build's QUALITY diagnostics, measured the same
+    // way the build measures them (r9's rung-3 lesson: candidate mass
+    // alone is blind to whether the true neighbors are among the
+    // candidates): the stride-sampled true-neighbor capture of the
+    // measured key configuration, and the NN-descent rounds the build
+    // runs at that capture. Above the floor the build never escalates,
+    // so rounds is the declared refine count and the escalated-recall
+    // column is NULL; below the floor rounds/recall are only knowable
+    // by running the escalated build — reported NULL here, measured by
+    // the build itself into [[lastBuildDiag]] and the SCALING notes.
+    // Cheap: one sample-sized exact pass + one capture aggregate — the
+    // same ~2-min-at-2M stage the build runs.
+    val e2 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cnt = e2.count()
+    val keyDims = measuredKeyDims(e2, cnt, nProj, w)
+    val exact = sampledExactPairs(e2, cnt, m)
+    val capture =
+      try measuredCapture(e2, exact, keyDims, nProj, w, probe)
+      finally freeBuildState(exact)
+    val rounds: Column =
+      if (capture >= CaptureFloor) lit(2L) else lit(null).cast("long")
     val edges = coalesce(col("n_edges"), lit(0L))
     pn.join(eg, Seq("layer"), "left")
       .crossJoin(broadcast(raw))
@@ -1383,7 +1424,10 @@ object Ann {
         ((edges * lit(24L)).cast("double") / col("raw_bytes").cast("double"))
           .as("overhead_idonly"),
         ((edges * lit(24L + 64L * 8L)).cast("double") / col("raw_bytes").cast("double"))
-          .as("overhead_vecres"))
+          .as("overhead_vecres"),
+        lit(capture).as("build_capture"),
+        rounds.as("build_nnd_rounds"),
+        lit(null).cast("double").as("build_sampled_recall"))
       .orderBy(col("layer"))
   }
 
@@ -2629,6 +2673,61 @@ object Ann {
     * into [[hnswSearchOracle]] (whose descent/beam CTEs use x/c/u/b)
     * without collisions. Ends by defining `ae$refine` — the refined
     * (level, src, dst, dist) edge table, ≤ m rows per (level, src). */
+  /** Capture-measurement CTE chain, referencing an enclosing
+    * `e(vec_id, v, …)` CTE: the measured keyDims rule (akd), the
+    * stride-sampled exact top-m ground truth (asp), and the measured
+    * capture (acap). Shared by [[approxEdgeChain]] — whose acapok
+    * guard error()s below [[CaptureFloor]] — and the `index_stats`
+    * oracle, which REPORTS the same measured numbers.
+    *
+    * akd mirrors the engine's MEASURED keyDims rule
+    * ([[measuredKeyDims]]): both raw bucket components are computed
+    * unconditionally (apb0), the k=1 and k=2 collider masses Σ occ²
+    * come from the identical GROUP BY counts the engine aggregates
+    * (BIGINT counts — sum widens to HUGEINT here, DECIMAL there,
+    * both exact), and kd is the smallest k whose mass meets the
+    * target·n·nProj budget. The oracle models k ≤ 2 — when even the
+    * k=2 mass is over budget it raises a DuckDB error() (lazy in the
+    * un-taken CASE branch, verified), so an oracle-gated fixture
+    * beyond what this SQL models fails LOUDLY instead of silently
+    * hash-diverging from the engine's wider key. */
+  private def approxCaptureCtes(m: Int, nProj: Int, probe: Int,
+                                src: String = "e"): String =
+    s"""acnt0 AS (SELECT count(*) AS n FROM $src),
+       |apb0 AS MATERIALIZED (SELECT vec_id, p AS proj_id,
+       |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
+       |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket,
+       |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
+       |    j -> v[j] * ${duckUnit(s"concat(CAST((p + 1) % $nProj AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket2
+       |  FROM $src, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p)),
+       |am1 AS (SELECT sum(c * c) AS mass FROM (
+       |         SELECT count(*) AS c FROM apb0 GROUP BY proj_id, bucket) t),
+       |am2 AS (SELECT sum(c * c) AS mass FROM (
+       |         SELECT count(*) AS c FROM apb0 GROUP BY proj_id, bucket, bucket2) t),
+       |akd AS (SELECT CASE
+       |         WHEN coalesce(am1.mass, 0) <= $KeyDimsColliderTarget * n * $nProj THEN 1
+       |         WHEN coalesce(am2.mass, 0) <= $KeyDimsColliderTarget * n * $nProj THEN 2
+       |         ELSE CAST(error('oracle models keyDims <= 2; the measured collider mass of this corpus needs k >= 3 (engine measuredKeyDims)') AS INT)
+       |         END AS kd FROM acnt0, am1, am2),
+       |asmp AS (SELECT greatest(1, n // 2048) AS stride FROM acnt0),
+       |asx AS (SELECT $src.vec_id AS src, $src.v AS sv FROM $src, asmp
+       |        WHERE $src.vec_id % asmp.stride = 0),
+       |asd AS (SELECT s.src, $src.vec_id AS dst, ${duckSq.format(s"$src.v", "s.sv")} AS dist
+       |        FROM $src, asx s WHERE $src.vec_id <> s.src),
+       |asp AS MATERIALIZED (SELECT src, dst FROM (
+       |        SELECT src, dst,
+       |          row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+       |        FROM asd) WHERE rnk <= $m),
+       |acap AS (SELECT coalesce(avg(hit), 1.0) AS capture FROM (
+       |        SELECT p.src, p.dst,
+       |          max(CASE WHEN abs(l.bucket - r.bucket) <= $probe
+       |                AND (akd.kd < 2 OR abs(l.bucket2 - r.bucket2) <= $probe)
+       |              THEN 1 ELSE 0 END) AS hit
+       |        FROM asp p
+       |        JOIN apb0 l ON l.vec_id = p.src
+       |        JOIN apb0 r ON r.vec_id = p.dst AND r.proj_id = l.proj_id, akd
+       |        GROUP BY p.src, p.dst) t)""".stripMargin
+
   private def approxEdgeChain(m: Int, maxLevel: Int, nProj: Int,
                               probe: Int, cap: Int, refine: Int): String = {
     // NN-descent rounds unrolled as CTE chains (the ann_graph_search
@@ -2654,51 +2753,7 @@ object Ann {
          |       FROM au$r) WHERE rnk <= $m)""".stripMargin
     }
     val roundsSql = if (rounds.isEmpty) "" else ",\n" + rounds.mkString(",\n")
-    // akd mirrors the engine's MEASURED keyDims rule
-    // ([[measuredKeyDims]]): both raw bucket components are computed
-    // unconditionally (apb0), the k=1 and k=2 collider masses Σ occ²
-    // come from the identical GROUP BY counts the engine aggregates
-    // (BIGINT counts — sum widens to HUGEINT here, DECIMAL there,
-    // both exact), and kd is the smallest k whose mass meets the
-    // target·n·nProj budget. The oracle models k ≤ 2 — when even the
-    // k=2 mass is over budget it raises a DuckDB error() (lazy in the
-    // un-taken CASE branch, verified), so an oracle-gated fixture
-    // beyond what this SQL models fails LOUDLY instead of silently
-    // hash-diverging from the engine's wider key.
-    s"""acnt0 AS (SELECT count(*) AS n FROM e),
-       |apb0 AS MATERIALIZED (SELECT vec_id, p AS proj_id,
-       |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
-       |    j -> v[j] * ${duckUnit("concat(CAST(p AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket,
-       |  CAST(floor(list_sum(list_transform(generate_series(1, 64),
-       |    j -> v[j] * ${duckUnit(s"concat(CAST((p + 1) % $nProj AS STRING), '-', CAST(j - 1 AS STRING))")})) / 0.1) AS BIGINT) AS bucket2
-       |  FROM e, (SELECT unnest(generate_series(0, ${nProj - 1})) AS p)),
-       |am1 AS (SELECT sum(c * c) AS mass FROM (
-       |         SELECT count(*) AS c FROM apb0 GROUP BY proj_id, bucket) t),
-       |am2 AS (SELECT sum(c * c) AS mass FROM (
-       |         SELECT count(*) AS c FROM apb0 GROUP BY proj_id, bucket, bucket2) t),
-       |akd AS (SELECT CASE
-       |         WHEN coalesce(am1.mass, 0) <= $KeyDimsColliderTarget * n * $nProj THEN 1
-       |         WHEN coalesce(am2.mass, 0) <= $KeyDimsColliderTarget * n * $nProj THEN 2
-       |         ELSE CAST(error('oracle models keyDims <= 2; the measured collider mass of this corpus needs k >= 3 (engine measuredKeyDims)') AS INT)
-       |         END AS kd FROM acnt0, am1, am2),
-       |asmp AS (SELECT greatest(1, n // 2048) AS stride FROM acnt0),
-       |asx AS (SELECT e.vec_id AS src, e.v AS sv FROM e, asmp
-       |        WHERE e.vec_id % asmp.stride = 0),
-       |asd AS (SELECT s.src, e.vec_id AS dst, ${duckSq.format("e.v", "s.sv")} AS dist
-       |        FROM e, asx s WHERE e.vec_id <> s.src),
-       |asp AS MATERIALIZED (SELECT src, dst FROM (
-       |        SELECT src, dst,
-       |          row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
-       |        FROM asd) WHERE rnk <= $m),
-       |acap AS (SELECT coalesce(avg(hit), 1.0) AS capture FROM (
-       |        SELECT p.src, p.dst,
-       |          max(CASE WHEN abs(l.bucket - r.bucket) <= $probe
-       |                AND (akd.kd < 2 OR abs(l.bucket2 - r.bucket2) <= $probe)
-       |              THEN 1 ELSE 0 END) AS hit
-       |        FROM asp p
-       |        JOIN apb0 l ON l.vec_id = p.src
-       |        JOIN apb0 r ON r.vec_id = p.dst AND r.proj_id = l.proj_id, akd
-       |        GROUP BY p.src, p.dst) t),
+    s"""${approxCaptureCtes(m, nProj, probe)},
        |acapok AS (SELECT CASE WHEN capture >= $CaptureFloor THEN 1
        |        ELSE CAST(error('measured capture below floor; the engine escalates NN-descent rounds beyond the fixed count this oracle unrolls (Ann.CaptureFloor guard)') AS INT)
        |        END AS ok FROM acap),
@@ -2922,7 +2977,9 @@ object Ann {
          |pn AS (SELECT layer, count(*) AS n_nodes FROM part GROUP BY layer),
          |eg AS (SELECT level AS layer, count(*) AS n_edges
          |       FROM (${hnswEdgesOracle(m = 16, maxLevel = 8)}) GROUP BY level),
-         |raw AS (SELECT count(*) * 512 AS raw_bytes FROM embeddings)
+         |raw AS (SELECT count(*) * 512 AS raw_bytes FROM embeddings),
+         |ecap AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |${approxCaptureCtes(m = 16, nProj = 8, probe = 1, src = "ecap")}
          |SELECT pn.layer, pn.n_nodes,
          |  CAST(coalesce(eg.n_edges, 0) AS BIGINT) AS n_edges,
          |  coalesce(eg.n_edges, 0) / CAST(pn.n_nodes AS DOUBLE) AS avg_out_degree,
@@ -2931,8 +2988,12 @@ object Ann {
          |  CAST(coalesce(eg.n_edges, 0) * 24 AS DOUBLE)
          |    / CAST(raw.raw_bytes AS DOUBLE) AS overhead_idonly,
          |  CAST(coalesce(eg.n_edges, 0) * 536 AS DOUBLE)
-         |    / CAST(raw.raw_bytes AS DOUBLE) AS overhead_vecres
-         |FROM pn LEFT JOIN eg ON eg.layer = pn.layer CROSS JOIN raw
+         |    / CAST(raw.raw_bytes AS DOUBLE) AS overhead_vecres,
+         |  acap.capture AS build_capture,
+         |  CASE WHEN acap.capture >= $CaptureFloor THEN CAST(2 AS BIGINT)
+         |       ELSE CAST(NULL AS BIGINT) END AS build_nnd_rounds,
+         |  CAST(NULL AS DOUBLE) AS build_sampled_recall
+         |FROM pn LEFT JOIN eg ON eg.layer = pn.layer CROSS JOIN raw CROSS JOIN acap
          |ORDER BY pn.layer""".stripMargin,
     "ann_graph_search" -> graphSearchOracle(nq = 10, k = 10, beam = 16, rounds = 4, m = 16),
     "lsh_buckets" ->

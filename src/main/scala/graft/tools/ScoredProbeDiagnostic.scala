@@ -89,23 +89,30 @@ object ScoredProbeDiagnostic {
     println(s"[scored-probe] d=$d n=$cnt sampled_pairs=$nPairs m=$m")
 
     val Ts = Seq(4, 8, 16, 32, 64, 128, 256)
+    val rotated = Seq((3, 0.1), (4, 0.2), (4, 0.4), (6, 0.3), (6, 0.4),
+      (6, 0.5), (6, 0.6), (8, 0.4), (8, 0.5))
+      .map { case (k, w) => (s"rot8", Ann.rotatedKeys(nProj, k), k, w) }
+    val disjoint = for {
+      nk <- Seq(4, 8)
+      (k, w) <- Seq((4, 0.3), (4, 0.4), (6, 0.3), (6, 0.4), (6, 0.5), (6, 0.6),
+        (8, 0.5), (8, 0.6))
+    } yield (s"dis$nk", Ann.disjointKeys(nk, k), k, w)
     for (dirs <- Seq(1, 2);
-         (k, w) <- Seq((3, 0.1), (4, 0.2), (4, 0.4), (6, 0.3), (6, 0.4),
-           (6, 0.5), (6, 0.6), (8, 0.4), (8, 0.5))
+         (tag, keys, k, w) <- rotated ++ disjoint
          if Ann.probeCodeCount(k, dirs) <= 6561) {
       val ts = Ts.filter(_ <= Ann.probeCodeCount(k, dirs))
-      val curve = Ann.scoredCaptureCurve(e, exact, nProj, k, w, ts, dirs)
+      val curve = Ann.scoredCaptureCurve(e, exact, keys, w, ts, dirs)
       val curveStr = ts.zip(curve).map { case (t, c) => f"T=$t:$c%.4f" }.mkString(" ")
-      println(s"[scored-capture] dirs=$dirs k=$k w=$w $curveStr")
+      println(s"[scored-capture] layout=$tag dirs=$dirs k=$k w=$w $curveStr")
       // mass at the smallest floor-clearing T, else at the largest T
       // measured (to see the capture/mass tradeoff even when the
       // config cannot reach the floor)
       val pick = ts.zip(curve).find(_._2 >= Ann.CaptureFloor)
         .orElse(ts.zip(curve).lastOption.filter(_._2 >= 0.3))
       pick.foreach { case (t, c) =>
-        val mass = Ann.scoredProbeMass(e, nProj, k, w, t, cap,
+        val mass = Ann.scoredProbeMass(e, keys, w, t, cap,
           Ann.captureSampleStride(cnt), dirs)
-        println(f"[scored-mass] dirs=$dirs k=$k w=$w T=$t capture=$c%.4f " +
+        println(f"[scored-mass] layout=$tag dirs=$dirs k=$k w=$w T=$t capture=$c%.4f " +
           f"mean_candidates_per_query=$mass%.1f budget=${Ann.KeyDimsColliderTarget * nProj}")
       }
     }

@@ -546,6 +546,117 @@ object Ann {
     * stalled loop burns rounds for nothing. */
   private[graft] val MinNndGain = 0.01
 
+  /** Ceiling on the number of disjoint scored-probe keys the
+    * low-contrast seed path may compose. Each key is a near-
+    * independent capture chance (capture composes toward
+    * 1 − (1 − c1)^nKeys) and mass grows LINEARLY in the key count —
+    * the one knob without a geometric blow-up. The ceiling bounds
+    * build mass: 64 keys × (measured per-key mass ≲ 1k) ≈ 64k
+    * candidates per query, ~4× the grid budget — the measured price
+    * of holding recall on geometry that defeats every cheaper
+    * family. */
+  private[graft] val MaxScoredKeys = 64
+
+  /** The (k, w, T) cells the scored-seed chooser measures, cheapest
+    * first. All sit in the region the round-9/10 sweeps showed can
+    * hold capture on low-contrast geometry (k ≥ 6, w ≥ 0.4) — below
+    * it capture-per-key is too weak for any affordable key count;
+    * the chooser picks by MEASURED per-key after-cap capture, so the
+    * ladder only sets what gets measured. T = 16 is the knee of every
+    * measured probe curve; T = 32 variants trade 2× per-key mass for
+    * reach into the harder pair tail. */
+  private[graft] val ScoredKWLadder: Seq[(Int, Double, Int)] =
+    Seq((6, 0.4, 16), (6, 0.5, 16), (6, 0.5, 32),
+      (8, 0.5, 16), (8, 0.6, 16), (8, 0.6, 32))
+
+  /** The measured scored-seed configuration choice for a corpus whose
+    * grid capture fell below [[CaptureFloor]] (the rung-3 failure
+    * mode). Two measured stages, every knob derived from the guarded
+    * quantity itself:
+    *
+    *  1. PER-KEY: for each ladder cell, measure the per-key AFTER-CAP
+    *     capture c1 on the sampled exact pairs (2 disjoint probe keys
+    *     → c1 = 1 − √(1 − c2)) and the per-key capped mass; project
+    *     the key count that composes to the floor under independence
+    *     and pick the cell with the least projected total mass.
+    *  2. VERIFY-ITERATE: per-pair capture probabilities CORRELATE
+    *     across keys (a pair far in many projections is hard for
+    *     every key — measured on sp30k: 22 keys predicted 0.90
+    *     independent, delivered 0.85), so the composed capture is
+    *     MEASURED at the projected count and the count re-derived
+    *     from the measured effective per-key rate, up to 3 rounds,
+    *     until the floor is met, growth stops, or [[MaxScoredKeys]]
+    *     caps it. Below-floor exits are LOUD; the NND escalation
+    *     guard still measures the end state either way. */
+  private[graft] def chooseScoredConfig(e: DataFrame, exactPairs: DataFrame,
+      cap: Int, stride: Long): (Seq[Seq[Int]], Double, Int) = {
+    // Per-query seed-mass ceiling: 2× the grid budget
+    // (KeyDimsColliderTarget · 8 rotated keys). Candidate mass IS
+    // build time (mass · n scored pairs through the map-side TopM
+    // reduction), so the ceiling is the conscious price bound for
+    // low-contrast geometry; a corpus where the floor costs more than
+    // the ceiling gets the best capture the ceiling buys plus a LOUD
+    // warning and the guard's measured end state — never a silent
+    // day-long build.
+    val massCeiling = 2.0 * KeyDimsColliderTarget * 8
+    def neededKeys(c1: Double): Int =
+      if (c1 <= 0.005) Int.MaxValue
+      else math.ceil(math.log(1.0 - CaptureFloor) / math.log(1.0 - c1)).toInt
+    val measured = ScoredKWLadder.map { case (k, w, t) =>
+      val probeKeys = disjointKeys(2, k)
+      val c2 = scoredCaptureAfterCap(e, exactPairs, probeKeys, w, t, cap)
+      val c1 = 1.0 - math.sqrt(math.max(0.0, 1.0 - c2))
+      val m1 = math.max(1.0, scoredProbeMass(e, probeKeys, w, t, cap, stride) / 2.0)
+      val nk = neededKeys(c1)
+      System.err.println(f"[scored-choose] k=$k w=$w T=$t " +
+        f"c1_after_cap=$c1%.4f per_key_mass=$m1%.1f nKeys_projected=$nk")
+      (k, w, t, c1, m1, nk)
+    }
+    def keyBudget(m1: Double): Int =
+      math.max(2, math.min(MaxScoredKeys, (massCeiling / m1).toInt))
+    val feasible = measured.filter { case (_, _, _, _, m1, nk) =>
+      nk <= keyBudget(m1)
+    }
+    val (k, w, t, c1, m1, nk0) =
+      if (feasible.nonEmpty)
+        feasible.minBy { case (_, _, _, _, m1, nk) => m1 * nk }
+      else
+        // nothing reaches the floor inside the ceiling: take the cell
+        // with the best capture composable WITHIN its key budget
+        measured.maxBy { case (_, _, _, c1, m1, _) =>
+          1.0 - math.pow(1.0 - c1, keyBudget(m1))
+        } match {
+          case (k, w, t, c1, m1, _) => (k, w, t, c1, m1, keyBudget(m1))
+        }
+    val nCap = keyBudget(m1)
+    var nKeys = math.min(nCap, math.max(4, nk0))
+    var cMeasured = 1.0 - math.pow(1.0 - c1, nKeys)
+    var iter = 0
+    var done = false
+    while (!done && iter < 3) {
+      cMeasured = scoredCaptureAfterCap(e, exactPairs,
+        disjointKeys(nKeys, k), w, t, cap)
+      System.err.println(f"[scored-choose] verify nKeys=$nKeys k=$k w=$w " +
+        f"T=$t measured_capture=$cMeasured%.4f floor=$CaptureFloor " +
+        f"mass_ceiling_keys=$nCap")
+      if (cMeasured >= CaptureFloor || nKeys >= nCap) done = true
+      else {
+        val c1eff = 1.0 - math.pow(1.0 - math.min(cMeasured, 0.999999), 1.0 / nKeys)
+        val next = math.min(nCap, math.max(nKeys + 2, neededKeys(c1eff)))
+        if (next <= nKeys) done = true else nKeys = next
+      }
+      iter += 1
+    }
+    if (cMeasured < CaptureFloor)
+      System.err.println(f"[scored-choose] WARNING: measured capture " +
+        f"$cMeasured%.4f below floor at the $nKeys-key budget " +
+        f"(ceiling ${massCeiling.toLong} candidates/query) — NND escalation " +
+        f"carries the residual; end recall is measured by the guard")
+    System.err.println(f"[scored-choose] chosen k=$k w=$w T=$t nKeys=$nKeys " +
+      f"measured_capture=$cMeasured%.4f est_mass=${(m1 * nKeys).toLong}")
+    (disjointKeys(nKeys, k), w, t)
+  }
+
   /** Test/tooling observation surface: diagnostics of the most recent
     * [[hnswEdgesApprox]] build in this JVM — the measured capture,
     * total NN-descent rounds run, and (when the guard escalated) the
@@ -819,6 +930,52 @@ object Ann {
     Ts.indices.map(row.getDouble)
   }
 
+  /** Measured AFTER-CAP capture of a scored-probe configuration: the
+    * fraction of true pairs where some key's top-T probe sequence of
+    * one endpoint reaches the other endpoint's home bucket AND the
+    * reached endpoint SURVIVES the membership cap in that bucket (rank
+    * by vec_id ≤ cap — the occupant-side truncation the join actually
+    * applies). This is the quantity that predicted the grid path's
+    * sf100 collapse (before-cap capture 0.68 → after-cap 0.018 at the
+    * k=2 cell, KeyCaptureDiagnostic): dense cells keep their first
+    * `cap` ids only, so a capture-healthy-but-saturated configuration
+    * silently evicts the very neighbors it captured. One corpus-scale
+    * window (slim id+key rows) + sample-sized joins. */
+  private[graft] def scoredCaptureAfterCap(e: DataFrame, exactPairs: DataFrame,
+      keys: Seq[Seq[Int]], w: Double, T: Int, cap: Int,
+      dirs: Int = 1): Double = {
+    val k = keys.head.size
+    val keyCols = "proj_id" +: (0 until k).map(scoredBucketCol)
+    val inv = exactPairs.select(col("src").as("vec_id"))
+      .union(exactPairs.select(col("dst").as("vec_id"))).distinct()
+    val wb = Window.partitionBy(keyCols.map(col): _*).orderBy(col("vec_id"))
+    val kept = scoredExactKeyRows(e, Nil, keys, w)
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
+      .drop("rn")
+      .join(broadcast(inv), "vec_id")
+      .localCheckpoint(true)
+    val probes = scoredProbeRows(e.join(broadcast(inv), "vec_id"), Nil,
+      keys, w, T, dirs).localCheckpoint(true)
+    try {
+      def oneSide(pairs: DataFrame): DataFrame = {
+        val p = probes.toDF(probes.columns.map(c =>
+          if (c == "vec_id") "src" else c).toIndexedSeq: _*)
+        val c = kept.toDF(kept.columns.map(c =>
+          if (c == "vec_id") "cdst" else s"c_$c").toIndexedSeq: _*)
+        val keyEq = keyCols.map(kc => col(kc) === col(s"c_$kc")).reduce(_ && _)
+        pairs.join(p, "src").join(c, keyEq && col("dst") === col("cdst"))
+          .select(col("src"), col("dst")).distinct()
+      }
+      val swapped = exactPairs.select(col("dst").as("src"), col("src").as("dst"))
+      val hit = oneSide(exactPairs)
+        .unionByName(oneSide(swapped)
+          .select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val total = math.max(1L, exactPairs.count())
+      exactPairs.join(hit, Seq("src", "dst"), "left_semi").count().toDouble / total
+    } finally { freeBuildState(kept); freeBuildState(probes) }
+  }
+
   /** Measured candidate mass of a scored-probe configuration: mean
     * candidates a query meets across its nProj·T probes, each probed
     * bucket contributing min(occupancy, cap) — the membership-capped
@@ -836,6 +993,55 @@ object Ann {
     val total = probes.join(occ, keyCols.toSeq)
       .agg(coalesce(sum(col("occ")), lit(0L))).head.getLong(0)
     total.toDouble / nSample
+  }
+
+  /** Scored-probe seed candidates — the low-contrast replacement for
+    * the grid bucket join, same output shape (src, dst, dist, minl):
+    * occupants answer for their home bucket (membership-capped, first
+    * `cap` ids per cell — identical truncation to the grid path),
+    * queries probe their top-T perturbation-ranked buckets per
+    * disjoint key, and the join stays a slim equi-join on (proj_id,
+    * bucket components) with payloads re-attached map-side via the
+    * caller's `attach`. Candidate mass is keys.size · T · min(occ,
+    * cap) per query — LINEAR in the measured key count, never a grid
+    * explode. */
+  private def scoredSeedCandidates(e: DataFrame, keys: Seq[Seq[Int]],
+      w: Double, T: Int, cap: Int,
+      attach: (DataFrame, String, String) => DataFrame): DataFrame = {
+    val k = keys.head.size
+    val keyCols = "proj_id" +: (0 until k).map(scoredBucketCol)
+    val wb = Window.partitionBy(keyCols.map(col): _*).orderBy(col("vec_id"))
+    val occ = scoredExactKeyRows(e, Seq("embedding", "level"), keys, w)
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
+      .drop("rn")
+    val probes = scoredProbeRows(e, Seq("level"), keys, w, T)
+    val keyEq = keyCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
+    val scoredPairs = attach(
+      occ.as("l").join(probes.as("r"),
+          keyEq && col("l.vec_id") =!= col("r.vec_id"))
+        .select(col("l.vec_id").as("src"), col("l.embedding").as("lv"),
+          col("r.vec_id").as("dst"),
+          least(col("l.level"), col("r.level"), lit(MaxLevel)).as("minl")),
+      "dst", "rv")
+      .select(col("src"), col("dst"),
+        squaredL2(col("lv"), col("rv")).as("dist"), col("minl"))
+    // SYMMETRIZE: closer-side probe sequences are one-directional —
+    // pair (u, v) may be reachable only as "v probes u's home cell",
+    // which yields the candidate (src=u, dst=v) and NOT its reverse
+    // (grid multiprobe's ±probe windows are symmetric, so the grid
+    // path never needed this). The capture measurements OR both
+    // directions; without this the built edges hold only the reached
+    // direction (measured on sp30k: either-side capture 0.906 vs
+    // one-direction end recall 0.847). Emitted as a 2-element explode
+    // of the SAME scored row — one plan of the expensive join, 2×
+    // rows map-side, absorbed by the TopMEdges reduction; distance is
+    // symmetric so no rescore.
+    scoredPairs.select(explode(array(
+        struct(col("src"), col("dst"), col("dist"), col("minl")),
+        struct(col("dst").as("src"), col("src").as("dst"),
+          col("dist"), col("minl")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"),
+        col("p.dist").as("dist"), col("p.minl").as("minl"))
   }
 
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
@@ -1089,9 +1295,37 @@ object Ann {
       "src", "lv"), "dst", "rv")
       .select(col("src"), col("dst"),
         squaredL2(col("lv"), col("rv")).as("dist"), col("minl"))
+    // Seed-family decision (non-audit): the capture measurement runs
+    // BEFORE the candidate join materializes, so a corpus whose
+    // geometry defeats the grid key family ([[CaptureFloor]], the
+    // rung-3 failure) gets SCORED DISJOINT-KEY seeds instead of grid
+    // seeds whose misses NND cannot recover (measured on the sp30k
+    // spread fixture: grid capture 0.60 → NND stalls at sampled
+    // recall 0.73 after one escalated round, gain 0.005 — the
+    // closure proposes only through edges it already has). Gated
+    // fixtures all measure capture ≥ 0.99, so they take the grid
+    // branch and their plans/hashes are bit-identical; the oracle
+    // error()s exactly where the scored branch engages. The audit
+    // lineage stays the grid form (eager measurement contradicts the
+    // lazy audit contract, and on non-escalating corpora the audited
+    // lineage is the shipped lineage).
+    val (exactOpt, capture, seedScored) =
+      if (audit) (None, 1.0, scored)
+      else {
+        val exact = sampledExactPairs(e, cnt, m)
+        track += exact
+        val cap0 = measuredCapture(e, exact, keyDims, nProj, w, probe)
+        if (cap0 >= CaptureFloor) (Some(exact), cap0, scored)
+        else {
+          val (skeys, sw, st) =
+            chooseScoredConfig(e, exact, cap, captureSampleStride(cnt))
+          (Some(exact), cap0,
+            scoredSeedCandidates(e, skeys, sw, st, cap, attach))
+        }
+      }
     // an edge candidate serves levels 0..min(levels) exactly as in the
     // exact builder
-    val exploded = scored.unionByName(fingerScored).select(
+    val exploded = seedScored.unionByName(fingerScored).select(
       explode(sequence(lit(0), col("minl"))).as("level"),
       col("src"), col("dst"), col("dist"))
     val top = SqlBridge.column(TopMEdges(
@@ -1175,9 +1409,7 @@ object Ann {
     // contract is a lazy lineage), and on a non-escalating corpus
     // the audited lineage is the shipped lineage either way.
     if (audit) { edges } else {
-    val exact = sampledExactPairs(e, cnt, m)
-    track += exact
-    val capture = measuredCapture(e, exact, keyDims, nProj, w, probe)
+    val exact = exactOpt.get
     var roundsRun = refine
     var finalRecall: Option[Double] = None
     if (capture < CaptureFloor) {
@@ -1192,6 +1424,8 @@ object Ann {
       track += cur
       var rec = sampledRecall(cur)
       var gain = 1.0
+      System.err.println(f"[build-escalate] capture=$capture%.4f below " +
+        f"floor $CaptureFloor; rounds=$roundsRun sampled_recall=$rec%.4f")
       while (rec < CaptureFloor && roundsRun < MaxNndRounds &&
           gain >= MinNndGain) {
         cur = nndRound(cur).localCheckpoint(true)
@@ -1200,6 +1434,8 @@ object Ann {
         val nr = sampledRecall(cur)
         gain = nr - rec
         rec = nr
+        System.err.println(f"[build-escalate] rounds=$roundsRun " +
+          f"sampled_recall=$rec%.4f gain=$gain%.4f")
       }
       finalRecall = Some(rec)
       edges = cur

@@ -413,6 +413,44 @@ object Similarity {
     } else cur
   }
 
+  /** Measured pair recall of [[semanticCells]]'s Voronoi partition
+    * against a stride-sampled EXACT ε-join ground truth: the fraction
+    * of true ε-pairs (one endpoint in the sample) whose two endpoints
+    * land in the SAME cell — i.e. that [[semanticDedup]]'s intra-cell
+    * pair join can possibly see. The cells have the same structural
+    * blind spot the approximate index build paid to discover at sf100
+    * (a near-dup pair straddling a cell boundary is silently missed,
+    * and clone-structured fixtures cannot see it), so the quantity is
+    * MEASURED — pinned on the gated fixtures in AnnSpec, reported on
+    * the spread fixtures in SCALING_SF10.md. Sample-sized work: one
+    * broadcast-sample × corpus scan + a cell equi-join. Empty-pair
+    * corpora measure 1.0. */
+  private[graft] def semanticPairRecall(s: SparkSession, d: String,
+      eps: Double = 1.1, cellSize: Int = 64, stride: Long = 1L): Double = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val sample = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val truePairs = e.crossJoin(broadcast(sample))
+      .filter(col("vec_id") =!= col("qid") &&
+        squaredL2(col("embedding"), col("qv")) < eps)
+      .select(least(col("vec_id"), col("qid")).as("a"),
+        greatest(col("vec_id"), col("qid")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    try {
+      val cells = semanticCells(s, d, cellSize).select(col("vec_id"), col("cell"))
+      val total = truePairs.count()
+      if (total == 0L) 1.0
+      else {
+        val ca = cells.select(col("vec_id").as("a"), col("cell").as("cell_a"))
+        val cb = cells.select(col("vec_id").as("b"), col("cell").as("cell_b"))
+        truePairs.join(ca, "a").join(cb, "b")
+          .filter(col("cell_a") === col("cell_b"))
+          .count().toDouble / total
+      }
+    } finally Ann.freeBuildState(truePairs)
+  }
+
   def semanticDedup(s: SparkSession, d: String,
                     eps: Double = 1.1, cellSize: Int = 64): DataFrame = {
     // materialize the assignment before the pair self-join: both join

@@ -31,13 +31,19 @@ import org.apache.spark.sql.functions._
   * w ≥ 0.3) cells that could hold both cost 3^k grid probes. This
   * tool tells us which (k, w, T) actually holds both.
   *
-  * Usage: runMain graft.tools.ScoredProbeDiagnostic [sfDir] [stride] [m]
+  * Usage: runMain graft.tools.ScoredProbeDiagnostic [sfDir] [stride] [m] [mode]
+  *
+  * mode `broad` (default) sweeps layouts × (k, w) for before-cap
+  * capture curves; mode `focus` takes the disjoint-layout finalists
+  * and measures what the BUILD would actually see: after-cap capture
+  * (the grid path's killer) and capped candidate mass, at several T.
   */
 object ScoredProbeDiagnostic {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/repo/fixtures/sf100")
     val stride = args.lift(1).map(_.toInt).getOrElse(1000)
     val m = args.lift(2).map(_.toInt).getOrElse(16)
+    val mode = args.lift(3).getOrElse("broad")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scored-probe-diagnostic")
@@ -88,6 +94,24 @@ object ScoredProbeDiagnostic {
     val nPairs = exact.count()
     println(s"[scored-probe] d=$d n=$cnt sampled_pairs=$nPairs m=$m")
 
+    if (mode == "focus") {
+      // finalists from the broad 200k sweep: disjoint layouts in the
+      // capture-feasible (k >= 6, w >= 0.4) region; the decision
+      // numbers are AFTER-CAP capture and capped mass at each T
+      val ladder = Seq(
+        ("dis4", Ann.disjointKeys(4, 6), 6, 0.5), ("dis4", Ann.disjointKeys(4, 6), 6, 0.6),
+        ("dis8", Ann.disjointKeys(8, 6), 6, 0.4), ("dis8", Ann.disjointKeys(8, 6), 6, 0.5),
+        ("dis8", Ann.disjointKeys(8, 6), 6, 0.6),
+        ("dis8", Ann.disjointKeys(8, 8), 8, 0.5), ("dis8", Ann.disjointKeys(8, 8), 8, 0.6))
+      for ((tag, keys, k, w) <- ladder; t <- Seq(4, 8, 16, 32)) {
+        val cap2 = Ann.scoredCaptureAfterCap(e, exact, keys, w, t, cap)
+        val mass = Ann.scoredProbeMass(e, keys, w, t, cap,
+          Ann.captureSampleStride(cnt))
+        println(f"[scored-aftercap] layout=$tag k=$k w=$w T=$t " +
+          f"capture_after_cap=$cap2%.4f mean_candidates_per_query=$mass%.1f " +
+          f"budget=${Ann.KeyDimsColliderTarget * nProj}")
+      }
+    } else {
     val Ts = Seq(4, 8, 16, 32, 64, 128, 256)
     val rotated = Seq((3, 0.1), (4, 0.2), (4, 0.4), (6, 0.3), (6, 0.4),
       (6, 0.5), (6, 0.6), (8, 0.4), (8, 0.5))
@@ -115,6 +139,7 @@ object ScoredProbeDiagnostic {
         println(f"[scored-mass] layout=$tag dirs=$dirs k=$k w=$w T=$t capture=$c%.4f " +
           f"mean_candidates_per_query=$mass%.1f budget=${Ann.KeyDimsColliderTarget * nProj}")
       }
+    }
     }
     spark.stop()
   }

@@ -364,6 +364,23 @@ class AnnSpec extends AnyFunSuite {
     assert(rec >= 0.9, f"approximate build edge recall too low: $rec%.4f")
   }
 
+  test("semantic_dedup cells: measured pair recall vs the exact eps-join is pinned") {
+    // the Voronoi partition has the same structural blind spot the
+    // approximate index build paid to discover at sf100: a near-dup
+    // pair straddling a cell boundary is silently missed, and the
+    // gate (which shares the same-cell rule with its oracle) cannot
+    // see it. The recall vs ground truth is therefore MEASURED and
+    // pinned — deterministic (pure count ratio over deterministic
+    // cells), so the pin is exact. Low absolute value is the honest
+    // number: production SemDeDup has the identical cluster-scoped
+    // semantics, and the spread-fixture numbers (0.04 at sp30k) are
+    // recorded in SCALING_SF10.md.
+    val r = graft.operators.Similarity.semanticPairRecall(spark, d)
+    info(f"semantic_dedup pair recall vs exact eps-join = $r%.4f")
+    assert(math.abs(r - 2.0 / 7.0) < 1e-9,
+      f"sf0.001 semantic pair recall moved from its pinned 2/7: $r%.6f")
+  }
+
   test("measuredKeyDims: the occupancy-measured key width") {
     // A corpus of IDENTICAL vectors puts the whole corpus in one
     // bucket per rotated key, so the measured collider mass is

@@ -61,6 +61,13 @@ def main():
     con.sql(f"SET threads={int(thr)}")
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
+        # partial fixtures (FixtureGen --tables, e.g. the embeddings-only
+        # scale rungs) lack most tables: skip the view, so adjudicating
+        # queries that never touch the absent tables still works
+        if not os.path.exists(src):
+            print(f"note: {t} absent in {sf_dir}; queries using it will error",
+                  file=sys.stderr)
+            continue
         # repo-generated fixtures (FixtureGen) are Spark part-file
         # DIRECTORIES; driver fixtures are single files — glob the dir
         if os.path.isdir(src):

@@ -381,6 +381,31 @@ class AnnSpec extends AnyFunSuite {
       f"sf0.001 semantic pair recall moved from its pinned 2/7: $r%.6f")
   }
 
+  test("scored probes: home bucket first, count contract, capture monotone in T") {
+    import graft.operators.Ann
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val keys = Ann.disjointKeys(3, 4)
+    val T = 6
+    val probes = Ann.scoredProbeRows(e, Nil, keys, 0.4, T)
+    // nKeys·T probe rows per node, deterministic across invocations
+    assert(probes.count() === n * keys.size * T)
+    assert(Ann.scoredProbeRows(e, Nil, keys, 0.4, T).collect().toSet ===
+      probes.collect().toSet)
+    // the zero-score home subset ranks first: every exact key row is
+    // among the probes at any T >= 1
+    val homes = Ann.scoredExactKeyRows(e, Nil, keys, 0.4)
+    val one = Ann.scoredProbeRows(e, Nil, keys, 0.4, 1)
+    assert(homes.exceptAll(one).count() === 0L)
+    // capture is monotone non-decreasing in T
+    val pairs = e.select(col("vec_id").as("src"))
+      .crossJoin(e.select(col("vec_id").as("dst")))
+      .filter(col("src") < col("dst")).limit(200)
+    val curve = Ann.scoredCaptureCurve(e, pairs, keys, 0.4, Seq(1, 4, 16))
+    assert(curve.sliding(2).forall(p => p(0) <= p(1) + 1e-12),
+      s"capture curve not monotone: $curve")
+  }
+
   test("measuredKeyDims: the occupancy-measured key width") {
     // A corpus of IDENTICAL vectors puts the whole corpus in one
     // bucket per rotated key, so the measured collider mass is

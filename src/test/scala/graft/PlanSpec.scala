@@ -238,6 +238,19 @@ class PlanSpec extends AnyFunSuite {
       s"pair counting lost its map-side combine:\n$pb")
   }
 
+  test("substring_dedup: hash-agg on shingle hash, no cartesian, no text past the hash") {
+    val p = plan(TextOps.substringDedup(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair enumeration is back")
+    // the scale contract: duplicate detection is one hash aggregation
+    // keyed by the int64 shingle hash, reached by a semi-join — and
+    // every exchange carries (doc_id, pos, sh) slim rows, never the
+    // document text (the hash happens before the first shuffle)
+    assert(p.contains("LeftSemi"), s"semi-join verdict missing:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"document text crosses a shuffle:\n$exchanges")
+  }
+
   test("training_manifest: the mix diamond is materialized, not planned twice") {
     // srcOff aggregates the same mix the manifest joins back to;
     // without the localCheckpoint Catalyst plans the whole mix subplan

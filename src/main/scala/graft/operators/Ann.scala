@@ -630,12 +630,14 @@ object Ann {
         }
     val nCap = keyBudget(m1)
     var nKeys = math.min(nCap, math.max(4, nk0))
-    var cMeasured = 1.0 - math.pow(1.0 - c1, nKeys)
+    var cMeasured = 0.0
+    var lastMeasuredKeys = -1
     var iter = 0
     var done = false
     while (!done && iter < 3) {
       cMeasured = scoredCaptureAfterCap(e, exactPairs,
         disjointKeys(nKeys, k), w, t, cap)
+      lastMeasuredKeys = nKeys
       System.err.println(f"[scored-choose] verify nKeys=$nKeys k=$k w=$w " +
         f"T=$t measured_capture=$cMeasured%.4f floor=$CaptureFloor " +
         f"mass_ceiling_keys=$nCap")
@@ -646,6 +648,15 @@ object Ann {
         if (next <= nKeys) done = true else nKeys = next
       }
       iter += 1
+    }
+    // the loop can exit having GROWN nKeys past its last measurement
+    // (iteration budget); the contract is that the SHIPPED key count's
+    // capture was measured, so measure once more in that case
+    if (nKeys != lastMeasuredKeys) {
+      cMeasured = scoredCaptureAfterCap(e, exactPairs,
+        disjointKeys(nKeys, k), w, t, cap)
+      System.err.println(f"[scored-choose] verify nKeys=$nKeys k=$k w=$w " +
+        f"T=$t measured_capture=$cMeasured%.4f floor=$CaptureFloor (final)")
     }
     if (cMeasured < CaptureFloor)
       System.err.println(f"[scored-choose] WARNING: measured capture " +
@@ -671,29 +682,52 @@ object Ann {
   private[graft] def captureSampleStride(cnt: Long): Long =
     math.max(1L, cnt / 2048L)
 
-  /** Stride-sampled exact top-`m` ground truth: one broadcast of the
-    * ≤ 2048-row sample against a single corpus scan, reduced map-side
-    * by the build's own bounded heap ([[TopMEdges]], (dist, id) ties)
-    * — the [[graft.tools.EdgeRecallSampled]] exact stage, run INSIDE
-    * the build (~2 min of the 157-min 2M-vector build). Returns the
-    * (src, dst) pair table, eagerly checkpointed (≤ 2048·m rows). */
+  /** Stride-sampled exact top-`m` ground truth at the build's derived
+    * stride ([[captureSampleStride]]). See [[sampledExactPairsAt]]. */
   private[graft] def sampledExactPairs(e: DataFrame, cnt: Long,
+      m: Int): DataFrame =
+    sampledExactPairsAt(e, captureSampleStride(cnt), m)
+
+  /** Stride-sampled exact top-`m` ground truth: one broadcast of the
+    * sample against a single corpus scan, reduced map-side by the
+    * build's own bounded heap ([[TopMEdges]], (dist, id) ties) —
+    * THE exact stage, shared by the build's capture guard,
+    * `index_stats`, and the recall tools (EdgeRecallSampled,
+    * KeyCaptureDiagnostic, ScoredProbeDiagnostic), so its load-bearing
+    * shape — tie order, the scoped ObjectHashAggregate fallback raise
+    * (the 128-key default would silently demote the typed aggregate
+    * to a sort of the whole |S|·n candidate stream), the spread
+    * repartition against big parquet row-groups — lives in exactly
+    * one place. Returns the (src, dst, dist) pair table, eagerly
+    * checkpointed (≤ |S|·m rows); the conf raise is restored before
+    * returning. */
+  private[graft] def sampledExactPairsAt(e: DataFrame, stride: Long,
       m: Int): DataFrame = {
-    val stride = captureSampleStride(cnt)
-    val sample = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("qsrc"), col("embedding").as("sv"))
-    val top = SqlBridge.column(TopMEdges(
-      SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
-      .toAggregateExpression())
-    e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(sample))
-      .filter(col("vec_id") =!= col("qsrc"))
-      .select(col("qsrc").as("src"), col("vec_id").as("dst"),
-        squaredL2(col("embedding"), col("sv")).as("dist"))
-      .groupBy(col("src")).agg(top.as("top"))
-      .select(col("src"), explode(col("top")).as("te"))
-      .select(col("src"), col("te.dst").as("dst"))
-      .localCheckpoint(true)
+    val s = e.sparkSession
+    val thresholdKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = s.conf.getOption(thresholdKey)
+    s.conf.set(thresholdKey, "65536")
+    try {
+      val sample = e.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("qsrc"), col("embedding").as("sv"))
+      val top = SqlBridge.column(TopMEdges(
+        SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
+        .toAggregateExpression())
+      e.select(col("vec_id"), col("embedding"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(sample))
+        .filter(col("vec_id") =!= col("qsrc"))
+        .select(col("qsrc").as("src"), col("vec_id").as("dst"),
+          squaredL2(col("embedding"), col("sv")).as("dist"))
+        .groupBy(col("src")).agg(top.as("top"))
+        .select(col("src"), explode(col("top")).as("te"))
+        .select(col("src"), col("te.dst").as("dst"), col("te.dist").as("dist"))
+        .localCheckpoint(true)
+    } finally prev match {
+      case Some(v) => s.conf.set(thresholdKey, v)
+      case None    => s.conf.unset(thresholdKey)
+    }
   }
 
   /** The measured capture of key configuration (keyDims, w, probe) on
@@ -1011,18 +1045,24 @@ object Ann {
     val k = keys.head.size
     val keyCols = "proj_id" +: (0 until k).map(scoredBucketCol)
     val wb = Window.partitionBy(keyCols.map(col): _*).orderBy(col("vec_id"))
-    val occ = scoredExactKeyRows(e, Seq("embedding", "level"), keys, w)
+    // BOTH sides stay slim through their exchanges — the occupant
+    // stream explodes keys.size (up to MaxScoredKeys = 64) rows per
+    // node through the cap window's shuffle, and 64 copies of a 512 B
+    // embedding per node is the exact fat-explode trap the grid path
+    // measured at ~130 GB (its 27× probe case); payloads re-attach
+    // map-side via `attach` after the join, like every other
+    // candidate stream in this build.
+    val occ = scoredExactKeyRows(e, Seq("level"), keys, w)
       .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
       .drop("rn")
     val probes = scoredProbeRows(e, Seq("level"), keys, w, T)
     val keyEq = keyCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
-    val scoredPairs = attach(
+    val scoredPairs = attach(attach(
       occ.as("l").join(probes.as("r"),
           keyEq && col("l.vec_id") =!= col("r.vec_id"))
-        .select(col("l.vec_id").as("src"), col("l.embedding").as("lv"),
-          col("r.vec_id").as("dst"),
+        .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"),
           least(col("l.level"), col("r.level"), lit(MaxLevel)).as("minl")),
-      "dst", "rv")
+      "src", "lv"), "dst", "rv")
       .select(col("src"), col("dst"),
         squaredL2(col("lv"), col("rv")).as("dist"), col("minl"))
     // SYMMETRIZE: closer-side probe sequences are one-directional —

@@ -196,6 +196,10 @@ object Knn {
     val edges = base
       .join(base.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
       .localCheckpoint()
+    // base is dead once the od-joined table materializes (the line
+    // above is an EAGER checkpoint) — free its blocks instead of
+    // leaking an E-sized table per centrality call
+    Ann.freeBuildState(base)
     var pr = ids.select(col("id"), lit(Scale / n).as("pr"))
     (1 to iters).foreach { _ =>
       val contrib = edges.join(pr, edges("src") === pr("id"))

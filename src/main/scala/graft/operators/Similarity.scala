@@ -406,7 +406,11 @@ object Similarity {
       // materialize the final assignment BEFORE freeing its lineage
       // inputs (localCheckpoint truncates lineage, so an unpersisted
       // base cannot be recomputed); eager at L > 2 is what the
-      // checkpoint already bought — one corpus-sized table either way
+      // checkpoint already bought — one corpus-sized table either
+      // way. The RETURNED state is caller-owned: it is the operator's
+      // deliverable (the assignment every downstream phase reads), so
+      // callers reuse it directly rather than re-checkpointing, and a
+      // session that is done with it frees it via Ann.freeBuildState.
       val out = cur.localCheckpoint(true)
       bases.foreach(Ann.freeBuildState)
       out
@@ -458,8 +462,14 @@ object Similarity {
     // two-level assignment twice (measured: 4 nested-loop broadcasts
     // instead of 2). Corpus-sized but map-computed state — exactly
     // what a production SemDeDup persists between its cluster and
-    // dedup phases anyway.
-    val assign = semanticCells(s, d, cellSize).localCheckpoint()
+    // dedup phases anyway. At L > 2 semanticCells already RETURNS
+    // eagerly-materialized state (it must, to free its per-level
+    // checkpoints), so checkpointing again would hold a second
+    // corpus-sized copy for nothing.
+    val cellsDf = semanticCells(s, d, cellSize)
+    val assign =
+      if (semanticLevels(Tables.embeddings(s, d).count(), cellSize) > 2) cellsDf
+      else cellsDf.localCheckpoint()
     val a = assign.select(col("cell"), col("vec_id").as("src"), col("embedding").as("sv"))
     val b = assign.select(col("cell"), col("vec_id").as("dst"), col("embedding").as("dv"))
     a.join(b, "cell")

@@ -1420,10 +1420,11 @@ object TextOps {
     "substring_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
          |           WHERE len(string_split(text, ' ')) >= 5),
+         |tp AS (SELECT doc_id, toks,
+         |         unnest(generate_series(1, len(toks) - 4)) AS i FROM t),
          |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
          |        ${duckHash60.format("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS sh
-         |      FROM t, (SELECT unnest(generate_series(1, 4096)) AS i) g
-         |      WHERE i <= len(toks) - 4),
+         |      FROM tp),
          |dup AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd FROM p GROUP BY sh)
          |        WHERE nd >= 2),
          |m AS (SELECT doc_id, pos FROM p WHERE sh IN (SELECT sh FROM dup)),

@@ -52,34 +52,14 @@ object EdgeRecallSampled {
     val e = graft.Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))
     val sample = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("src"), col("embedding").as("sv"))
-    // exact top-m for the sampled sources: broadcast the sample, scan
-    // the corpus once — |S|·n distance evaluations, reduced to |S|·m
-    // rows map-side by the build's own bounded heap (see header)
-    // scoped raise (save/restore around the exact stage, as
-    // hnswEdgesApprox does): any later in-session aggregate with
-    // KB-sized buffers must see its own conf, not this tool's raise
-    val thresholdKey =
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val prevThreshold = spark.conf.getOption(thresholdKey)
-    spark.conf.set(thresholdKey, "65536")
-    val top = SqlBridge.column(TopMEdges(
-      SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
-      .toAggregateExpression())
-    val exact = try {
-      e.repartition(spark.sparkContext.defaultParallelism)
-        .crossJoin(broadcast(sample))
-        .filter(col("vec_id") =!= col("src"))
-        .select(col("src"), col("vec_id").as("dst"),
-          graft.functions.VectorFunctions.squaredL2(col("embedding"), col("sv")).as("dist"))
-        .groupBy(col("src")).agg(top.as("top"))
-        .select(col("src"), explode(col("top")).as("e"))
-        .select(col("src"), col("e.dst").as("dst"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    } finally prevThreshold match {
-      case Some(v) => spark.conf.set(thresholdKey, v)
-      case None    => spark.conf.unset(thresholdKey)
-    }
+      .select(col("vec_id").as("src"))
+    // exact top-m for the sampled sources — the BUILD's own shared
+    // exact stage (Ann.sampledExactPairsAt: broadcast-sample × corpus
+    // scan, map-side bounded heap, scoped fallback-threshold raise)
+    val exactPairs = Ann.sampledExactPairsAt(e, stride, m)
+    val exact = exactPairs.select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Ann.freeBuildState(exactPairs)
 
     val t0 = System.nanoTime()
     val approx = Ann.hnswEdgesApprox(spark, d, m = m, refine = refine)

@@ -65,31 +65,13 @@ object KeyCaptureDiagnostic {
 
     val e = graft.Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))
-    val sample = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("src"), col("embedding").as("sv"))
-    // scoped raise (save/restore, as hnswEdgesApprox does): later
-    // in-session aggregates must see their own conf, not this raise
-    val thresholdKey =
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val prevThreshold = spark.conf.getOption(thresholdKey)
-    spark.conf.set(thresholdKey, "65536")
-    val top = SqlBridge.column(TopMEdges(
-      SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
-      .toAggregateExpression())
-    val exact = try {
-      e.repartition(spark.sparkContext.defaultParallelism)
-        .crossJoin(broadcast(sample))
-        .filter(col("vec_id") =!= col("src"))
-        .select(col("src"), col("vec_id").as("dst"),
-          squaredL2(col("embedding"), col("sv")).as("dist"))
-        .groupBy(col("src")).agg(top.as("top"))
-        .select(col("src"), explode(col("top")).as("e"))
-        .select(col("src"), col("e.dst").as("dst"), col("e.dist").as("dist"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    } finally prevThreshold match {
-      case Some(v) => spark.conf.set(thresholdKey, v)
-      case None    => spark.conf.unset(thresholdKey)
-    }
+    // exact top-m for the sampled sources — the BUILD's own shared
+    // exact stage (Ann.sampledExactPairsAt: broadcast-sample × corpus
+    // scan, map-side bounded heap, scoped fallback-threshold raise)
+    val exactPairs = graft.operators.Ann.sampledExactPairsAt(e, stride, m)
+    val exact = exactPairs
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.operators.Ann.freeBuildState(exactPairs)
     // the neighbor-distance scale the bucket width must track: a pair
     // at squared distance D has per-projection |Δdot| ~ sqrt(D/3)
     // (uniform ±1 projection components), so capture per component is

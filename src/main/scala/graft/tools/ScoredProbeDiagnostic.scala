@@ -61,36 +61,10 @@ object ScoredProbeDiagnostic {
     val cnt = e.count()
     val nProj = 8
     val cap = 1024
-    // exact ground truth: same stage as EdgeRecallSampled, via the
-    // build's own sampled-exact helper (stride from the arg, not the
-    // build's derived one, so the sample matches the recall tools)
-    val exact = {
-      val thresholdKey =
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-      val prev = spark.conf.getOption(thresholdKey)
-      spark.conf.set(thresholdKey, "65536")
-      try {
-        import graft.functions.expressions.TopMEdges
-        import org.apache.spark.sql.graftbridge.SqlBridge
-        val sample = e.filter(col("vec_id") % stride === 0)
-          .select(col("vec_id").as("qsrc"), col("embedding").as("sv"))
-        val top = SqlBridge.column(TopMEdges(
-          SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
-          .toAggregateExpression())
-        e.repartition(spark.sparkContext.defaultParallelism)
-          .crossJoin(broadcast(sample))
-          .filter(col("vec_id") =!= col("qsrc"))
-          .select(col("qsrc").as("src"), col("vec_id").as("dst"),
-            graft.functions.VectorFunctions.squaredL2(col("embedding"), col("sv")).as("dist"))
-          .groupBy(col("src")).agg(top.as("top"))
-          .select(col("src"), explode(col("top")).as("te"))
-          .select(col("src"), col("te.dst").as("dst"))
-          .localCheckpoint(true)
-      } finally prev match {
-        case Some(v) => spark.conf.set(thresholdKey, v)
-        case None    => spark.conf.unset(thresholdKey)
-      }
-    }
+    // exact ground truth — the BUILD's own shared exact stage
+    // (stride from the arg, not the build's derived one, so the
+    // sample matches the other recall tools)
+    val exact = Ann.sampledExactPairsAt(e, stride, m)
     val nPairs = exact.count()
     println(s"[scored-probe] d=$d n=$cnt sampled_pairs=$nPairs m=$m")
 

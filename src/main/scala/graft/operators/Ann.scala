@@ -613,7 +613,7 @@ object Ann {
       (k, w, t, c1, m1, nk)
     }
     def keyBudget(m1: Double): Int =
-      math.max(2, math.min(MaxScoredKeys, (massCeiling / m1).toInt))
+      math.max(1, math.min(MaxScoredKeys, (massCeiling / m1).toInt))
     val feasible = measured.filter { case (_, _, _, _, m1, nk) =>
       nk <= keyBudget(m1)
     }

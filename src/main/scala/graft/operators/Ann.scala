@@ -588,17 +588,25 @@ object Ann {
     *     until the floor is met, growth stops, or [[MaxScoredKeys]]
     *     caps it. Below-floor exits are LOUD; the NND escalation
     *     guard still measures the end state either way. */
+  /** Default per-query seed-mass ceiling for the scored path: 2× the
+    * grid budget (KeyDimsColliderTarget · 8 rotated keys). Candidate
+    * mass IS build time (mass · n scored pairs through the map-side
+    * TopM reduction), so the ceiling is the conscious price bound for
+    * low-contrast geometry — and an OPERATOR KNOB: the measured
+    * recall-vs-ceiling law on uniform spread data (SCALING_SF10.md
+    * §6.5: floor at 8.5k/query @ 30k rows, needs ~46k @ 200k, ~237k
+    * @ 2M) means a cluster operator who wants the floor at a given
+    * scale raises the ceiling and pays linearly. */
+  private[graft] val DefaultScoredMassCeiling: Long =
+    2L * KeyDimsColliderTarget * 8
+
   private[graft] def chooseScoredConfig(e: DataFrame, exactPairs: DataFrame,
-      cap: Int, stride: Long): (Seq[Seq[Int]], Double, Int) = {
-    // Per-query seed-mass ceiling: 2× the grid budget
-    // (KeyDimsColliderTarget · 8 rotated keys). Candidate mass IS
-    // build time (mass · n scored pairs through the map-side TopM
-    // reduction), so the ceiling is the conscious price bound for
-    // low-contrast geometry; a corpus where the floor costs more than
-    // the ceiling gets the best capture the ceiling buys plus a LOUD
-    // warning and the guard's measured end state — never a silent
-    // day-long build.
-    val massCeiling = 2.0 * KeyDimsColliderTarget * 8
+      cap: Int, stride: Long,
+      massCeilingPerQuery: Long = DefaultScoredMassCeiling): (Seq[Seq[Int]], Double, Int) = {
+    // a corpus where the floor costs more than the ceiling gets the
+    // best capture the ceiling buys plus a LOUD warning and the
+    // guard's measured end state — never a silent day-long build
+    val massCeiling = massCeilingPerQuery.toDouble
     def neededKeys(c1: Double): Int =
       if (c1 <= 0.005) Int.MaxValue
       else math.ceil(math.log(1.0 - CaptureFloor) / math.log(1.0 - c1)).toInt
@@ -1086,7 +1094,8 @@ object Ann {
 
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
       nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
-      cap: Int = 1024, refine: Int = 2): DataFrame = {
+      cap: Int = 1024, refine: Int = 2,
+      scoredMassCeiling: Long = DefaultScoredMassCeiling): DataFrame = {
     // TopMEdges plans as ObjectHashAggregate, whose sort-based
     // fallback triggers after 128 DISTINCT KEYS per task (a default
     // tuned for sketch-sized buffers like percentile_approx) — this
@@ -1128,7 +1137,8 @@ object Ann {
     val track = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
       val edges =
-        hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine, track)
+        hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine, track,
+          scoredMassCeiling = scoredMassCeiling)
       approxFinalRank(edges.localCheckpoint(true))
     } finally {
       prevThreshold match {
@@ -1180,7 +1190,8 @@ object Ann {
   private def hnswEdgesApproxPlan(s: SparkSession, d: String, m: Int,
       nProj: Int, w: Double, probe: Int, cap: Int, refine: Int,
       track: scala.collection.mutable.Buffer[DataFrame],
-      audit: Boolean = false): DataFrame = {
+      audit: Boolean = false,
+      scoredMassCeiling: Long = DefaultScoredMassCeiling): DataFrame = {
     val e = Tables.embeddings(s, d)
       .withColumn("level", expr(levelExpr))
       .select(col("vec_id"), col("embedding"), col("level"))
@@ -1358,7 +1369,8 @@ object Ann {
         if (cap0 >= CaptureFloor) (Some(exact), cap0, scored)
         else {
           val (skeys, sw, st) =
-            chooseScoredConfig(e, exact, cap, captureSampleStride(cnt))
+            chooseScoredConfig(e, exact, cap, captureSampleStride(cnt),
+              scoredMassCeiling)
           (Some(exact), cap0,
             scoredSeedCandidates(e, skeys, sw, st, cap, attach))
         }

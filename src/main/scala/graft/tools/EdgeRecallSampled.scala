@@ -35,6 +35,8 @@ object EdgeRecallSampled {
     val stride = args.lift(1).map(_.toInt).getOrElse(1000)
     val m = args.lift(2).map(_.toInt).getOrElse(16)
     val refine = args.lift(3).map(_.toInt).getOrElse(2)
+    val ceiling = args.lift(4).map(_.toLong)
+      .getOrElse(graft.operators.Ann.DefaultScoredMassCeiling)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-edge-recall-sampled")
@@ -62,7 +64,8 @@ object EdgeRecallSampled {
     Ann.freeBuildState(exactPairs)
 
     val t0 = System.nanoTime()
-    val approx = Ann.hnswEdgesApprox(spark, d, m = m, refine = refine)
+    val approx = Ann.hnswEdgesApprox(spark, d, m = m, refine = refine,
+        scoredMassCeiling = ceiling)
       .filter(col("level") === 0)
       .join(broadcast(sample.select(col("src"))), Seq("src"), "left_semi")
       .select(col("src"), col("dst"))

@@ -7,6 +7,8 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.TopMEdges
+import org.apache.spark.sql.graftbridge.SqlBridge
 
 /** Similarity / classification / dedup operators over the vector corpus.
   *
@@ -480,6 +482,173 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Multi-probe variant of [[semanticCells]]: every vector carries its
+    * top-`p` nearest cells (rnk 1..p under the (dist, id) order) at
+    * each level of the stride-seeded descent, while SEED (occupant)
+    * membership stays primary-cell-only (rnk = 1) — the IVF-multiprobe
+    * convention, so cells still partition the corpus and candidate
+    * mass grows by exactly the probe factor, never quadratically.
+    *
+    * This is [[semanticDedup]]'s answer to the boundary blind spot the
+    * approximate index build paid to discover at sf100 (SCALING_SF10.md
+    * §6.4): a near-dup pair straddling a Voronoi boundary is invisible
+    * to the same-cell rule, and on low-contrast geometry almost ALL
+    * ε-pairs straddle (measured 0.04 pair recall at sp30k). Probing a
+    * second-choice cell makes a straddling pair visible whenever either
+    * endpoint's probe list reaches the other's home cell.
+    *
+    * Each per-level top-p is a [[TopMEdges]] bounded-heap aggregate —
+    * map-side partial, so the corpus shuffles once per level as
+    * 1-row-per-vector heap partials, never the crossed candidates (the
+    * argmin-shape contract of the single-probe descent, kept). p = 1
+    * reduces bit-identically to [[semanticCells]]'s assignment (same
+    * (dist, id) tie order), which AnnSpec pins.
+    *
+    * Returns (vec_id, embedding, cell, rnk), eagerly materialized
+    * (the TypedImperativeAggregate needs its scoped
+    * ObjectHashAggregate fallback raise live at EXECUTION time, so the
+    * materialization happens inside the conf scope; the state is
+    * caller-owned — free via [[Ann.freeBuildState]]). */
+  private[graft] def semanticCellsProbe(s: SparkSession, d: String,
+      cellSize: Int, p: Int): DataFrame = {
+    // TopMEdges heaps are p entries (~32 B) but the default 128-group
+    // fallback would sort-demote every corpus-sized per-vector argmin;
+    // scoped raise, restored after the eager materialization below.
+    val thresholdKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = s.conf.getOption(thresholdKey)
+    s.conf.set(thresholdKey, "65536")
+    try {
+      // per-level checkpoints at L > 2 only, freed after the final
+      // assignment materializes — the semanticCells treatment
+      val bases = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val out = semanticCellsProbePlan(s, d, cellSize, p, bases,
+        checkpoint = true).localCheckpoint(true)
+      bases.foreach(Ann.freeBuildState)
+      out
+    } finally prev match {
+      case Some(v) => s.conf.set(thresholdKey, v)
+      case None    => s.conf.unset(thresholdKey)
+    }
+  }
+
+  /** The identical assignment lineage [[semanticCellsProbe]] executes,
+    * returned LAZILY — no conf mutation, no checkpoint — so PlanSpec
+    * can audit every stage a scale regression could land in (the
+    * [[Ann.hnswEdgesApproxForAudit]] treatment). */
+  private[graft] def semanticCellsProbeForAudit(s: SparkSession, d: String,
+      cellSize: Int = 64, p: Int = 2): DataFrame =
+    semanticCellsProbePlan(s, d, cellSize, p,
+      scala.collection.mutable.ListBuffer.empty[DataFrame],
+      checkpoint = false)
+
+  private def semanticCellsProbePlan(s: SparkSession, d: String,
+      cellSize: Int, p: Int,
+      track: scala.collection.mutable.Buffer[DataFrame],
+      checkpoint: Boolean): DataFrame = {
+    require(p >= 1, s"probe count must be >= 1, got $p")
+    val e = Tables.embeddings(s, d)
+    val levels = semanticLevels(e.count(), cellSize)
+    val c = cellSize.toLong
+    val topStride = BigInt(c).pow(levels)
+    def topP: org.apache.spark.sql.Column = SqlBridge.column(TopMEdges(
+      SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), p)
+      .toAggregateExpression())
+    def explodeTop(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("embedding"), posexplode(col("top")))
+      .select(col("vec_id"), col("embedding"),
+        col("col.dst").as("cell"), (col("pos") + 1).cast("int").as("rnk"))
+    val coarse = e.filter(col("vec_id") % lit(topStride.toLong) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    var cur = explodeTop(e.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"),
+        col("cid").as("dst"), squaredL2(col("embedding"), col("cv")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(topP.as("top"), first(col("embedding")).as("embedding")))
+    for (l <- 1 until levels) {
+      val stride = BigInt(c).pow(levels - l).toLong
+      val base = if (checkpoint && levels > 2) {
+        val b = cur.localCheckpoint(false); track += b; b
+      } else cur
+      val seeds = base.filter(col("rnk") === 1 && col("vec_id") % stride === 0)
+        .select(col("cell").as("pcell"), col("vec_id").as("fid"),
+          col("embedding").as("fv"))
+      cur = explodeTop(base
+        .select(col("vec_id"), col("embedding"), col("cell").as("pcell"))
+        .join(seeds, "pcell")
+        .select(col("vec_id"), col("embedding"), col("fid").as("dst"),
+          squaredL2(col("embedding"), col("fv")).as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(topP.as("top"), first(col("embedding")).as("embedding")))
+    }
+    cur
+  }
+
+  /** Measured pair recall of the multi-probe partition: the fraction of
+    * true ε-pairs the [[semanticDedupProbe]] join can see — i.e. with
+    * either endpoint's probe list (rnk ≤ p) reaching the other's HOME
+    * cell (rnk = 1), the exact capture condition of the probes×occupants
+    * join. Same sampled exact ground truth as [[semanticPairRecall]];
+    * p = 1 degenerates to it exactly. */
+  private[graft] def semanticPairRecallProbe(s: SparkSession, d: String,
+      eps: Double = 1.1, cellSize: Int = 64, stride: Long = 1L,
+      p: Int = 2): Double = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val sample = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val truePairs = e.crossJoin(broadcast(sample))
+      .filter(col("vec_id") =!= col("qid") &&
+        squaredL2(col("embedding"), col("qv")) < eps)
+      .select(least(col("vec_id"), col("qid")).as("a"),
+        greatest(col("vec_id"), col("qid")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val cells = semanticCellsProbe(s, d, cellSize, p)
+    try {
+      val total = truePairs.count()
+      if (total == 0L) 1.0
+      else {
+        val pa = cells.select(col("vec_id").as("a"), col("cell").as("ca"),
+          col("rnk").as("ra"))
+        val pb = cells.select(col("vec_id").as("b"), col("cell").as("cb"),
+          col("rnk").as("rb"))
+        truePairs.join(pa, "a").join(pb, "b")
+          .filter(col("ca") === col("cb") &&
+            (col("ra") === 1 || col("rb") === 1))
+          .select(col("a"), col("b")).distinct()
+          .count().toDouble / total
+      }
+    } finally { Ann.freeBuildState(truePairs); Ann.freeBuildState(cells) }
+  }
+
+  /** [[semanticDedup]] with boundary-aware multi-probe assignment:
+    * PROBE rows (every rnk ≤ p cell of each vector) join OCCUPANT rows
+    * (home cells only, rnk = 1), so a near-dup pair straddling a cell
+    * boundary is caught whenever either endpoint's probe list reaches
+    * the other's home cell — at candidate mass p·n·cellSize (still
+    * linear in the corpus; occupancy stays a partition). The verdict
+    * rule is the same keep-min-id pairwise rule: a vector is DROPPED
+    * iff some CAUGHT neighbor with a smaller id lies within ε; `dup_of`
+    * is the smallest such id. No per-pair canonical cell exists under
+    * multi-probe (a pair may be caught in either endpoint's home), so
+    * the output is (vec_id, dup_of). */
+  def semanticDedupProbe(s: SparkSession, d: String, eps: Double = 1.1,
+      cellSize: Int = 64, p: Int = 2): DataFrame = {
+    val assign = semanticCellsProbe(s, d, cellSize, p)
+    val probes = assign.select(col("cell"), col("vec_id").as("src"),
+      col("embedding").as("sv"))
+    val occ = assign.filter(col("rnk") === 1)
+      .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("dv"))
+    probes.join(occ, "cell")
+      .filter(col("src") =!= col("dst") && squaredL2(col("sv"), col("dv")) < eps)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
+      .select(col("b").as("vec_id"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_topk"      -> ((s, d) => cosineTopK(s, d)),
     "dedup_exact_vec"  -> ((s, d) => dedupExactVec(s, d)),
@@ -488,6 +657,7 @@ object Similarity {
     "kmeans_refine"    -> ((s, d) => kmeansRefine(s, d)),
     "kmeans_iter"      -> ((s, d) => kmeansIter(s, d)),
     "semantic_dedup"   -> ((s, d) => semanticDedup(s, d)),
+    "semantic_dedup_probe" -> ((s, d) => semanticDedupProbe(s, d)),
     "mips_topk"        -> ((s, d) => mipsTopK(s, d))
   )
 
@@ -599,6 +769,34 @@ object Similarity {
          |          WHERE ${sq.format("a.v", "b.v")} < 1.1)
          |SELECT dst AS vec_id, cell, min(src) AS dup_of
          |FROM pairs GROUP BY dst, cell ORDER BY vec_id""".stripMargin,
+    // multi-probe (p = 2) variant: each vector's TOP-2 coarse cells
+    // feed candidate fine seeds (seeds keep their single HOME coarse
+    // cell), each vector keeps its top-2 fine cells, and the pair join
+    // is probes (rn <= 2) x occupants (rn = 1) — both directions folded
+    // by least/greatest + DISTINCT, then the keep-min-id verdict.
+    // Mirrors semanticDedupProbe; same 2-level guard as semantic_dedup.
+    "semantic_dedup_probe" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |sguard AS (SELECT CASE WHEN count(*) > 262144
+         |         THEN CAST(error('oracle models the 2-level assignment; ' || count(*) || ' rows opens level 3 (engine semanticLevels)') AS INT)
+         |         ELSE 1 END AS ok FROM e),
+         |co AS (SELECT vec_id AS cid, v AS cv FROM e, sguard WHERE vec_id % 4096 = 0),
+         |l0 AS (SELECT e.vec_id, e.v, co.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sq.format("e.v", "co.cv")}, co.cid) AS rn
+         |       FROM e, co),
+         |vp AS (SELECT vec_id, v, cid AS ccell FROM l0 WHERE rn <= 2),
+         |fa AS (SELECT vec_id AS fid, v AS fv, cid AS pcell FROM l0
+         |       WHERE rn = 1 AND vec_id % 64 = 0),
+         |l1 AS (SELECT vp.vec_id, vp.v, fa.fid,
+         |         row_number() OVER (PARTITION BY vp.vec_id ORDER BY ${sq.format("vp.v", "fa.fv")}, fa.fid) AS rn
+         |       FROM vp JOIN fa ON vp.ccell = fa.pcell),
+         |fc AS (SELECT vec_id, v, fid AS cell, rn FROM l1 WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT least(pr.vec_id, oc.vec_id) AS a,
+         |                greatest(pr.vec_id, oc.vec_id) AS b
+         |         FROM fc pr JOIN fc oc ON pr.cell = oc.cell AND oc.rn = 1
+         |         WHERE pr.vec_id <> oc.vec_id
+         |           AND ${sq.format("pr.v", "oc.v")} < 1.1)
+         |SELECT b AS vec_id, min(a) AS dup_of FROM cand GROUP BY b ORDER BY vec_id""".stripMargin,
     "kmeans_refine" ->
       s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
          |                   CAST(unnest(embedding) AS DOUBLE) AS val

@@ -9,13 +9,19 @@ import org.apache.spark.sql.SparkSession
   * cannot see a boundary-straddling miss, so the number must come
   * from a spread (low-contrast) corpus.
   *
-  * Usage: runMain graft.tools.SemanticRecallReport [sfDir] [eps] [stride]
+  * With a 4th arg p ≥ 1, reports the MULTI-PROBE capture
+  * ([[graft.operators.Similarity.semanticPairRecallProbe]]) instead:
+  * the fraction of true ε-pairs visible to semantic_dedup_probe's
+  * probes×occupants join at that probe width.
+  *
+  * Usage: runMain graft.tools.SemanticRecallReport [sfDir] [eps] [stride] [p]
   */
 object SemanticRecallReport {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val eps = args.lift(1).map(_.toDouble).getOrElse(1.1)
     val stride = args.lift(2).map(_.toLong).getOrElse(1L)
+    val p = args.lift(3).map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-semantic-recall")
@@ -26,9 +32,14 @@ object SemanticRecallReport {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = graft.operators.Similarity.semanticPairRecall(
-      spark, d, eps = eps, stride = stride)
-    println(f"[semantic-recall] d=$d eps=$eps stride=$stride pair_recall=$r%.4f")
+    val r = p match {
+      case Some(pp) => graft.operators.Similarity.semanticPairRecallProbe(
+        spark, d, eps = eps, stride = stride, p = pp)
+      case None => graft.operators.Similarity.semanticPairRecall(
+        spark, d, eps = eps, stride = stride)
+    }
+    println(f"[semantic-recall] d=$d eps=$eps stride=$stride" +
+      p.map(pp => s" p=$pp").getOrElse("") + f" pair_recall=$r%.4f")
     spark.stop()
   }
 }

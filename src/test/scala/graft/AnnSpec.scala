@@ -381,6 +381,46 @@ class AnnSpec extends AnyFunSuite {
       f"sf0.001 semantic pair recall moved from its pinned 2/7: $r%.6f")
   }
 
+  test("semantic_dedup_probe: p=1 degenerates to semantic_dedup; p=2 capture pinned") {
+    import graft.operators.Similarity
+    // p = 1: probes == occupants == the single-probe home cells, so the
+    // pairwise verdict must equal semanticDedup's minus the cell column
+    val single = Similarity.semanticDedup(spark, d)
+      .select(col("vec_id"), col("dup_of")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = Similarity.semanticDedupProbe(spark, d, p = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == single, s"p=1 probe dedup diverged from semanticDedup")
+    // measured capture: deterministic pure count ratios, pinned exactly.
+    // p = 2 recovers 6/7 of the true eps-pairs the single-probe partition
+    // loses to cell boundaries (2/7, pinned above); p = 4 reaches 7/7.
+    val r1 = Similarity.semanticPairRecallProbe(spark, d, p = 1)
+    val r2 = Similarity.semanticPairRecallProbe(spark, d, p = 2)
+    val r4 = Similarity.semanticPairRecallProbe(spark, d, p = 4)
+    info(f"probe pair capture: p=1 $r1%.4f  p=2 $r2%.4f  p=4 $r4%.4f")
+    assert(math.abs(r1 - 2.0 / 7.0) < 1e-9, f"p=1 capture not the single-probe 2/7: $r1%.6f")
+    assert(math.abs(r2 - 6.0 / 7.0) < 1e-9, f"p=2 capture moved from its pinned 6/7: $r2%.6f")
+    assert(math.abs(r4 - 1.0) < 1e-9, f"p=4 capture moved from its pinned 7/7: $r4%.6f")
+    // every probe-caught drop is a true eps-neighbor pair (subset of the
+    // exact global eps-join) — the soundness half, mirroring the
+    // semantic_dedup subset test
+    val eps = 1.1
+    val sd = Similarity.semanticDedupProbe(spark, d).collect()
+    assert(sd.nonEmpty, "fixture yields no probe-dedup drops; test is vacuous")
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val truePairs = {
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("av"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("bv"))
+      a.crossJoin(b).filter(col("a") < col("b") &&
+          graft.functions.VectorFunctions.squaredL2(col("av"), col("bv")) < eps)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    sd.foreach { row =>
+      val (v, dup) = (row.getLong(0), row.getLong(1))
+      assert(truePairs.contains((dup, v)),
+        s"semantic_dedup_probe pair ($dup, $v) not in the exact global eps-join")
+    }
+  }
+
   test("scored probes: home bucket first, count contract, capture monotone in T") {
     import graft.operators.Ann
     val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))

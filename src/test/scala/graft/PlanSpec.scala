@@ -190,6 +190,43 @@ class PlanSpec extends AnyFunSuite {
       s"no materialized-assignment scan in semantic_dedup:\n$p")
   }
 
+  test("semantic_dedup_probe: one coarse broadcast, equi-join refine and pair stages") {
+    // the multi-probe assignment keeps the single-probe ladder's scale
+    // shape: the only nested-loop joins allowed are the two COARSE-seed
+    // broadcasts (corpus × n/cellSize^levels seeds on the probe side,
+    // seed-rows × coarse-seeds inside the seeds branch — the same
+    // diamond semanticCells pins at <= 2); every refinement level joins
+    // the running assignment to its seeds on pcell — an equi-join —
+    // and the top-p heap is a map-side TopMEdges partial, so the
+    // corpus never shuffles as crossed candidates
+    val pa = plan(Similarity.semanticCellsProbeForAudit(spark, d))
+    assert(!pa.contains("CartesianProduct"), s"cartesian in probe assignment:\n$pa")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(pa).size
+    assert(bnlj <= 2, s"a refinement level fell back to nested-loop:\n$pa")
+    assert(pa.contains("top_m_edges"),
+      s"top-p heap is not the TopMEdges aggregate:\n$pa")
+    // the seeds-branch coarse recomputation is only affordable because
+    // the stride predicate pushes below its top-p aggregate to the
+    // scan — the same contract the single-probe ladder pins
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val opt = Similarity.semanticCellsProbeForAudit(spark, d)
+      .queryExecution.optimizedPlan
+    val strideFilters = opt.collect {
+      case f: Filter if f.condition.toString.contains("% 64") => f
+    }
+    assert(strideFilters.exists(f =>
+      f.child.collect { case a: Aggregate => a }.isEmpty),
+      s"seed-stride filter stranded above the probe assignment aggregate:\n$opt")
+    // the dedup phase reads the MATERIALIZED assignment and pairs
+    // probes × occupants via a cell equi-join
+    val p = plan(Similarity.semanticDedupProbe(spark, d))
+    assert(!p.contains("CartesianProduct"), s"cartesian in semantic_dedup_probe:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair stage fell back to nested-loop:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"no materialized-assignment scan in semantic_dedup_probe:\n$p")
+  }
+
   test("semantic_dedup: the seed-stride filter pushes below the assignment argmin") {
     // the r9 ladder derives each level's seed table by FILTERING the
     // running assignment (seeds are corpus rows, so their cells are

@@ -58,7 +58,11 @@ object Bench {
     val freeEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_FREE", "1") != "0"
     def freeLeakedState(): Unit = if (freeEnabled) {
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // blocking: an async unpersist lags behind the next query's
+      // allocation burst, so the pressure it exists to drain survives
+      // it (measured: ann_sq8 9.3 s mid-run vs 2.5 s clean-JVM at sf1
+      // with the async form); the wait is outside every timed span
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // dev knob: SPARK_GRAFT_BENCH_ONLY=a,b,c times a subset (A/B runs,
     // single-query regression chases) — never set on driver/artifact runs

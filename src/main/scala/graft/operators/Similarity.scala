@@ -649,6 +649,127 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Chooser outcome of the last [[semanticDedupMeasured]] call in this
+    * JVM — observability for specs and reports (the ANN BuildDiag
+    * treatment). `capturedAtP`/`massAtP` are keyed by ladder width. */
+  final case class DedupChoice(p: Int, truePairs: Long,
+      capturedAtP: Map[Int, Long], massAtP: Map[Int, BigInt],
+      floorMet: Boolean)
+  @volatile private[graft] var lastDedupChoice: Option[DedupChoice] = None
+
+  /** [[semanticDedupProbe]] with the probe width MEASURED, not assumed —
+    * the measured-knob treatment the approximate index build got in
+    * rounds 9–10 (collider-mass key sizing, capture-guarded NND),
+    * applied to the dedup family's one blind knob.
+    *
+    * One assignment is built at the ladder maximum (top-`pMax` cells
+    * per level); because the per-vector probe lists are nested in rank,
+    * capture and candidate mass at EVERY ladder width come from that
+    * single build plus one sample-sized exact stage:
+    *
+    *   - capture(p): of the stride-sampled TRUE ε-pairs, the fraction
+    *     visible to the probes(rnk ≤ p) × occupants(rnk = 1) join —
+    *     per pair the minimal catching width is min over shared cells
+    *     of (rb where ra = 1, ra where rb = 1), so one aggregation
+    *     yields the whole capture curve;
+    *   - mass(p): Σ_cell probes_p(cell) · occ(cell), DECIMAL-exact —
+    *     the EXACT candidate-row count of the shipped join at width p
+    *     (self-pairs included; the ε filter runs inside the join).
+    *
+    * The chooser ships the smallest ladder width whose capture clears
+    * `floorNum/floorDen` (integer cross-multiplication — no float
+    * boundary ambiguity between engine and oracle) within the mass
+    * ceiling `n · massPerRow`; if no width clears the floor inside the
+    * ceiling it ships the widest affordable probe and WARNS — the
+    * refusal contract of the ANN chooser (SCALING_SF10.md §6.5–6.7:
+    * on uniform geometry the floor's price grows with n; the operator
+    * raises the ceiling or accepts measured capture). NOTE the
+    * measured quantity describes exactly the shipped join: the
+    * rnk ≤ p filter of the pMax-wide DESCENT (which explores more
+    * coarse cells than a pure width-p build, so capture-at-p here can
+    * exceed [[semanticPairRecallProbe]](p); at p = pMax they agree).
+    *
+    * Returns (vec_id, dup_of) — the keep-min-id verdicts at the chosen
+    * width. The chooser outcome lands in [[lastDedupChoice]]. */
+  def semanticDedupMeasured(s: SparkSession, d: String, eps: Double = 1.1,
+      cellSize: Int = 64, pMax: Int = 8, floorNum: Long = 9,
+      floorDen: Long = 10, massPerRow: Long = 512,
+      stride: Long = 1L): DataFrame = {
+    val ladder = Seq(1, 2, 4, 8).filter(_ <= pMax)
+    require(ladder.nonEmpty && ladder.last == pMax,
+      s"pMax must be a ladder width (1/2/4/8), got $pMax")
+    val assign = semanticCellsProbe(s, d, cellSize, pMax)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val sample = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val truePairs = e.crossJoin(broadcast(sample))
+      .filter(col("vec_id") =!= col("qid") &&
+        squaredL2(col("embedding"), col("qv")) < eps)
+      .select(least(col("vec_id"), col("qid")).as("a"),
+        greatest(col("vec_id"), col("qid")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val choice = try {
+      val total = truePairs.count()
+      // minimal catching width per true pair, then the capture curve
+      val pa = assign.select(col("vec_id").as("a"), col("cell").as("ca"),
+        col("rnk").as("ra"))
+      val pb = assign.select(col("vec_id").as("b"), col("cell").as("cb"),
+        col("rnk").as("rb"))
+      val mp = truePairs.join(pa, "a").join(pb, "b")
+        .filter(col("ca") === col("cb") &&
+          (col("ra") === 1 || col("rb") === 1))
+        .select(col("a"), col("b"),
+          least(when(col("ra") === 1, col("rb")),
+            when(col("rb") === 1, col("ra"))).as("cand_p"))
+        .groupBy(col("a"), col("b")).agg(min(col("cand_p")).as("mp"))
+      val capCols = ladder.map(p =>
+        sum(when(col("mp") <= p, 1L).otherwise(0L)).as(s"cap$p"))
+      val capRow = mp.agg(capCols.head, capCols.tail: _*).head()
+      val captured = ladder.zipWithIndex
+        .map { case (p, i) => p -> capRow.getLong(i) }.toMap
+      // exact candidate mass of the shipped join at each width
+      val perCell = assign.groupBy(col("cell")).agg(
+        sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("occ"),
+        ladder.map(p => sum(when(col("rnk") <= p, 1L).otherwise(0L))
+          .as(s"pr$p")): _*)
+      val massCols = ladder.map(p =>
+        sum(col(s"pr$p").cast(DecimalType(38, 0)) *
+          col("occ").cast(DecimalType(38, 0))).as(s"m$p"))
+      val massRow = perCell.agg(massCols.head, massCols.tail: _*).head()
+      val mass = ladder.zipWithIndex.map { case (p, i) =>
+        p -> BigInt(massRow.getDecimal(i).toBigInteger)
+      }.toMap
+      val ceiling = BigInt(n) * BigInt(massPerRow)
+      def capOk(p: Int) = captured(p) * floorDen >= total * floorNum
+      def massOk(p: Int) = mass(p) <= ceiling
+      val affordable = ladder.filter(massOk)
+      val chosen = ladder.find(p => capOk(p) && massOk(p))
+        .orElse(affordable.lastOption).getOrElse(ladder.head)
+      val met = capOk(chosen) && massOk(chosen)
+      if (!met) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semantic_dedup_measured: no ladder width reaches capture " +
+          s"$floorNum/$floorDen within mass ceiling n*$massPerRow " +
+          s"(captured=$captured of $total, mass=$mass); shipping p=$chosen " +
+          s"with measured capture ${captured(chosen)}/$total")
+      DedupChoice(chosen, total, captured, mass, met)
+    } finally Ann.freeBuildState(truePairs)
+    lastDedupChoice = Some(choice)
+    val probes = assign.filter(col("rnk") <= choice.p)
+      .select(col("cell"), col("vec_id").as("src"), col("embedding").as("sv"))
+    val occ = assign.filter(col("rnk") === 1)
+      .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("dv"))
+    probes.join(occ, "cell")
+      .filter(col("src") =!= col("dst") && squaredL2(col("sv"), col("dv")) < eps)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
+      .select(col("b").as("vec_id"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_topk"      -> ((s, d) => cosineTopK(s, d)),
     "dedup_exact_vec"  -> ((s, d) => dedupExactVec(s, d)),
@@ -658,6 +779,7 @@ object Similarity {
     "kmeans_iter"      -> ((s, d) => kmeansIter(s, d)),
     "semantic_dedup"   -> ((s, d) => semanticDedup(s, d)),
     "semantic_dedup_probe" -> ((s, d) => semanticDedupProbe(s, d)),
+    "semantic_dedup_measured" -> ((s, d) => semanticDedupMeasured(s, d)),
     "mips_topk"        -> ((s, d) => mipsTopK(s, d))
   )
 

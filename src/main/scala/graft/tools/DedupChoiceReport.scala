@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints [[graft.operators.Similarity.semanticDedupMeasured]]'s
+  * chooser outcome — the measured capture curve, exact candidate
+  * masses, the chosen probe width, and whether the floor was met —
+  * plus the verdict row count at the chosen width.
+  *
+  * Usage: runMain graft.tools.DedupChoiceReport [sfDir] [eps] [stride]
+  */
+object DedupChoiceReport {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val eps = args.lift(1).map(_.toDouble).getOrElse(1.1)
+    val stride = args.lift(2).map(_.toLong).getOrElse(1L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-dedup-choice")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = graft.operators.Similarity
+      .semanticDedupMeasured(spark, d, eps = eps, stride = stride).count()
+    val c = graft.operators.Similarity.lastDedupChoice.get
+    println(s"[dedup-choice] d=$d eps=$eps stride=$stride chosen_p=${c.p} " +
+      s"floor_met=${c.floorMet} true_pairs=${c.truePairs} " +
+      s"captured=${c.capturedAtP.toSeq.sortBy(_._1)} " +
+      s"mass=${c.massAtP.toSeq.sortBy(_._1)} verdict_rows=$rows")
+    spark.stop()
+  }
+}

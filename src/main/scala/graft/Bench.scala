@@ -81,22 +81,31 @@ object Bench {
     // distinguish a plan regression from loadavg (r1→r2 swings of 100×
     // with identical code). The min is the least-noisy estimator of
     // the plan's intrinsic cost.
+    // A failing rep must NOT masquerade as a fast one (its wall time is
+    // the time-to-throw, often ms): record the failure, keep the rep's
+    // time out of the min, and surface failed names in the JSON.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = timedQueries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9)
+        } catch { case t: Throwable =>
+          failed.getOrElseUpdate(name, t.toString.take(200))
+          System.err.println(s"[bench] FAILED $name: ${t.toString.take(500)}")
+          None
+        }
       }
       freeLeakedState() // between queries, never between reps
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     // 4-decimal seconds: the driver keeps only the TAIL of an overlong
     // output line, so compact numbers keep more per-query rows visible
     // in its artifact (full precision buys nothing at ±ms host noise)
     val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries carry -1.0 sentinels; keep them out of the total
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // Reference-comparable workload at the baseline's own scale
     // (100k×128-dim, 10k queries, k=10 — BASELINE.md). Warm once at
@@ -137,8 +146,12 @@ object Bench {
 
     val baselineJson =
       f"""{"n":${BaselineWorkload.N},"dim":${BaselineWorkload.DIM},"q":${BaselineWorkload.Q},"k":${BaselineWorkload.K},"element_type":"f32","search_mode":"exact","simd":${VectorKernel.simdEnabled},"recall_at_10":1.0,"build_sec":$buildSec%.4f,"search_sec":$searchSec%.4f,"insert_points_per_sec":$insertRate%.1f,"search_queries_per_sec":$searchRate%.1f,"reference_insert_points_per_sec":8392.22,"reference_search_queries_per_sec":2678.13,"reference_search_mode":"approximate (recall unmeasured)"}"""
+    val failedJson = failed.map { case (k, v) =>
+      s""""$k":${com.fasterxml.jackson.databind.json.JsonMapper.builder()
+        .build().writeValueAsString(v)}"""
+    }.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_workload":$baselineJson,"baseline_sweep":$sweepJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","baseline_workload":$baselineJson,"baseline_sweep":$sweepJson}"""
     // Full per-query + sweep detail → file (a committable artifact the
     // round history can ingest even when the driver's capture window
     // can't hold it); path echoed on stderr.
@@ -159,7 +172,8 @@ object Bench {
     val restSec = bySec.drop(20).map(_._2).sum
     val qsTop = top.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsTop,"queries_omitted":${bySec.size - top.size},"omitted_sec":$restSec%.3f,"sf":"$sfDir","baseline_workload":$baselineJson,"full_json":"$outPath"}""")
+    val failedNames = failed.keys.map(k => s""""$k"""").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsTop,"queries_omitted":${bySec.size - top.size},"omitted_sec":$restSec%.3f,"failed":$failedNames,"sf":"$sfDir","baseline_workload":$baselineJson,"full_json":"$outPath"}""")
     spark.stop()
   }
 }

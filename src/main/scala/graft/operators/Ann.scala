@@ -696,6 +696,54 @@ object Ann {
       m: Int): DataFrame =
     sampledExactPairsAt(e, captureSampleStride(cnt), m)
 
+  /** Session-scoped memo of the sampled-exact ground-truth stage, keyed
+    * by (session, corpus content fingerprint, stride, m) — the
+    * [[upperGraph]]/ensure* treatment applied to the measurement stage
+    * the capture guard, `index_stats`, and repeated builds all share
+    * (measured 3.3 s at sf1 inside `index_stats` alone; a session that
+    * builds then reports was paying it twice).
+    *
+    * Entries are CACHE-OWNED: callers must NOT [[freeBuildState]] them.
+    * External freeing is legal and detected — Bench unpersists every
+    * persistent RDD between queries, which truncates a localCheckpoint
+    * irrecoverably — via the checkpointed RDD's storage level; a dead
+    * entry is rebuilt, never served. Bounded at [[MaxExactPairsEntries]]
+    * (each entry is ≤ ~2048·m rows — sample-sized, not corpus-sized). */
+  private val exactPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] val MaxExactPairsEntries = 8
+
+  private def checkpointLive(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => false
+    }
+
+  private[graft] def sampledExactPairsCached(s: SparkSession, d: String,
+      e: DataFrame, stride: Long, m: Int): DataFrame = {
+    val key =
+      s"${System.identityHashCode(s)}|${storePath(d, "exactpairs")}|$stride|$m"
+    val hit = exactPairsCache.get(key)
+    if (hit != null && checkpointLive(hit)) hit
+    else {
+      val fresh = sampledExactPairsAt(e, stride, m)
+      if (exactPairsCache.size >= MaxExactPairsEntries) {
+        // drop externally-freed entries first; if genuinely full, free
+        // and drop everything — correctness never depends on a hit
+        exactPairsCache.entrySet().removeIf(
+          (en: java.util.Map.Entry[String, DataFrame]) =>
+            !checkpointLive(en.getValue))
+        if (exactPairsCache.size >= MaxExactPairsEntries) {
+          exactPairsCache.values().forEach((v: DataFrame) => freeBuildState(v))
+          exactPairsCache.clear()
+        }
+      }
+      exactPairsCache.put(key, fresh)
+      fresh
+    }
+  }
+
   /** Stride-sampled exact top-`m` ground truth: one broadcast of the
     * sample against a single corpus scan, reduced map-side by the
     * build's own bounded heap ([[TopMEdges]], (dist, id) ties) —
@@ -1363,8 +1411,10 @@ object Ann {
     val (exactOpt, capture, seedScored) =
       if (audit) (None, 1.0, scored)
       else {
-        val exact = sampledExactPairs(e, cnt, m)
-        track += exact
+        // memoized (cache-owned — NOT tracked for build-end freeing):
+        // repeated builds and index_stats share one materialization
+        val exact = sampledExactPairsCached(s, d, e,
+          captureSampleStride(cnt), m)
         val cap0 = measuredCapture(e, exact, keyDims, nProj, w, probe)
         if (cap0 >= CaptureFloor) (Some(exact), cap0, scored)
         else {
@@ -1695,10 +1745,11 @@ object Ann {
     val e2 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cnt = e2.count()
     val keyDims = measuredKeyDims(e2, cnt, nProj, w)
-    val exact = sampledExactPairs(e2, cnt, m)
-    val capture =
-      try measuredCapture(e2, exact, keyDims, nProj, w, probe)
-      finally freeBuildState(exact)
+    // memoized (cache-owned, no freeing here): a session that already
+    // built the approx index reuses its ground-truth materialization
+    val exact = sampledExactPairsCached(s, d, e2,
+      captureSampleStride(cnt), m)
+    val capture = measuredCapture(e2, exact, keyDims, nProj, w, probe)
     val rounds: Column =
       if (capture >= CaptureFloor) lit(2L) else lit(null).cast("long")
     val edges = coalesce(col("n_edges"), lit(0L))
@@ -2022,13 +2073,27 @@ object Ann {
     * the level-census statistics so the collected footprint stays
     * under [[MaxUpperBytes]], and everything below l0 keeps the
     * frontier-join rounds. */
-  private final case class UpperGraph(
+  private[graft] final case class UpperGraph(
       topLevel: Int, l0: Int, entryId: Long,
       adj: Map[(Int, Long), Array[Long]],
       vecs: Map[Long, Array[Double]])
 
-  private val upperCache =
+  private[graft] val upperCache =
     new java.util.concurrent.ConcurrentHashMap[String, UpperGraph]()
+
+  /** Entry bound for [[upperCache]]: each entry holds up to
+    * [[MaxUpperBytes]] of driver-side structure, so sessions/fixtures
+    * accumulating entries is a real driver-memory leak. Before
+    * inserting past the cap, entries from OTHER sessions (dead or not
+    * — a foreign session can rebuild its own) are dropped first; if
+    * the current session alone fills the cap, everything is dropped
+    * (plain JVM data — no unpersist needed). */
+  private[graft] val MaxUpperEntries = 4
+  private[graft] def boundUpperCache(sessPrefix: String): Unit =
+    if (upperCache.size >= MaxUpperEntries) {
+      upperCache.keySet.removeIf((k: String) => !k.startsWith(sessPrefix))
+      if (upperCache.size >= MaxUpperEntries) upperCache.clear()
+    }
 
   /** Budget for the collected upper-graph structure (~87k nodes at
     * 64-dim). Vectors dominate: Dim doubles + ~2·m edge ids per node. */
@@ -2068,7 +2133,9 @@ object Ann {
       lvlCounts.collect { case (lv, c) if lv >= l => c }.sum
     val l0 = (0 to topLevel).find(l => cumFrom(l) * bytesPerNode <= MaxUpperBytes)
     l0.map { l0v =>
-      val key = s"${System.identityHashCode(s)}|${storePath(d, s"m$m-$variant")}|$l0v|$topLevel"
+      val sessPrefix = s"${System.identityHashCode(s)}|"
+      val key = s"$sessPrefix${storePath(d, s"m$m-$variant")}|$l0v|$topLevel"
+      if (!upperCache.containsKey(key)) boundUpperCache(sessPrefix)
       upperCache.computeIfAbsent(key, _ => {
         val vecs = Tables.embeddings(s, d)
           .withColumn("level", expr(levelExpr))

@@ -520,12 +520,12 @@ object Similarity {
     s.conf.set(thresholdKey, "65536")
     try {
       // per-level checkpoints at L > 2 only, freed after the final
-      // assignment materializes — the semanticCells treatment
+      // assignment materializes — the semanticCells treatment; freed
+      // in a finally so a failing final checkpoint can't leak them
       val bases = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      val out = semanticCellsProbePlan(s, d, cellSize, p, bases,
+      try semanticCellsProbePlan(s, d, cellSize, p, bases,
         checkpoint = true).localCheckpoint(true)
-      bases.foreach(Ann.freeBuildState)
-      out
+      finally bases.foreach(Ann.freeBuildState)
     } finally prev match {
       case Some(v) => s.conf.set(thresholdKey, v)
       case None    => s.conf.unset(thresholdKey)
@@ -652,7 +652,7 @@ object Similarity {
   /** Chooser outcome of the last [[semanticDedupMeasured]] call in this
     * JVM — observability for specs and reports (the ANN BuildDiag
     * treatment). `capturedAtP`/`massAtP` are keyed by ladder width. */
-  final case class DedupChoice(p: Int, truePairs: Long,
+  final case class DedupChoice(p: Int, stride: Long, truePairs: Long,
       capturedAtP: Map[Int, Long], massAtP: Map[Int, BigInt],
       floorMet: Boolean)
   @volatile private[graft] var lastDedupChoice: Option[DedupChoice] = None
@@ -694,14 +694,33 @@ object Similarity {
   def semanticDedupMeasured(s: SparkSession, d: String, eps: Double = 1.1,
       cellSize: Int = 64, pMax: Int = 8, floorNum: Long = 9,
       floorDen: Long = 10, massPerRow: Long = 512,
-      stride: Long = 1L): DataFrame = {
+      stride: Long = 0L): DataFrame =
+    semanticDedupMeasuredWithState(s, d, eps, cellSize, pMax, floorNum,
+      floorDen, massPerRow, stride)._1
+
+  /** [[semanticDedupMeasured]] plus a handle on the caller-owned
+    * assignment state backing the verdict plan — so a caller that
+    * CONSUMES the verdicts itself (e.g. [[dedupStats]]) can free the
+    * assignment instead of leaking it. */
+  private[graft] def semanticDedupMeasuredWithState(s: SparkSession,
+      d: String, eps: Double = 1.1, cellSize: Int = 64, pMax: Int = 8,
+      floorNum: Long = 9, floorDen: Long = 10, massPerRow: Long = 512,
+      stride: Long = 0L): (DataFrame, DataFrame) = {
     val ladder = Seq(1, 2, 4, 8).filter(_ <= pMax)
     require(ladder.nonEmpty && ladder.last == pMax,
       s"pMax must be a ladder width (1/2/4/8), got $pMax")
-    val assign = semanticCellsProbe(s, d, cellSize, pMax)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val n = e.count()
-    val sample = e.filter(col("vec_id") % stride === 0)
+    // stride = 0 means MEASURED-BOUNDED: the sampled exact stage costs
+    // n·(n/strideEff) distances, so deriving strideEff from n caps it
+    // at ~2048·n — the exact stage stays linear-in-n at any corpus
+    // size instead of silently going quadratic past the gate scales
+    // (oracle-gated fixtures all sit at n < 4096 → strideEff = 1, the
+    // regime the DuckDB oracle states with its stride-1 literals and
+    // guards with an error() past it).
+    val strideEff = if (stride > 0L) stride else math.max(1L, n / 2048L)
+    val assign = semanticCellsProbe(s, d, cellSize, pMax)
+    val sample = e.filter(col("vec_id") % strideEff === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val truePairs = e.crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("qid") &&
@@ -712,23 +731,31 @@ object Similarity {
       .localCheckpoint(true)
     val choice = try {
       val total = truePairs.count()
-      // minimal catching width per true pair, then the capture curve
-      val pa = assign.select(col("vec_id").as("a"), col("cell").as("ca"),
-        col("rnk").as("ra"))
-      val pb = assign.select(col("vec_id").as("b"), col("cell").as("cb"),
-        col("rnk").as("rb"))
-      val mp = truePairs.join(pa, "a").join(pb, "b")
-        .filter(col("ca") === col("cb") &&
-          (col("ra") === 1 || col("rb") === 1))
-        .select(col("a"), col("b"),
-          least(when(col("ra") === 1, col("rb")),
-            when(col("rb") === 1, col("ra"))).as("cand_p"))
-        .groupBy(col("a"), col("b")).agg(min(col("cand_p")).as("mp"))
-      val capCols = ladder.map(p =>
-        sum(when(col("mp") <= p, 1L).otherwise(0L)).as(s"cap$p"))
-      val capRow = mp.agg(capCols.head, capCols.tail: _*).head()
-      val captured = ladder.zipWithIndex
-        .map { case (p, i) => p -> capRow.getLong(i) }.toMap
+      // minimal catching width per true pair, then the capture curve.
+      // total == 0 → the capture aggregate would return nulls (empty
+      // sum); every width trivially clears the floor, so captured is
+      // all-zeros and the chooser ships the cheapest affordable width.
+      val captured: Map[Int, Long] = if (total == 0L)
+        ladder.map(_ -> 0L).toMap
+      else {
+        val pa = assign.select(col("vec_id").as("a"), col("cell").as("ca"),
+          col("rnk").as("ra"))
+        val pb = assign.select(col("vec_id").as("b"), col("cell").as("cb"),
+          col("rnk").as("rb"))
+        val mp = truePairs.join(pa, "a").join(pb, "b")
+          .filter(col("ca") === col("cb") &&
+            (col("ra") === 1 || col("rb") === 1))
+          .select(col("a"), col("b"),
+            least(when(col("ra") === 1, col("rb")),
+              when(col("rb") === 1, col("ra"))).as("cand_p"))
+          .groupBy(col("a"), col("b")).agg(min(col("cand_p")).as("mp"))
+        val capCols = ladder.map(p =>
+          sum(when(col("mp") <= p, 1L).otherwise(0L)).as(s"cap$p"))
+        val capRow = mp.agg(capCols.head, capCols.tail: _*).head()
+        ladder.zipWithIndex
+          .map { case (p, i) => p -> (if (capRow.isNullAt(i)) 0L
+                                      else capRow.getLong(i)) }.toMap
+      }
       // exact candidate mass of the shipped join at each width
       val perCell = assign.groupBy(col("cell")).agg(
         sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("occ"),
@@ -753,14 +780,19 @@ object Similarity {
           s"$floorNum/$floorDen within mass ceiling n*$massPerRow " +
           s"(captured=$captured of $total, mass=$mass); shipping p=$chosen " +
           s"with measured capture ${captured(chosen)}/$total")
-      DedupChoice(chosen, total, captured, mass, met)
+      DedupChoice(chosen, strideEff, total, captured, mass, met)
+    } catch {
+      // the assignment is caller-owned state on the SUCCESS path (the
+      // returned verdict plan reads it); on a chooser failure there is
+      // no caller to free it, so free it here
+      case t: Throwable => Ann.freeBuildState(assign); throw t
     } finally Ann.freeBuildState(truePairs)
     lastDedupChoice = Some(choice)
     val probes = assign.filter(col("rnk") <= choice.p)
       .select(col("cell"), col("vec_id").as("src"), col("embedding").as("sv"))
     val occ = assign.filter(col("rnk") === 1)
       .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("dv"))
-    probes.join(occ, "cell")
+    val verdicts = probes.join(occ, "cell")
       .filter(col("src") =!= col("dst") && squaredL2(col("sv"), col("dv")) < eps)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -768,6 +800,40 @@ object Similarity {
       .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
       .select(col("b").as("vec_id"), col("dup_of"))
       .orderBy(col("vec_id"))
+    (verdicts, assign)
+  }
+
+  /** The dedup chooser's outcome as a queryable row per ladder width —
+    * the [[graft.operators.Ann]] BuildDiag/index_stats treatment for
+    * [[semanticDedupMeasured]]: shipped width, the measured capture
+    * curve, DECIMAL-exact candidate mass, the floor verdict, and the
+    * dropped-vector count at the shipped width, all adjudicable by the
+    * DuckDB oracle that restates the chooser's CTEs. */
+  def dedupStats(s: SparkSession, d: String): DataFrame = {
+    val (verdicts, assign) = semanticDedupMeasuredWithState(s, d)
+    val dropped =
+      try verdicts.count()
+      finally Ann.freeBuildState(assign)
+    val c = lastDedupChoice.getOrElse(
+      throw new IllegalStateException("chooser did not record a DedupChoice"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("p", IntegerType, nullable = false),
+      StructField("captured", LongType, nullable = false),
+      StructField("mass", DecimalType(38, 0), nullable = true),
+      StructField("true_pairs", LongType, nullable = false),
+      StructField("stride", LongType, nullable = false),
+      StructField("chosen", IntegerType, nullable = false),
+      StructField("floor_met", BooleanType, nullable = false),
+      StructField("dropped", LongType, nullable = false)))
+    val rows = c.capturedAtP.keys.toSeq.sorted.map { p =>
+      Row(p, c.capturedAtP(p),
+        new java.math.BigDecimal(c.massAtP(p).bigInteger),
+        c.truePairs, c.stride, c.p, c.floorMet, dropped)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      .orderBy(col("p"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -780,11 +846,85 @@ object Similarity {
     "semantic_dedup"   -> ((s, d) => semanticDedup(s, d)),
     "semantic_dedup_probe" -> ((s, d) => semanticDedupProbe(s, d)),
     "semantic_dedup_measured" -> ((s, d) => semanticDedupMeasured(s, d)),
+    "dedup_stats"      -> ((s, d) => dedupStats(s, d)),
     "mips_topk"        -> ((s, d) => mipsTopK(s, d))
   )
 
   private val sq = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
   private val dp = "list_sum(list_transform(list_zip(%s, %s), p -> p[1]*p[2]))"
+
+  /** The [[semanticDedupMeasured]] chooser restated as DuckDB CTEs at
+    * the engine defaults (eps 1.1, cellSize 64, pMax 8, floor 9/10,
+    * massPerRow 512, auto stride): the pMax-wide 2-level assignment
+    * (`fc`), the stride-1 exact pair set (`tp`), the per-pair minimal
+    * catching width (`mpc`) → capture curve (`caps`), the DECIMAL-exact
+    * per-width candidate mass (`ms`), the integer-cross-multiplied
+    * floor/ceiling ladder walk (`choice`), and the verdict candidates at
+    * the chosen width (`cand`). `sguard` errors loudly past n ≥ 4096,
+    * where the engine's auto stride exceeds 1 and the stride-1 `tp`
+    * literal stops modeling it (the engine's 2-level assignment holds to
+    * 64³ rows, so the stride bound is the binding one). Shared by the
+    * `semantic_dedup_measured` and `dedup_stats` oracles. */
+  private[operators] val measuredDedupCtes: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |sguard AS (SELECT CASE WHEN count(*) >= 4096
+       |         THEN CAST(error('oracle models stride 1; ' || count(*) || ' rows derives engine auto-stride > 1 (n/2048)') AS INT)
+       |         ELSE 1 END AS ok FROM e),
+       |co AS (SELECT vec_id AS cid, v AS cv FROM e, sguard WHERE vec_id % 4096 = 0),
+       |l0 AS (SELECT e.vec_id, e.v, co.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sq.format("e.v", "co.cv")}, co.cid) AS rn
+       |       FROM e, co),
+       |vp AS (SELECT vec_id, v, cid AS ccell FROM l0 WHERE rn <= 8),
+       |fa AS (SELECT vec_id AS fid, v AS fv, cid AS pcell FROM l0
+       |       WHERE rn = 1 AND vec_id % 64 = 0),
+       |l1 AS (SELECT vp.vec_id, vp.v, fa.fid,
+       |         row_number() OVER (PARTITION BY vp.vec_id ORDER BY ${sq.format("vp.v", "fa.fv")}, fa.fid) AS rn
+       |       FROM vp JOIN fa ON vp.ccell = fa.pcell),
+       |fc AS (SELECT vec_id, v, fid AS cell, rn FROM l1 WHERE rn <= 8),
+       |tp AS (SELECT l.vec_id AS a, r.vec_id AS b FROM e l, e r
+       |       WHERE l.vec_id < r.vec_id AND ${sq.format("l.v", "r.v")} < 1.1),
+       |mpc AS (SELECT tp.a, tp.b,
+       |          min(CASE WHEN pa.rn = 1 AND pb.rn = 1 THEN 1
+       |                   WHEN pa.rn = 1 THEN pb.rn ELSE pa.rn END) AS mp
+       |        FROM tp JOIN fc pa ON pa.vec_id = tp.a
+       |                JOIN fc pb ON pb.vec_id = tp.b
+       |        WHERE pa.cell = pb.cell AND (pa.rn = 1 OR pb.rn = 1)
+       |        GROUP BY tp.a, tp.b),
+       |caps AS (SELECT CAST(coalesce(sum(CASE WHEN mp <= 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1,
+       |                CAST(coalesce(sum(CASE WHEN mp <= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2,
+       |                CAST(coalesce(sum(CASE WHEN mp <= 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4,
+       |                CAST(coalesce(sum(CASE WHEN mp <= 8 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c8
+       |         FROM mpc),
+       |tot AS (SELECT count(*) AS total FROM tp),
+       |pc AS (SELECT cell,
+       |         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS occ,
+       |         sum(CASE WHEN rn <= 1 THEN 1 ELSE 0 END) AS pr1,
+       |         sum(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS pr2,
+       |         sum(CASE WHEN rn <= 4 THEN 1 ELSE 0 END) AS pr4,
+       |         sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS pr8
+       |       FROM fc GROUP BY cell),
+       |ms AS (SELECT sum(CAST(pr1 AS DECIMAL(18,0)) * CAST(occ AS DECIMAL(18,0))) AS m1,
+       |              sum(CAST(pr2 AS DECIMAL(18,0)) * CAST(occ AS DECIMAL(18,0))) AS m2,
+       |              sum(CAST(pr4 AS DECIMAL(18,0)) * CAST(occ AS DECIMAL(18,0))) AS m4,
+       |              sum(CAST(pr8 AS DECIMAL(18,0)) * CAST(occ AS DECIMAL(18,0))) AS m8
+       |       FROM pc),
+       |nr AS (SELECT count(*) AS n FROM e),
+       |choice AS (SELECT CAST(CASE
+       |      WHEN c1 * 10 >= total * 9 AND m1 <= n * 512 THEN 1
+       |      WHEN c2 * 10 >= total * 9 AND m2 <= n * 512 THEN 2
+       |      WHEN c4 * 10 >= total * 9 AND m4 <= n * 512 THEN 4
+       |      WHEN c8 * 10 >= total * 9 AND m8 <= n * 512 THEN 8
+       |      WHEN m8 <= n * 512 THEN 8
+       |      WHEN m4 <= n * 512 THEN 4
+       |      WHEN m2 <= n * 512 THEN 2
+       |      ELSE 1 END AS INT) AS p
+       |    FROM caps, tot, ms, nr),
+       |cand AS (SELECT DISTINCT least(pr.vec_id, oc.vec_id) AS a,
+       |                greatest(pr.vec_id, oc.vec_id) AS b
+       |         FROM fc pr JOIN fc oc ON pr.cell = oc.cell AND oc.rn = 1,
+       |              choice ch
+       |         WHERE pr.rn <= ch.p AND pr.vec_id <> oc.vec_id
+       |           AND ${sq.format("pr.v", "oc.v")} < 1.1)""".stripMargin
 
   /** [[kmeansIter]]'s oracle CTE chain, generated mechanically:
     * `iters` unrolled (assign with cent_{i-1} → decimal-mean update →
@@ -919,6 +1059,37 @@ object Similarity {
          |         WHERE pr.vec_id <> oc.vec_id
          |           AND ${sq.format("pr.v", "oc.v")} < 1.1)
          |SELECT b AS vec_id, min(a) AS dup_of FROM cand GROUP BY b ORDER BY vec_id""".stripMargin,
+    // the measured chooser end-to-end: pMax-wide assignment, sampled
+    // exact pairs, capture curve, DECIMAL mass, integer floor walk,
+    // then the verdicts at the CHOSEN width — mirrors
+    // semanticDedupMeasured exactly (see measuredDedupCtes)
+    "semantic_dedup_measured" ->
+      s"""$measuredDedupCtes
+         |SELECT b AS vec_id, min(a) AS dup_of FROM cand GROUP BY b
+         |ORDER BY vec_id""".stripMargin,
+    // the chooser's observability row per ladder width — same CTEs,
+    // final select restates DedupChoice (+ dropped count) per width
+    "dedup_stats" ->
+      s"""$measuredDedupCtes,
+         |met AS (SELECT (CASE ch.p WHEN 1 THEN c1 WHEN 2 THEN c2
+         |                          WHEN 4 THEN c4 ELSE c8 END) * 10
+         |            >= total * 9
+         |          AND (CASE ch.p WHEN 1 THEN m1 WHEN 2 THEN m2
+         |                         WHEN 4 THEN m4 ELSE m8 END) <= n * 512
+         |          AS floor_met
+         |        FROM choice ch, caps, tot, ms, nr),
+         |drops AS (SELECT count(DISTINCT b) AS dropped FROM cand),
+         |lad AS (SELECT unnest([1, 2, 4, 8]) AS p)
+         |SELECT CAST(l.p AS INT) AS p,
+         |  CAST(CASE l.p WHEN 1 THEN c1 WHEN 2 THEN c2
+         |                WHEN 4 THEN c4 ELSE c8 END AS BIGINT) AS captured,
+         |  CAST(CASE l.p WHEN 1 THEN m1 WHEN 2 THEN m2
+         |                WHEN 4 THEN m4 ELSE m8 END AS DECIMAL(38,0)) AS mass,
+         |  total AS true_pairs,
+         |  CAST(greatest(1, n // 2048) AS BIGINT) AS stride,
+         |  ch.p AS chosen, floor_met, dropped
+         |FROM lad l, caps, tot, ms, nr, choice ch, met, drops
+         |ORDER BY p""".stripMargin,
     "kmeans_refine" ->
       s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
          |                   CAST(unnest(embedding) AS DOUBLE) AS val

@@ -421,6 +421,107 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic_dedup_measured: chooser pins — capture curve, chosen width, floor verdict") {
+    import graft.operators.Similarity
+    // deterministic pure counts on the gate fixture — pinned exactly
+    // (sf0.001: 7 true eps-pairs; the pMax-wide descent's capture curve
+    // is 2/6/7/7 across the 1/2/4/8 ladder, so p = 4 is the smallest
+    // width clearing the 9/10 floor; every width is affordable under
+    // the default n·512 ceiling)
+    val (verdicts, assign) = Similarity.semanticDedupMeasuredWithState(spark, d)
+    val dropped = try verdicts.count() finally Ann.freeBuildState(assign)
+    val c = Similarity.lastDedupChoice.get
+    assert(c.truePairs == 7L, s"true-pair count moved: ${c.truePairs}")
+    assert(c.capturedAtP == Map(1 -> 2L, 2 -> 6L, 4 -> 7L, 8 -> 7L),
+      s"capture curve moved: ${c.capturedAtP}")
+    assert(c.p == 4, s"chosen width moved from 4: ${c.p}")
+    assert(c.stride == 1L, s"auto stride at n=500 must be 1: ${c.stride}")
+    assert(c.floorMet, "floor verdict flipped on the gate fixture")
+    assert(dropped == 7L, s"dropped-vector count moved: $dropped")
+    // mass is exact candidate-row count: monotone in p, and m8 on this
+    // fixture is n^2 = 250000 (one coarse cell, 8 fine cells, every
+    // vector probes all 8)
+    val ms = c.massAtP
+    assert(Seq(1, 2, 4).forall(p => ms(p) < ms(p * 2)), s"mass not monotone: $ms")
+    assert(ms(8) == BigInt(250000), s"m8 moved from n^2: ${ms(8)}")
+  }
+
+  test("semantic_dedup_measured: refusal path ships widest affordable width and warns") {
+    import graft.operators.Similarity
+    // massPerRow = 64 → ceiling 32000: only p = 1 (mass 31716) is
+    // affordable, and p = 1 captures 2/7 < 9/10 — no width clears the
+    // floor inside the ceiling, so the chooser must ship the widest
+    // AFFORDABLE width with floorMet = false (the ANN chooser's
+    // refusal contract, SCALING_SF10.md §6.5)
+    val (v1, a1) = Similarity.semanticDedupMeasuredWithState(spark, d,
+      massPerRow = 64)
+    try v1.count() finally Ann.freeBuildState(a1)
+    val c1 = Similarity.lastDedupChoice.get
+    assert(c1.p == 1, s"refusal must ship the widest affordable width (1): ${c1.p}")
+    assert(!c1.floorMet, "refusal path must report floorMet = false")
+    // ceiling below every width (massPerRow = 1 → ceiling 500): nothing
+    // is affordable; the chooser falls back to the ladder minimum
+    val (v2, a2) = Similarity.semanticDedupMeasuredWithState(spark, d,
+      massPerRow = 1)
+    try v2.count() finally Ann.freeBuildState(a2)
+    val c2 = Similarity.lastDedupChoice.get
+    assert(c2.p == 1 && !c2.floorMet,
+      s"nothing-affordable fallback moved: p=${c2.p} floorMet=${c2.floorMet}")
+  }
+
+  test("semantic_dedup_measured: zero true pairs short-circuits to p=1, floor met") {
+    import graft.operators.Similarity
+    // eps below any pair distance → empty sampled ground truth; the
+    // chooser must not NPE on the empty capture aggregate (ADVICE r10)
+    // and every width trivially clears the floor → cheapest width ships
+    val (v, a) = Similarity.semanticDedupMeasuredWithState(spark, d, eps = 1e-12)
+    val n = try v.count() finally Ann.freeBuildState(a)
+    val c = Similarity.lastDedupChoice.get
+    assert(c.truePairs == 0L && c.p == 1 && c.floorMet,
+      s"total=0 contract moved: $c")
+    assert(n == 0L, s"eps=1e-12 must drop nothing: $n")
+  }
+
+  test("sampled-exact ground truth is memoized: second call runs 0 jobs, freed entries rebuild") {
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val first = Ann.sampledExactPairsCached(spark, d, e, 1L, 16)
+    val rows = first.count()
+    assert(rows > 0, "ground-truth stage returned nothing; test is vacuous")
+    // a hit is the SAME materialized frame — by construction zero jobs
+    // re-run the exact stage (the task-4 memoization contract)
+    val second = Ann.sampledExactPairsCached(spark, d, e, 1L, 16)
+    assert(second eq first, "second call did not hit the memo cache")
+    // a different (stride, m) is a different measurement — never served
+    // from the wrong entry
+    val other = Ann.sampledExactPairsCached(spark, d, e, 2L, 16)
+    assert(!(other eq first), "stride=2 must not hit the stride=1 entry")
+    // external freeing (Bench unpersists all persistent RDDs between
+    // queries) must be DETECTED: the dead entry is rebuilt, not served
+    Ann.freeBuildState(first)
+    val third = Ann.sampledExactPairsCached(spark, d, e, 1L, 16)
+    assert(!(third eq first), "freed (lineage-truncated) entry was served")
+    assert(third.count() == rows, "rebuilt entry diverged from the original")
+  }
+
+  test("upperCache is bounded: foreign-session entries evict first, cap holds") {
+    val ug = Ann.UpperGraph(0, 0, 0L, Map.empty, Map.empty)
+    Ann.upperCache.clear()
+    val mine = "12345|"
+    (1 to Ann.MaxUpperEntries).foreach(i =>
+      Ann.upperCache.put(s"other$i|key", ug))
+    // a second session arriving at the cap drops the foreign entries
+    Ann.boundUpperCache(mine)
+    assert(Ann.upperCache.size == 0,
+      s"foreign entries not evicted: ${Ann.upperCache.size}")
+    // the current session alone filling the cap is also bounded
+    (1 to Ann.MaxUpperEntries).foreach(i =>
+      Ann.upperCache.put(s"$mine$i", ug))
+    Ann.boundUpperCache(mine)
+    assert(Ann.upperCache.size < Ann.MaxUpperEntries,
+      s"own-session overflow not cleared: ${Ann.upperCache.size}")
+    Ann.upperCache.clear()
+  }
+
   test("scored probes: home bucket first, count contract, capture monotone in T") {
     import graft.operators.Ann
     val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))

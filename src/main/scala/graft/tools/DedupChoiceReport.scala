@@ -8,12 +8,13 @@ import org.apache.spark.sql.SparkSession
   * plus the verdict row count at the chosen width.
   *
   * Usage: runMain graft.tools.DedupChoiceReport [sfDir] [eps] [stride]
+  * (stride 0 = the engine's measured-bounded auto stride, n/2048)
   */
 object DedupChoiceReport {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val eps = args.lift(1).map(_.toDouble).getOrElse(1.1)
-    val stride = args.lift(2).map(_.toLong).getOrElse(1L)
+    val stride = args.lift(2).map(_.toLong).getOrElse(0L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-dedup-choice")

@@ -633,10 +633,19 @@ object Similarity {
     * multi-probe (a pair may be caught in either endpoint's home), so
     * the output is (vec_id, dup_of). */
   def semanticDedupProbe(s: SparkSession, d: String, eps: Double = 1.1,
-      cellSize: Int = 64, p: Int = 2): DataFrame = {
-    val assign = semanticCellsProbe(s, d, cellSize, p)
-    val probes = assign.select(col("cell"), col("vec_id").as("src"),
-      col("embedding").as("sv"))
+      cellSize: Int = 64, p: Int = 2): DataFrame =
+    probeJoinVerdicts(semanticCellsProbe(s, d, cellSize, p), eps, None)
+
+  /** Keep-min-id verdicts of the probes×occupants candidate join — the
+    * shared verdict tail of [[semanticDedupProbe]],
+    * [[semanticDedupMeasured]], and [[dedupStats]]' store-hit path.
+    * `rnkCap` restricts the PROBE side to `rnk <= cap` (the measured
+    * chooser ships a width below the assignment's build width);
+    * occupants are always home-cell-only (rnk = 1). */
+  private def probeJoinVerdicts(assign: DataFrame, eps: Double,
+      rnkCap: Option[Int]): DataFrame = {
+    val probes = rnkCap.fold(assign)(cap => assign.filter(col("rnk") <= cap))
+      .select(col("cell"), col("vec_id").as("src"), col("embedding").as("sv"))
     val occ = assign.filter(col("rnk") === 1)
       .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("dv"))
     probes.join(occ, "cell")
@@ -656,6 +665,61 @@ object Similarity {
       capturedAtP: Map[Int, Long], massAtP: Map[Int, BigInt],
       floorMet: Boolean)
   @volatile private[graft] var lastDedupChoice: Option[DedupChoice] = None
+
+  /** Count of LIVE chooser measurement runs in this JVM — spec
+    * observability for the persisted-choice lifecycle (a store-hit
+    * path must re-measure exactly 0 times). */
+  @volatile private[graft] var chooserMeasurements: Long = 0L
+
+  private val dedupChoiceSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("p",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("captured",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("mass",
+      DecimalType(38, 0), nullable = true),
+    org.apache.spark.sql.types.StructField("true_pairs",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("stride",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("chosen",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("floor_met",
+      org.apache.spark.sql.types.BooleanType, nullable = false)))
+
+  /** On-storage location of the persisted chooser outcome for fixture
+    * `d` at the given knobs — [[Ann.storePath]]'s content fingerprint
+    * plus EVERY chooser parameter in the tag, so a regenerated fixture
+    * or a different knob can never serve a stale choice. */
+  private[graft] def dedupChoicePath(d: String, eps: Double = 1.1,
+      cellSize: Int = 64, pMax: Int = 8, floorNum: Long = 9,
+      floorDen: Long = 10, massPerRow: Long = 512,
+      stride: Long = 0L): String =
+    Ann.storePath(d, s"dedupchoice-e$eps-c$cellSize-p$pMax-" +
+      s"f${floorNum}_${floorDen}-m$massPerRow-s$stride")
+
+  private def writeDedupChoice(s: SparkSession, path: String,
+      c: DedupChoice): Unit = {
+    val rows = c.capturedAtP.keys.toSeq.sorted.map { p =>
+      org.apache.spark.sql.Row(p, c.capturedAtP(p),
+        new java.math.BigDecimal(c.massAtP(p).bigInteger),
+        c.truePairs, c.stride, c.p, c.floorMet)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), dedupChoiceSchema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def readDedupChoice(s: SparkSession, path: String): DedupChoice = {
+    val rows = s.read.parquet(path).collect()
+    DedupChoice(
+      p = rows.head.getInt(5),
+      stride = rows.head.getLong(4),
+      truePairs = rows.head.getLong(3),
+      capturedAtP = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
+      massAtP = rows.map(r => r.getInt(0) ->
+        BigInt(r.getDecimal(2).toBigInteger)).toMap,
+      floorMet = rows.head.getBoolean(6))
+  }
 
   /** [[semanticDedupProbe]] with the probe width MEASURED, not assumed —
     * the measured-knob treatment the approximate index build got in
@@ -729,6 +793,7 @@ object Similarity {
         greatest(col("vec_id"), col("qid")).as("b"))
       .distinct()
       .localCheckpoint(true)
+    chooserMeasurements += 1
     val choice = try {
       val total = truePairs.count()
       // minimal catching width per true pair, then the capture curve.
@@ -788,19 +853,17 @@ object Similarity {
       case t: Throwable => Ann.freeBuildState(assign); throw t
     } finally Ann.freeBuildState(truePairs)
     lastDedupChoice = Some(choice)
-    val probes = assign.filter(col("rnk") <= choice.p)
-      .select(col("cell"), col("vec_id").as("src"), col("embedding").as("sv"))
-    val occ = assign.filter(col("rnk") === 1)
-      .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("dv"))
-    val verdicts = probes.join(occ, "cell")
-      .filter(col("src") =!= col("dst") && squaredL2(col("sv"), col("dv")) < eps)
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
-      .select(col("b").as("vec_id"), col("dup_of"))
-      .orderBy(col("vec_id"))
-    (verdicts, assign)
+    // seed the persisted chooser outcome (the kmeansIterCentroids /
+    // ensure* lifecycle applied to the measurement stage): this query
+    // IS the live measuring operator and always re-measures, but a
+    // consumer that only needs the OUTCOME ([[dedupStats]], a later
+    // session) serves it from storage instead of re-paying the
+    // measurement. Ladder-width rows — tiny; written only when absent.
+    val choicePath = dedupChoicePath(d, eps, cellSize, pMax, floorNum,
+      floorDen, massPerRow, stride)
+    if (!new java.io.File(s"$choicePath/_SUCCESS").exists())
+      writeDedupChoice(s, choicePath, choice)
+    (probeJoinVerdicts(assign, eps, Some(choice.p)), assign)
   }
 
   /** The dedup chooser's outcome as a queryable row per ladder width —
@@ -810,12 +873,32 @@ object Similarity {
     * dropped-vector count at the shipped width, all adjudicable by the
     * DuckDB oracle that restates the chooser's CTEs. */
   def dedupStats(s: SparkSession, d: String): DataFrame = {
-    val (verdicts, assign) = semanticDedupMeasuredWithState(s, d)
-    val dropped =
-      try verdicts.count()
-      finally Ann.freeBuildState(assign)
-    val c = lastDedupChoice.getOrElse(
-      throw new IllegalStateException("chooser did not record a DedupChoice"))
+    // serve the chooser outcome from storage when a prior run (this
+    // session's semantic_dedup_measured, or any earlier session on the
+    // same fixture fingerprint) persisted it — the index_stats /
+    // ensureFullIndexApprox posture: measurement is a build-time job,
+    // reporting reads the stored outcome. The one live stage this
+    // report pays either way is the dropped-vector count, i.e. the
+    // SHIPPED verdict join itself (pMax-wide assignment filtered to
+    // the chosen width — identical to semantic_dedup_measured's output
+    // plan), so the row it emits is still adjudicated end-to-end by
+    // the DuckDB oracle that re-derives everything from scratch.
+    val choicePath = dedupChoicePath(d)
+    val (c, dropped) =
+      if (new java.io.File(s"$choicePath/_SUCCESS").exists()) {
+        val choice = readDedupChoice(s, choicePath)
+        lastDedupChoice = Some(choice)
+        val assign = semanticCellsProbe(s, d, 64, 8)
+        val n =
+          try probeJoinVerdicts(assign, 1.1, Some(choice.p)).count()
+          finally Ann.freeBuildState(assign)
+        (choice, n)
+      } else {
+        val (verdicts, assign) = semanticDedupMeasuredWithState(s, d)
+        val n = try verdicts.count() finally Ann.freeBuildState(assign)
+        (lastDedupChoice.getOrElse(throw new IllegalStateException(
+          "chooser did not record a DedupChoice")), n)
+      }
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

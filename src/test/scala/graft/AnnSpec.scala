@@ -482,6 +482,35 @@ class AnnSpec extends AnyFunSuite {
     assert(n == 0L, s"eps=1e-12 must drop nothing: $n")
   }
 
+  test("dedup chooser outcome is persisted: stats store-hit re-measures 0 times, rows identical") {
+    import graft.operators.Similarity
+    val path = Similarity.dedupChoicePath(d)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path)) // hermetic: drop any earlier store
+    val before = Similarity.chooserMeasurements
+    val s1 = Similarity.dedupStats(spark, d).collect() // miss: measure + seed
+    assert(Similarity.chooserMeasurements == before + 1,
+      "store-miss dedup_stats must run the live measurement exactly once")
+    assert(new java.io.File(s"$path/_SUCCESS").exists(),
+      "measured run did not seed the persisted chooser outcome")
+    val s2 = Similarity.dedupStats(spark, d).collect() // hit: serve stored
+    assert(Similarity.chooserMeasurements == before + 1,
+      "store-hit dedup_stats re-ran the measurement")
+    assert(s2.map(_.toString).toSeq == s1.map(_.toString).toSeq,
+      s"store-served rows diverged from measured rows:\n${s1.mkString("\n")}\nvs\n${s2.mkString("\n")}")
+    // the declared measuring query stays LIVE (kmeans_iter posture: it
+    // IS the measurement operator) and leaves the store intact
+    val (v, a) = Similarity.semanticDedupMeasuredWithState(spark, d)
+    try v.count() finally Ann.freeBuildState(a)
+    assert(Similarity.chooserMeasurements == before + 2,
+      "semantic_dedup_measured must keep measuring live")
+    assert(new java.io.File(s"$path/_SUCCESS").exists(),
+      "live measured run clobbered the persisted outcome")
+  }
+
   test("sampled-exact ground truth is memoized: second call runs 0 jobs, freed entries rebuild") {
     val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     val first = Ann.sampledExactPairsCached(spark, d, e, 1L, 16)

@@ -40,10 +40,17 @@ def main():
     # kernel OOM-killed it (exit 137, no verdict at all). A bounded,
     # spilling oracle is also the honest posture for a gate tool on
     # a shared host. Override via GRAFT_ORACLE_MEM.
-    # 32GB default: the sf0.01 hnsw_search_filtered oracle (31 levels
-    # of materialized O(n^2) CTEs) peaks within ~2GB of 24 and failed
-    # a pin there once under concurrent load.
-    mem = os.environ.get("GRAFT_ORACLE_MEM", "32GB")
+    # 64GB default: the sf0.01 hnsw_search_filtered oracle (31 levels
+    # of materialized O(n^2) CTEs) peaks within ~2GB of 24, failed a
+    # pin at 24 once under concurrent load, and in round 11 failed
+    # pins at 32GB reproducibly even alone at 8 AND 16 threads (pinned
+    # blocks can't spill; duckdb 1.0.0 working-set variance run to
+    # run) while 64GB passes with room. The driver's own gate runs
+    # DuckDB at its default (80% of RAM) and has always adjudicated
+    # this query green — this limit only protects a LOCAL run from
+    # OOM-killing a co-resident Spark JVM, and check_oracle runs after
+    # graft.Verify exits, so 64GB of 125GB is safe headroom.
+    mem = os.environ.get("GRAFT_ORACLE_MEM", "64GB")
     con.sql(f"SET memory_limit='{mem}'")
     # Per-process spill dir (pid-suffixed): a fixed world-shared path
     # collides when two adjudications run concurrently or another user

@@ -7,14 +7,21 @@ import org.apache.spark.sql.SparkSession
   * masses, the chosen probe width, and whether the floor was met —
   * plus the verdict row count at the chosen width.
   *
-  * Usage: runMain graft.tools.DedupChoiceReport [sfDir] [eps] [stride]
-  * (stride 0 = the engine's measured-bounded auto stride, n/2048)
+  * Usage: runMain graft.tools.DedupChoiceReport
+  *   [sfDir] [eps] [stride] [massPerRow] [cellSize]
+  * (stride 0 = the engine's measured-bounded auto stride, n/2048;
+  * massPerRow and cellSize default to the declared-query knobs 512/64
+  * — raise massPerRow to measure the recall-vs-ceiling escalation the
+  * ANN chooser documents in SCALING_SF10.md §6.6, or cellSize to
+  * trade per-cell join width for boundary capture)
   */
 object DedupChoiceReport {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val eps = args.lift(1).map(_.toDouble).getOrElse(1.1)
     val stride = args.lift(2).map(_.toLong).getOrElse(0L)
+    val massPerRow = args.lift(3).map(_.toLong).getOrElse(512L)
+    val cellSize = args.lift(4).map(_.toInt).getOrElse(64)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-dedup-choice")
@@ -25,9 +32,11 @@ object DedupChoiceReport {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rows = graft.operators.Similarity
-      .semanticDedupMeasured(spark, d, eps = eps, stride = stride).count()
+      .semanticDedupMeasured(spark, d, eps = eps, stride = stride,
+        massPerRow = massPerRow, cellSize = cellSize).count()
     val c = graft.operators.Similarity.lastDedupChoice.get
-    println(s"[dedup-choice] d=$d eps=$eps stride=$stride chosen_p=${c.p} " +
+    println(s"[dedup-choice] d=$d eps=$eps stride=$stride " +
+      s"massPerRow=$massPerRow cellSize=$cellSize chosen_p=${c.p} " +
       s"floor_met=${c.floorMet} true_pairs=${c.truePairs} " +
       s"captured=${c.capturedAtP.toSeq.sortBy(_._1)} " +
       s"mass=${c.massAtP.toSeq.sortBy(_._1)} verdict_rows=$rows")

@@ -1,0 +1,171 @@
+package graft.multimodal
+
+/** REAL media codecs for the uncompressed container formats a JVM can
+  * parse with no native libraries: RIFF/WAVE PCM-16 audio and binary
+  * PPM (P6) images. Both formats are fully public specifications
+  * (RIFF/WAVE: Microsoft/IBM 1991 multimedia standard; PPM: netpbm).
+  *
+  * This upgrades the multimodal decode step from the [[FakeDecoder]]
+  * stub to actual byte-level parsing for these formats: the engine
+  * encodes real container bytes, then the decode queries read back
+  * ONLY those bytes through the parsers below — header validation,
+  * chunk walking, little-endian sample extraction, pixel-row recovery.
+  * Compressed codecs (JPEG/MP3/H.264) remain environment-gated: no
+  * codec libraries exist in this container, and [[FakeDecoder]] keeps
+  * standing in for them, loudly documented.
+  *
+  * Decoders are STRICT about what they accept (magic, PCM format tag,
+  * bit depth, maxval) and TOLERANT where the spec demands it (unknown
+  * RIFF chunks are skipped by their declared size, as real WAVs carry
+  * LIST/fact chunks; PPM headers may hold `#` comments). Malformed
+  * input throws `IllegalArgumentException` with the offending field —
+  * a decode error must name itself, not read garbage.
+  */
+object WavCodec {
+
+  /** Decoded PCM-16 WAV: `samples` is the raw interleaved stream
+    * (frame-major, channel-minor — exactly the order of the data
+    * chunk), so `samples.length = frames * channels`. */
+  final case class Wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Short])
+
+  /** Canonical RIFF/WAVE encoding of an interleaved PCM-16 stream:
+    * RIFF header, 16-byte fmt chunk (audio format 1 = PCM), data
+    * chunk. Little-endian throughout, per the RIFF spec. */
+  def encodePcm16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(channels > 0, s"channels must be positive: $channels")
+    require(samples.length % channels == 0,
+      s"interleaved stream length ${samples.length} not divisible by channels $channels")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * 2
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                  // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(byteRate)
+      .putShort((channels * 2).toShort)     // block align
+      .putShort(16.toShort)                 // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE container: validate magic, walk chunks in any
+    * order skipping unknown ones (word-aligned, per spec), require
+    * PCM-16 fmt, extract the interleaved little-endian sample stream. */
+  def decode(bytes: Array[Byte]): Wav = {
+    require(bytes.length >= 12, s"not a RIFF file: ${bytes.length} bytes")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    val riff = fourCC()
+    require(riff == "RIFF", s"bad RIFF magic: '$riff'")
+    buf.getInt // declared riff size; trust the actual buffer bound
+    val wave = fourCC()
+    require(wave == "WAVE", s"bad WAVE magic: '$wave'")
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[Array[Short]] = None
+    while (buf.remaining() >= 8 && (fmt.isEmpty || data.isEmpty)) {
+      val id = fourCC()
+      val size = buf.getInt
+      require(size >= 0 && size <= buf.remaining(),
+        s"chunk '$id' declares $size bytes, ${buf.remaining()} remain")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too small: $size")
+          val start = buf.position()
+          val audioFormat = buf.getShort
+          require(audioFormat == 1, s"not PCM (fmt tag $audioFormat)")
+          val channels = buf.getShort.toInt
+          val rate = buf.getInt
+          buf.getInt   // byte rate (derived)
+          buf.getShort // block align (derived)
+          val bits = buf.getShort.toInt
+          require(bits == 16, s"only PCM-16 supported, got $bits-bit")
+          fmt = Some((channels, rate, bits))
+          buf.position(start + size + (size & 1)) // word-aligned
+        case "data" =>
+          require(size % 2 == 0, s"odd PCM-16 data size: $size")
+          val out = new Array[Short](size / 2)
+          var i = 0
+          while (i < out.length) { out(i) = buf.getShort; i += 1 }
+          data = Some(out)
+          if ((size & 1) == 1 && buf.hasRemaining) buf.get
+        case _ => // LIST, fact, cue, ... — skip by declared size
+          buf.position(buf.position() + size + (size & 1))
+      }
+    }
+    val (channels, rate, bits) = fmt.getOrElse(
+      throw new IllegalArgumentException("no fmt chunk"))
+    val samples = data.getOrElse(
+      throw new IllegalArgumentException("no data chunk"))
+    require(samples.length % channels == 0,
+      s"data chunk (${samples.length} samples) not divisible by $channels channels")
+    Wav(rate, channels, bits, samples)
+  }
+}
+
+/** Binary PPM (P6) — the netpbm uncompressed RGB image format. */
+object PpmCodec {
+
+  /** Decoded P6 image: `rgb` is row-major, 3 bytes (R, G, B) per
+    * pixel, `rgb.length = width * height * 3`. */
+  final case class Ppm(width: Int, height: Int, rgb: Array[Byte])
+
+  def encodeP6(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"rgb length ${rgb.length} != $width x $height x 3")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parse a P6 header (magic, width, height, maxval — whitespace
+    * separated, `#` comments legal anywhere between tokens) and the
+    * raw pixel payload that follows the single whitespace byte after
+    * maxval. Only maxval 255 (1 byte per channel) is accepted. */
+  def decodeP6(bytes: Array[Byte]): Ppm = {
+    var pos = 0
+    def skipWsAndComments(): Unit = {
+      var in = true
+      while (in && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else in = false
+      }
+    }
+    def token(): String = {
+      skipWsAndComments()
+      val start = pos
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+      require(pos > start, s"truncated PPM header at byte $start")
+      new String(bytes, start, pos - start, "US-ASCII")
+    }
+    val magic = token()
+    require(magic == "P6", s"bad PPM magic: '$magic'")
+    val width = token().toInt
+    val height = token().toInt
+    val maxval = token().toInt
+    require(maxval == 255, s"only maxval 255 supported, got $maxval")
+    require(pos < bytes.length && bytes(pos).toChar.isWhitespace,
+      "missing whitespace after maxval")
+    pos += 1 // exactly ONE whitespace byte separates header and payload
+    val expect = width * height * 3
+    require(bytes.length - pos == expect,
+      s"pixel payload ${bytes.length - pos} bytes, expected $expect " +
+        s"($width x $height x 3)")
+    val rgb = new Array[Byte](expect)
+    System.arraycopy(bytes, pos, rgb, 0, expect)
+    Ppm(width, height, rgb)
+  }
+}

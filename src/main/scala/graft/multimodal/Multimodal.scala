@@ -114,11 +114,135 @@ object Multimodal {
           .as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  // ---- REAL codecs (uncompressed formats, pure JVM — see Codecs.scala).
+  // The fixture carries no media files, so container bytes are
+  // SYNTHESIZED deterministically from doc_id alone (rates, channel
+  // counts, dimensions, samples, pixels — all analytic functions of
+  // the id), encoded into REAL RIFF/WAVE and PPM containers, and the
+  // decode queries read back ONLY those bytes through the strict
+  // parsers: magic validation, chunk walking, little-endian PCM
+  // extraction, pixel-row recovery. The DuckDB oracle re-derives the
+  // expected values from the same analytic rules, so the whole
+  // encode→decode round trip sits under the hash gate; CodecsSpec
+  // additionally pins the parsers against hand-assembled golden bytes
+  // (spec conformance, not just self-consistency).
+
+  private val WavRates = Array(8000, 16000, 44100)
+
+  /** (doc_id, wav BINARY): a real PCM-16 RIFF/WAVE container per
+    * document. Interleaved sample i = ((doc_id·131 + i·17) mod 65536)
+    * − 32768; 256 + (doc_id mod 512) frames; 1–2 channels; rate from
+    * [[WavRates]]. Blob construction is map-only and blobs never
+    * shuffle — every decode query reduces them in the scan stage. */
+  def wavBlobs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val rate = WavRates((id % 3).toInt)
+          val channels = 1 + (id % 2).toInt
+          val n = (256 + (id % 512).toInt) * channels
+          val samples = Array.tabulate(n)(i =>
+            (((id * 131 + i.toLong * 17) % 65536) - 32768).toShort)
+          (id, WavCodec.encodePcm16(rate, channels, samples))
+        }
+      }.toDF("doc_id", "wav")
+  }
+
+  /** (doc_id, ppm BINARY): a real binary-PPM (P6) image per document,
+    * 8–16 × 8–14 pixels, channel byte k = (doc_id·31 + k·7) mod 256. */
+  def ppmBlobs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (id % 7).toInt
+          val rgb = Array.tabulate(w * h * 3)(k =>
+            ((id * 31 + k.toLong * 7) % 256).toByte)
+          (id, PpmCodec.encodeP6(w, h, rgb))
+        }
+      }.toDF("doc_id", "ppm")
+  }
+
+  /** Container metadata DECODED from the WAV bytes (not restated from
+    * the synthesis rule): rate/channels/bits from the fmt chunk, the
+    * interleaved sample count from the data chunk, duration in
+    * integer milliseconds. */
+  def wavMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavBlobs(s, d).as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val w = WavCodec.decode(bytes)
+          val frames = w.samples.length / w.channels
+          (id, w.sampleRate, w.channels, w.bitsPerSample,
+            w.samples.length, frames * 1000L / w.sampleRate)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples", "dur_ms")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-frame audio energy over the DECODED sample stream: Σ|sample|
+    * per window of 64 interleaved samples — exact integer math, the
+    * real feature-extraction shape (decode → window → reduce) run
+    * entirely in the scan stage; only (doc_id, frame, sum) rows move. */
+  def wavFrameEnergy(s: SparkSession, d: String, frame: Int = 64): DataFrame = {
+    import s.implicits._
+    wavBlobs(s, d).as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          val w = WavCodec.decode(bytes)
+          val nf = (w.samples.length + frame - 1) / frame
+          val acc = new Array[Long](nf)
+          var i = 0
+          while (i < w.samples.length) {
+            acc(i / frame) += math.abs(w.samples(i).toLong); i += 1
+          }
+          acc.indices.map(f => (id, f, acc(f)))
+        }
+      }.toDF("doc_id", "frame", "sum_abs")
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
+  /** 4×4 downsample grid over the DECODED pixels: per grid cell the
+    * exact per-channel byte sums (integer — no float resampling
+    * ambiguity between engines). This is the real "resize" primitive:
+    * cell (gy, gx) owns pixels with gy = y·4/h, gx = x·4/w. */
+  def imageGrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ppmBlobs(s, d).as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          val img = PpmCodec.decodeP6(bytes)
+          val (w, h) = (img.width, img.height)
+          val sr = new Array[Long](16)
+          val sg = new Array[Long](16)
+          val sb = new Array[Long](16)
+          var p = 0
+          val np = w * h
+          while (p < np) {
+            val cell = (p / w) * 4 / h * 4 + (p % w) * 4 / w
+            sr(cell) += img.rgb(3 * p) & 0xff
+            sg(cell) += img.rgb(3 * p + 1) & 0xff
+            sb(cell) += img.rgb(3 * p + 2) & 0xff
+            p += 1
+          }
+          (0 until 16).map(c => (id, c / 4, c % 4, sr(c), sg(c), sb(c)))
+        }
+      }.toDF("doc_id", "gy", "gx", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"), col("gy"), col("gx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> ((s, d) => mediaMeta(s, d)),
     "multimodal_features" -> ((s, d) => featuresExploded(s, d)),
     "multimodal_frames"   -> ((s, d) => frameSample(s, d)),
-    "multimodal_knn"      -> ((s, d) => multimodalKnn(s, d))
+    "multimodal_knn"      -> ((s, d) => multimodalKnn(s, d)),
+    "multimodal_wav_meta"   -> ((s, d) => wavMeta(s, d)),
+    "multimodal_wav_energy" -> ((s, d) => wavFrameEnergy(s, d)),
+    "multimodal_image_grid" -> ((s, d) => imageGrid(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -160,7 +284,41 @@ object Multimodal {
         |  md5(concat(content_sha, '-', CAST(f.f AS VARCHAR))) AS frame_md5
         |FROM b CROSS JOIN (SELECT unnest(generate_series(0, 15, 4)) AS f) f
         |WHERE f.f < n_frames
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // The WAV/PPM synthesis rules are analytic in doc_id, so the
+    // oracle re-derives the DECODED values directly; the engine path
+    // must round-trip real container bytes to reach the same rows.
+    "multimodal_wav_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       ELSE 44100 END AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  16 AS bits,
+        |  CAST((256 + doc_id % 512) * (1 + doc_id % 2) AS INT) AS n_samples,
+        |  CAST((256 + doc_id % 512) * 1000
+        |       // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |           ELSE 44100 END) AS BIGINT) AS dur_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_wav_energy" ->
+      """WITH p AS (SELECT doc_id,
+        |    (256 + doc_id % 512) * (1 + doc_id % 2) AS n FROM documents)
+        |SELECT doc_id, CAST(i // 64 AS INT) AS frame,
+        |  CAST(sum(abs((doc_id * 131 + i * 17) % 65536 - 32768)) AS BIGINT)
+        |    AS sum_abs
+        |FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
+        |GROUP BY doc_id, frame ORDER BY doc_id, frame""".stripMargin,
+    "multimodal_image_grid" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 7 AS BIGINT) AS h FROM documents)
+        |SELECT doc_id,
+        |  CAST((k // w) * 4 // h AS INT) AS gy,
+        |  CAST((k % w) * 4 // w AS INT) AS gx,
+        |  CAST(sum((doc_id * 31 + (3 * k) * 7) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((doc_id * 31 + (3 * k + 1) * 7) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((doc_id * 31 + (3 * k + 2) * 7) % 256) AS BIGINT) AS sum_b
+        |FROM dims, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS k) g
+        |GROUP BY doc_id, gy, gx ORDER BY doc_id, gy, gx""".stripMargin
   )
 }
 

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{Multimodal, PpmCodec, WavCodec}
+
+/** Byte-level conformance of the REAL uncompressed-media codecs
+  * (Codecs.scala). The DuckDB gate adjudicates the encode→decode
+  * round trip end-to-end (the oracle re-derives expected values from
+  * the analytic synthesis rules); these tests pin what the gate
+  * cannot see — that the parsers implement the PUBLIC formats, by
+  * decoding hand-assembled golden bytes a third-party writer would
+  * produce, tolerating spec-legal variation (chunk order, extra
+  * chunks, header comments), and rejecting malformed input by name. */
+class CodecsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("codecs-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  private val d = "/root/testdata/sf0.001"
+
+  // -- WAV -----------------------------------------------------------
+
+  test("wav: encode -> decode round-trips rate/channels/samples exactly") {
+    val samples = Array.tabulate(300)(i => ((i * 977) % 65536 - 32768).toShort)
+    val w = WavCodec.decode(WavCodec.encodePcm16(22050, 2, samples))
+    assert(w.sampleRate == 22050 && w.channels == 2 && w.bitsPerSample == 16)
+    assert(w.samples.toSeq == samples.toSeq)
+  }
+
+  test("wav: golden bytes hand-assembled per the RIFF spec decode correctly") {
+    // 1 channel, 8000 Hz, 16-bit PCM, 2 samples: 1000, -2 — assembled
+    // field by field, independent of the encoder under test
+    val b = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(4)
+      .putShort(1000).putShort(-2)
+    val w = WavCodec.decode(java.util.Arrays.copyOf(b.array(), 44 + 4))
+    assert(w.sampleRate == 8000 && w.channels == 1)
+    assert(w.samples.toSeq == Seq(1000.toShort, -2.toShort))
+  }
+
+  test("wav: unknown chunks are skipped by declared size (LIST before fmt)") {
+    // a spec-legal container: RIFF [LIST(6 bytes + pad)] [fmt] [data]
+    val b = java.nio.ByteBuffer.allocate(80)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(66)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put("INFOx".getBytes("US-ASCII")).put(0.toByte) // odd size -> pad byte
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(44100).putInt(88200)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2)
+      .putShort(-32768)
+    val w = WavCodec.decode(java.util.Arrays.copyOf(b.array(), b.position()))
+    assert(w.sampleRate == 44100 && w.samples.toSeq == Seq((-32768).toShort))
+  }
+
+  test("wav: malformed input is rejected by name") {
+    val good = WavCodec.encodePcm16(8000, 1, Array[Short](1, 2, 3))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    val e1 = intercept[IllegalArgumentException](WavCodec.decode(badMagic))
+    assert(e1.getMessage.contains("RIFF"))
+    // fmt tag 2 (ADPCM) must be refused, not misread as PCM
+    val adpcm = good.clone(); adpcm(20) = 2.toByte
+    val e2 = intercept[IllegalArgumentException](WavCodec.decode(adpcm))
+    assert(e2.getMessage.contains("PCM"))
+    // a chunk whose declared size overruns the buffer must not be read
+    val overrun = good.clone(); overrun(40) = 0x7f.toByte
+    intercept[IllegalArgumentException](WavCodec.decode(overrun))
+  }
+
+  // -- PPM -----------------------------------------------------------
+
+  test("ppm: encode -> decode round-trips dimensions and pixels exactly") {
+    val rgb = Array.tabulate(5 * 3 * 3)(k => ((k * 31) % 256).toByte)
+    val img = PpmCodec.decodeP6(PpmCodec.encodeP6(5, 3, rgb))
+    assert(img.width == 5 && img.height == 3)
+    assert(img.rgb.toSeq == rgb.toSeq)
+  }
+
+  test("ppm: third-party-style header with comments and flexible whitespace") {
+    val pixels = Array[Byte](10, 20, 30, 40, 50, 60)
+    val header = "P6 # a netpbm writer's comment\n# another\n 2\t1 # dims\n255\n"
+    val bytes = header.getBytes("US-ASCII") ++ pixels
+    val img = PpmCodec.decodeP6(bytes)
+    assert(img.width == 2 && img.height == 1)
+    assert(img.rgb.toSeq == pixels.toSeq)
+  }
+
+  test("ppm: malformed input is rejected by name") {
+    val e1 = intercept[IllegalArgumentException](
+      PpmCodec.decodeP6("P5\n1 1\n255\n...".getBytes("US-ASCII")))
+    assert(e1.getMessage.contains("magic"))
+    val e2 = intercept[IllegalArgumentException](
+      PpmCodec.decodeP6("P6\n2 2\n255\nxy".getBytes("US-ASCII")))
+    assert(e2.getMessage.contains("payload"))
+    val e3 = intercept[IllegalArgumentException](
+      PpmCodec.decodeP6("P6\n1 1\n65535\n......".getBytes("US-ASCII")))
+    assert(e3.getMessage.contains("maxval"))
+  }
+
+  // -- decoded queries -----------------------------------------------
+
+  test("wav_meta decodes what the container carries: doc 0 and doc 5 analytic pins") {
+    val rows = Multimodal.wavMeta(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: rate 8000, 1 channel, 256 frames -> 256 samples, 32 ms
+    val r0 = rows(0L)
+    assert(r0.getInt(1) == 8000 && r0.getInt(2) == 1)
+    assert(r0.getInt(4) == 256 && r0.getLong(5) == 32L)
+    // doc 5: 5%3=2 -> 44100, 2 channels, 261 frames -> 522 samples
+    val r5 = rows(5L)
+    assert(r5.getInt(1) == 44100 && r5.getInt(2) == 2)
+    assert(r5.getInt(4) == 522 && r5.getLong(5) == 261L * 1000 / 44100)
+  }
+
+  test("image_grid covers every pixel exactly once: cell sums rebuild the whole-image sum") {
+    val grid = Multimodal.imageGrid(spark, d)
+    import org.apache.spark.sql.functions._
+    val fromCells = grid.groupBy("doc_id")
+      .agg(sum(col("sum_r") + col("sum_g") + col("sum_b")).as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // whole-image sum, analytically: sum over k of (id*31 + 7k) mod 256
+    def whole(id: Long): Long = {
+      val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+      (0 until w * h * 3).map(k => (id * 31 + k.toLong * 7) % 256).sum
+    }
+    Seq(0L, 1L, 7L, 13L).foreach { id =>
+      assert(fromCells(id) == whole(id), s"pixel coverage broken for doc $id")
+    }
+  }
+}

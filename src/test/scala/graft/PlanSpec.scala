@@ -382,4 +382,34 @@ class PlanSpec extends AnyFunSuite {
         s"zero-partition window carries more than the bucket totals: $in")
     }
   }
+
+  test("multimodal decode queries: media blobs never cross an exchange") {
+    // the multimodal scale contract: container bytes are decoded and
+    // reduced in the scan stage; only the small derived rows
+    // (metadata, frame energies, grid sums) shuffle. A BINARY column
+    // inside any Exchange means blobs are being moved.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.Multimodal
+    // AQE hides exchanges inside query stages (and its pre-execution
+    // inputPlan predates EnsureRequirements, so it has none at all);
+    // scope it off so executedPlan carries the literal exchange nodes
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try Seq(
+      "wav_meta"   -> Multimodal.wavMeta(spark, d),
+      "wav_energy" -> Multimodal.wavFrameEnergy(spark, d),
+      "image_grid" -> Multimodal.imageGrid(spark, d)
+    ).foreach { case (name, df) =>
+      val exchanges =
+        df.queryExecution.executedPlan.collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty,
+        s"$name: expected the presentation-sort exchange in the plan")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.dataType == BinaryType),
+          s"$name: a binary blob column crosses an exchange: ${e.output}")
+      }
+    } finally spark.conf.set(aqeKey, prev)
+  }
 }

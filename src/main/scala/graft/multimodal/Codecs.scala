@@ -129,12 +129,37 @@ object PpmCodec {
     out
   }
 
+  /** Parse a netpbm MULTI-IMAGE stream: concatenated P6 images, each
+    * a complete header + payload (the documented netpbm stream form —
+    * `pnmcat`/`pamsplit` read and write exactly this). Walks the
+    * stream frame by frame; every frame may have its own dimensions.
+    * Rejects trailing garbage (a stream must end exactly at the last
+    * frame's final pixel byte). */
+  def decodeStream(bytes: Array[Byte]): Seq[Ppm] = {
+    val frames = scala.collection.mutable.ListBuffer.empty[Ppm]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (img, next) = decodeP6At(bytes, pos)
+      frames += img
+      pos = next
+    }
+    frames.toList
+  }
+
   /** Parse a P6 header (magic, width, height, maxval — whitespace
     * separated, `#` comments legal anywhere between tokens) and the
     * raw pixel payload that follows the single whitespace byte after
     * maxval. Only maxval 255 (1 byte per channel) is accepted. */
   def decodeP6(bytes: Array[Byte]): Ppm = {
-    var pos = 0
+    val (img, end) = decodeP6At(bytes, 0)
+    require(end == bytes.length,
+      s"${bytes.length - end} trailing bytes after a single P6 image")
+    img
+  }
+
+  /** One P6 image starting at `offset`; returns (image, next offset). */
+  private def decodeP6At(bytes: Array[Byte], offset: Int): (Ppm, Int) = {
+    var pos = offset
     def skipWsAndComments(): Unit = {
       var in = true
       while (in && pos < bytes.length) {
@@ -161,11 +186,11 @@ object PpmCodec {
       "missing whitespace after maxval")
     pos += 1 // exactly ONE whitespace byte separates header and payload
     val expect = width * height * 3
-    require(bytes.length - pos == expect,
+    require(bytes.length - pos >= expect,
       s"pixel payload ${bytes.length - pos} bytes, expected $expect " +
         s"($width x $height x 3)")
     val rgb = new Array[Byte](expect)
     System.arraycopy(bytes, pos, rgb, 0, expect)
-    Ppm(width, height, rgb)
+    (Ppm(width, height, rgb), pos + expect)
   }
 }

@@ -206,6 +206,49 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame"))
   }
 
+  /** (doc_id, stream BINARY): a real netpbm MULTI-IMAGE stream per
+    * document — 1–4 concatenated P6 frames with per-frame dimensions
+    * (2–4 × 2–4), frame f's channel byte k = (doc_id·17 + f·113 + k·7)
+    * mod 256. The variable frame sizes force the decoder to WALK the
+    * container (each frame's extent is known only after parsing its
+    * header) — the real frame-sampling shape `multimodal_frames`
+    * stubs. */
+  def ppmStreamBlobs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val nFrames = 1 + (id % 4).toInt
+          val stream = (0 until nFrames).toArray.flatMap { f =>
+            val w = 2 + ((id + f) % 3).toInt
+            val h = 2 + ((id + 2L * f) % 3).toInt
+            val rgb = Array.tabulate(w * h * 3)(k =>
+              ((id * 17 + f * 113L + k.toLong * 7) % 256).toByte)
+            PpmCodec.encodeP6(w, h, rgb)
+          }
+          (id, stream)
+        }
+      }.toDF("doc_id", "stream")
+  }
+
+  /** Frame table DECODED from the multi-image stream: per frame its
+    * parsed dimensions and the exact sum of all channel bytes —
+    * variable-size container walking, reduced in the scan stage. */
+  def streamFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ppmStreamBlobs(s, d).as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          PpmCodec.decodeStream(bytes).zipWithIndex.map { case (img, f) =>
+            var sum = 0L
+            img.rgb.foreach(b => sum += (b & 0xff))
+            (id, f, img.width, img.height, sum)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "width", "height", "sum_rgb")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** 4×4 downsample grid over the DECODED pixels: per grid cell the
     * exact per-channel byte sums (integer — no float resampling
     * ambiguity between engines). This is the real "resize" primitive:
@@ -242,7 +285,8 @@ object Multimodal {
     "multimodal_knn"      -> ((s, d) => multimodalKnn(s, d)),
     "multimodal_wav_meta"   -> ((s, d) => wavMeta(s, d)),
     "multimodal_wav_energy" -> ((s, d) => wavFrameEnergy(s, d)),
-    "multimodal_image_grid" -> ((s, d) => imageGrid(s, d))
+    "multimodal_image_grid" -> ((s, d) => imageGrid(s, d)),
+    "multimodal_stream_frames" -> ((s, d) => streamFrames(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,7 +362,20 @@ object Multimodal {
         |  CAST(sum((doc_id * 31 + (3 * k + 1) * 7) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((doc_id * 31 + (3 * k + 2) * 7) % 256) AS BIGINT) AS sum_b
         |FROM dims, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS k) g
-        |GROUP BY doc_id, gy, gx ORDER BY doc_id, gy, gx""".stripMargin
+        |GROUP BY doc_id, gy, gx ORDER BY doc_id, gy, gx""".stripMargin,
+    "multimodal_stream_frames" ->
+      """WITH f AS (SELECT doc_id, CAST(i AS BIGINT) AS fi
+        |    FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(0, doc_id % 4)) AS i) g),
+        |dims AS (SELECT doc_id, fi,
+        |    CAST(2 + (doc_id + fi) % 3 AS BIGINT) AS w,
+        |    CAST(2 + (doc_id + 2 * fi) % 3 AS BIGINT) AS h FROM f)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum((doc_id * 17 + fi * 113 + k * 7) % 256) AS BIGINT) AS sum_rgb
+        |FROM dims,
+        |  LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS k) g2
+        |GROUP BY doc_id, fi, w, h ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
 

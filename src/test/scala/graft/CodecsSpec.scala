@@ -98,6 +98,22 @@ class CodecsSpec extends AnyFunSuite {
     assert(img.rgb.toSeq == pixels.toSeq)
   }
 
+  test("ppm stream: walks concatenated variable-size frames exactly") {
+    val f0 = PpmCodec.encodeP6(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
+    val f1 = PpmCodec.encodeP6(1, 3, Array[Byte](9, 8, 7, 6, 5, 4, 3, 2, 1))
+    val f2 = PpmCodec.encodeP6(1, 1, Array[Byte](-1, 0, 127))
+    val frames = PpmCodec.decodeStream(f0 ++ f1 ++ f2)
+    assert(frames.map(f => (f.width, f.height)) == Seq((2, 1), (1, 3), (1, 1)))
+    assert(frames(1).rgb.toSeq == Seq[Byte](9, 8, 7, 6, 5, 4, 3, 2, 1))
+    // a truncated final frame must fail, not silently shorten the stream
+    val cut = (f0 ++ f1).dropRight(1)
+    val e = intercept[IllegalArgumentException](PpmCodec.decodeStream(cut))
+    assert(e.getMessage.contains("payload"))
+    // single-image decode rejects trailing bytes (a second frame)
+    val e2 = intercept[IllegalArgumentException](PpmCodec.decodeP6(f0 ++ f1))
+    assert(e2.getMessage.contains("trailing"))
+  }
+
   test("ppm: malformed input is rejected by name") {
     val e1 = intercept[IllegalArgumentException](
       PpmCodec.decodeP6("P5\n1 1\n255\n...".getBytes("US-ASCII")))

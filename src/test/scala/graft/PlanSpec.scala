@@ -400,7 +400,8 @@ class PlanSpec extends AnyFunSuite {
     try Seq(
       "wav_meta"   -> Multimodal.wavMeta(spark, d),
       "wav_energy" -> Multimodal.wavFrameEnergy(spark, d),
-      "image_grid" -> Multimodal.imageGrid(spark, d)
+      "image_grid" -> Multimodal.imageGrid(spark, d),
+      "stream_frames" -> Multimodal.streamFrames(spark, d)
     ).foreach { case (name, df) =>
       val exchanges =
         df.queryExecution.executedPlan.collect { case e: Exchange => e }

@@ -249,6 +249,55 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** (doc_id, gif BINARY): a real LZW-COMPRESSED GIF87a per document —
+    * 6–10 × 5–8 pixels, a 4/8/16-color global table with analytic
+    * palette entries (channel c of color j: see the oracle), pixel i's
+    * index = (doc_id + i·13) mod colors. The payload genuinely
+    * round-trips variable-width LZW (GifCodec), so the decode query
+    * exercises real decompression, not container unwrapping. */
+  def gifBlobs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val colors = 1 << (2 + (id % 3).toInt) // 4 / 8 / 16
+          val w = 6 + (id % 5).toInt
+          val h = 5 + (id % 4).toInt
+          val palette = Array.tabulate(colors) { j =>
+            val r = ((id * 7 + j * 11) % 256).toInt
+            val g = ((id * 3 + j * 29) % 256).toInt
+            val b = ((id * 13 + j * 5) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+          val indices = Array.tabulate(w * h)(i =>
+            ((id + i * 13L) % colors).toByte)
+          (id, GifCodec.encode(w, h, palette, indices))
+        }
+      }.toDF("doc_id", "gif")
+  }
+
+  /** Image statistics DECODED from the compressed GIF bytes: parsed
+    * dimensions, color-table size, and exact per-channel sums of the
+    * palette-resolved pixels — every value downstream of a real LZW
+    * decompression, reduced in the scan stage. */
+  def gifStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gifBlobs(s, d).as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val g = GifCodec.decode(bytes)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          g.indices.foreach { ix =>
+            val c = g.palette(ix & 0xff)
+            sr += (c >> 16) & 0xff; sg += (c >> 8) & 0xff; sb += c & 0xff
+          }
+          (id, g.width, g.height, g.palette.length, sr, sg, sb)
+        }
+      }.toDF("doc_id", "width", "height", "n_colors",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
+
   /** 4×4 downsample grid over the DECODED pixels: per grid cell the
     * exact per-channel byte sums (integer — no float resampling
     * ambiguity between engines). This is the real "resize" primitive:
@@ -286,7 +335,8 @@ object Multimodal {
     "multimodal_wav_meta"   -> ((s, d) => wavMeta(s, d)),
     "multimodal_wav_energy" -> ((s, d) => wavFrameEnergy(s, d)),
     "multimodal_image_grid" -> ((s, d) => imageGrid(s, d)),
-    "multimodal_stream_frames" -> ((s, d) => streamFrames(s, d))
+    "multimodal_stream_frames" -> ((s, d) => streamFrames(s, d)),
+    "multimodal_gif_stats" -> ((s, d) => gifStats(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,7 +425,24 @@ object Multimodal {
         |  CAST(sum((doc_id * 17 + fi * 113 + k * 7) % 256) AS BIGINT) AS sum_rgb
         |FROM dims,
         |  LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS k) g2
-        |GROUP BY doc_id, fi, w, h ORDER BY doc_id, frame_idx""".stripMargin
+        |GROUP BY doc_id, fi, w, h ORDER BY doc_id, frame_idx""".stripMargin,
+    // the engine must round-trip REAL LZW to reach these rows; the
+    // oracle re-derives them from the analytic palette/index rules
+    "multimodal_gif_stats" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(1 << (2 + doc_id % 3) AS BIGINT) AS colors,
+        |    CAST(6 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(5 + doc_id % 4 AS BIGINT) AS h FROM documents),
+        |px AS (SELECT doc_id, colors, w, h,
+        |    (doc_id + i * 13) % colors AS j
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) g)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(colors AS INT) AS n_colors,
+        |  CAST(sum((doc_id * 7 + j * 11) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((doc_id * 3 + j * 29) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((doc_id * 13 + j * 5) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h, colors ORDER BY doc_id""".stripMargin
   )
 }
 

@@ -126,6 +126,68 @@ class CodecsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("maxval"))
   }
 
+  // -- GIF / LZW -------------------------------------------------------
+
+  test("gif: encode -> decode round-trips palette and pixels through real LZW") {
+    import graft.multimodal.GifCodec
+    val palette = Array.tabulate(8)(j => (j * 30 << 16) | (j * 20 << 8) | j)
+    val indices = Array.tabulate(7 * 5)(i => ((i * 3) % 8).toByte)
+    val g = GifCodec.decode(GifCodec.encode(7, 5, palette, indices))
+    assert(g.width == 7 && g.height == 5)
+    assert(g.palette.toSeq == palette.toSeq)
+    assert(g.indices.toSeq == indices.toSeq)
+  }
+
+  test("gif: the canonical third-party 1x1 GIF decodes (89a, extension skip, missing EOI)") {
+    import graft.multimodal.GifCodec
+    // the ubiquitous 43-byte transparent-pixel GIF every web stack
+    // ships — written by a third-party encoder, carries a GIF89a
+    // graphic-control extension, and ends without an explicit
+    // end-of-information code
+    val bytes = java.util.Base64.getDecoder.decode(
+      "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    val g = GifCodec.decode(bytes)
+    assert(g.width == 1 && g.height == 1)
+    assert(g.palette.toSeq == Seq(0x000000, 0xffffff))
+    assert(g.indices.toSeq == Seq(0.toByte))
+  }
+
+  test("gif lzw: KwKwK runs and 4096-entry dictionary resets round-trip exactly") {
+    import graft.multimodal.GifCodec
+    // a long same-byte run hits the code-defined-as-it-is-used case
+    // on its second step and repeatedly afterwards
+    val run = Array.fill(500)(3.toByte)
+    val gRun = GifCodec.decode(GifCodec.encode(25, 20,
+      Array.tabulate(4)(j => j), run))
+    assert(gRun.indices.toSeq == run.toSeq)
+    // 20k low-repetition pixels over 256 colors force the dictionary
+    // past 4096 entries -> clear-code reset path, plus full width
+    // growth 9..12 bits; values from a fixed LCG so the test is
+    // deterministic
+    var seed = 12345L
+    val big = Array.tabulate(20000) { _ =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) & 0xff).toByte
+    }
+    val palette256 = Array.tabulate(256)(j => j << 8)
+    val gBig = GifCodec.decode(GifCodec.encode(200, 100, palette256, big))
+    assert(gBig.indices.toSeq == big.toSeq)
+  }
+
+  test("gif: malformed input is rejected by name") {
+    import graft.multimodal.GifCodec
+    val good = GifCodec.encode(2, 2, Array.tabulate(4)(j => j),
+      Array[Byte](0, 1, 2, 3))
+    val badMagic = good.clone(); badMagic(3) = 'X'.toByte
+    val e1 = intercept[IllegalArgumentException](GifCodec.decode(badMagic))
+    assert(e1.getMessage.contains("magic"))
+    // corrupt the LZW stream: a code far ahead of the dictionary
+    val e2 = intercept[IllegalArgumentException] {
+      GifCodec.lzwDecode(2, Array[Byte](0x04.toByte, 0x7f.toByte, 0x7f.toByte), 16)
+    }
+    assert(e2.getMessage.contains("LZW"))
+  }
+
   // -- decoded queries -----------------------------------------------
 
   test("wav_meta decodes what the container carries: doc 0 and doc 5 analytic pins") {

@@ -401,7 +401,8 @@ class PlanSpec extends AnyFunSuite {
       "wav_meta"   -> Multimodal.wavMeta(spark, d),
       "wav_energy" -> Multimodal.wavFrameEnergy(spark, d),
       "image_grid" -> Multimodal.imageGrid(spark, d),
-      "stream_frames" -> Multimodal.streamFrames(spark, d)
+      "stream_frames" -> Multimodal.streamFrames(spark, d),
+      "gif_stats" -> Multimodal.gifStats(spark, d)
     ).foreach { case (name, df) =>
       val exchanges =
         df.queryExecution.executedPlan.collect { case e: Exchange => e }

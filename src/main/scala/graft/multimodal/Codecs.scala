@@ -23,11 +23,21 @@ package graft.multimodal
   */
 object WavCodec {
 
-  /** Decoded PCM-16 WAV: `samples` is the raw interleaved stream
-    * (frame-major, channel-minor — exactly the order of the data
-    * chunk), so `samples.length = frames * channels`. */
+  /** Decoded WAV: `samples` is the LINEAR 16-bit interleaved stream
+    * (frame-major, channel-minor — the data-chunk order), so
+    * `samples.length = frames * channels`. For μ-law input
+    * (`audioFormat` 7) the samples are the G.711-EXPANDED values. */
   final case class Wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
-      samples: Array[Short])
+      samples: Array[Short], audioFormat: Int = 1)
+
+  /** G.711 μ-law byte → 16-bit linear sample — the CCITT expansion
+    * (public ITU-T G.711 standard): complement, split into sign /
+    * 3-bit exponent / 4-bit mantissa, rebuild the biased magnitude. */
+  def ulawToLinear(u: Int): Short = {
+    val v = ~u & 0xff
+    val t = (((v & 0x0f) << 3) + 0x84) << ((v & 0x70) >> 4)
+    (if ((v & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
 
   /** Canonical RIFF/WAVE encoding of an interleaved PCM-16 stream:
     * RIFF header, 16-byte fmt chunk (audio format 1 = PCM), data
@@ -55,9 +65,35 @@ object WavCodec {
     buf.array()
   }
 
+  /** RIFF/WAVE container around a raw G.711 μ-law byte stream:
+    * fmt tag 7, 8 bits per sample, one byte per sample (the standard
+    * telephony encoding, normally at 8 kHz). */
+  def encodeUlaw(sampleRate: Int, channels: Int,
+      ulaw: Array[Byte]): Array[Byte] = {
+    require(channels > 0, s"channels must be positive: $channels")
+    require(ulaw.length % channels == 0,
+      s"stream length ${ulaw.length} not divisible by channels $channels")
+    val pad = ulaw.length & 1 // word-align the data chunk
+    val buf = java.nio.ByteBuffer.allocate(44 + ulaw.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + ulaw.length + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7.toShort)                  // μ-law
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels)        // byte rate
+      .putShort(channels.toShort)           // block align
+      .putShort(8.toShort)                  // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(ulaw.length)
+      .put(ulaw)
+    buf.array()
+  }
+
   /** Parse a RIFF/WAVE container: validate magic, walk chunks in any
-    * order skipping unknown ones (word-aligned, per spec), require
-    * PCM-16 fmt, extract the interleaved little-endian sample stream. */
+    * order skipping unknown ones (word-aligned, per spec), accept
+    * PCM-16 (fmt 1) or μ-law (fmt 7), and return the LINEAR
+    * interleaved sample stream (μ-law expanded via [[ulawToLinear]]). */
   def decode(bytes: Array[Byte]): Wav = {
     require(bytes.length >= 12, s"not a RIFF file: ${bytes.length} bytes")
     val buf = java.nio.ByteBuffer.wrap(bytes)
@@ -70,8 +106,8 @@ object WavCodec {
     buf.getInt // declared riff size; trust the actual buffer bound
     val wave = fourCC()
     require(wave == "WAVE", s"bad WAVE magic: '$wave'")
-    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
-    var data: Option[Array[Short]] = None
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+    var data: Option[Array[Byte]] = None // raw; interpreted per fmt below
     while (buf.remaining() >= 8 && (fmt.isEmpty || data.isEmpty)) {
       val id = fourCC()
       val size = buf.getInt
@@ -81,34 +117,51 @@ object WavCodec {
         case "fmt " =>
           require(size >= 16, s"fmt chunk too small: $size")
           val start = buf.position()
-          val audioFormat = buf.getShort
-          require(audioFormat == 1, s"not PCM (fmt tag $audioFormat)")
+          val audioFormat = buf.getShort.toInt
           val channels = buf.getShort.toInt
           val rate = buf.getInt
           buf.getInt   // byte rate (derived)
           buf.getShort // block align (derived)
           val bits = buf.getShort.toInt
-          require(bits == 16, s"only PCM-16 supported, got $bits-bit")
-          fmt = Some((channels, rate, bits))
+          fmt = Some((audioFormat, channels, rate, bits))
           buf.position(start + size + (size & 1)) // word-aligned
         case "data" =>
-          require(size % 2 == 0, s"odd PCM-16 data size: $size")
-          val out = new Array[Short](size / 2)
-          var i = 0
-          while (i < out.length) { out(i) = buf.getShort; i += 1 }
-          data = Some(out)
+          val raw = new Array[Byte](size)
+          buf.get(raw)
+          data = Some(raw)
           if ((size & 1) == 1 && buf.hasRemaining) buf.get
         case _ => // LIST, fact, cue, ... — skip by declared size
           buf.position(buf.position() + size + (size & 1))
       }
     }
-    val (channels, rate, bits) = fmt.getOrElse(
+    val (format, channels, rate, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("no fmt chunk"))
-    val samples = data.getOrElse(
+    val raw = data.getOrElse(
       throw new IllegalArgumentException("no data chunk"))
+    val samples = format match {
+      case 1 =>
+        require(bits == 16, s"only PCM-16 supported, got $bits-bit PCM")
+        require(raw.length % 2 == 0, s"odd PCM-16 data size: ${raw.length}")
+        val out = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        out
+      case 7 =>
+        require(bits == 8, s"mu-law must be 8-bit, got $bits")
+        val out = new Array[Short](raw.length)
+        var i = 0
+        while (i < out.length) { out(i) = ulawToLinear(raw(i) & 0xff); i += 1 }
+        out
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported fmt tag $other (PCM=1 and mu-law=7 only)")
+    }
     require(samples.length % channels == 0,
       s"data chunk (${samples.length} samples) not divisible by $channels channels")
-    Wav(rate, channels, bits, samples)
+    Wav(rate, channels, bits, samples, format) // bits = the CONTAINER's depth (8 for μ-law)
   }
 }
 

@@ -249,6 +249,43 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** (doc_id, wav BINARY): a real fmt-7 (G.711 μ-law) RIFF/WAVE per
+    * document at the telephony-standard 8 kHz — μ-law byte i =
+    * (doc_id·29 + i·23) mod 256, 200 + (doc_id mod 300) samples,
+    * mono. */
+  def ulawBlobs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val n = 200 + (id % 300).toInt
+          val ulaw = Array.tabulate(n)(i =>
+            ((id * 29 + i.toLong * 23) % 256).toByte)
+          (id, WavCodec.encodeUlaw(8000, 1, ulaw))
+        }
+      }.toDF("doc_id", "wav")
+  }
+
+  /** Companded-audio energy DECODED through the real G.711 expansion:
+    * parse the fmt-7 container, expand every μ-law byte to its linear
+    * 16-bit value, and emit the exact Σ|sample| — integer end to end,
+    * so the oracle restates the ITU expansion formula verbatim. */
+  def ulawEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ulawBlobs(s, d).as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val w = WavCodec.decode(bytes)
+          require(w.audioFormat == 7 && w.bitsPerSample == 8,
+            s"expected a mu-law container, got fmt ${w.audioFormat}")
+          var sum = 0L
+          w.samples.foreach(s0 => sum += math.abs(s0.toLong))
+          (id, w.sampleRate, w.samples.length, sum)
+        }
+      }.toDF("doc_id", "sample_rate", "n_samples", "sum_abs")
+      .orderBy(col("doc_id"))
+  }
+
   /** (doc_id, gif BINARY): a real LZW-COMPRESSED GIF87a per document —
     * 6–10 × 5–8 pixels, a 4/8/16-color global table with analytic
     * palette entries (channel c of color j: see the oracle), pixel i's
@@ -336,7 +373,8 @@ object Multimodal {
     "multimodal_wav_energy" -> ((s, d) => wavFrameEnergy(s, d)),
     "multimodal_image_grid" -> ((s, d) => imageGrid(s, d)),
     "multimodal_stream_frames" -> ((s, d) => streamFrames(s, d)),
-    "multimodal_gif_stats" -> ((s, d) => gifStats(s, d))
+    "multimodal_gif_stats" -> ((s, d) => gifStats(s, d)),
+    "multimodal_ulaw_energy" -> ((s, d) => ulawEnergy(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -442,7 +480,22 @@ object Multimodal {
         |  CAST(sum((doc_id * 7 + j * 11) % 256) AS BIGINT) AS sum_r,
         |  CAST(sum((doc_id * 3 + j * 29) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((doc_id * 13 + j * 5) % 256) AS BIGINT) AS sum_b
-        |FROM px GROUP BY doc_id, w, h, colors ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id, w, h, colors ORDER BY doc_id""".stripMargin,
+    // the ITU-T G.711 μ-law expansion restated verbatim: complement,
+    // sign/exponent/mantissa split, biased magnitude rebuild
+    "multimodal_ulaw_energy" ->
+      """WITH p AS (SELECT doc_id, 200 + doc_id % 300 AS n FROM documents),
+        |u AS (SELECT doc_id, n,
+        |    255 - ((doc_id * 29 + i * 23) % 256) AS v
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g),
+        |s AS (SELECT doc_id, n,
+        |    CASE WHEN (v & 128) != 0
+        |         THEN 132 - (((v & 15) * 8 + 132) << ((v & 112) // 16))
+        |         ELSE (((v & 15) * 8 + 132) << ((v & 112) // 16)) - 132
+        |    END AS lin FROM u)
+        |SELECT doc_id, 8000 AS sample_rate, CAST(n AS INT) AS n_samples,
+        |  CAST(sum(abs(lin)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
   )
 }
 

@@ -80,6 +80,28 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WavCodec.decode(overrun))
   }
 
+  test("wav mu-law: G.711 golden values and a real fmt-7 container round trip") {
+    import graft.multimodal.WavCodec
+    // ITU-T G.711 landmarks: 0x80 is the positive maximum +32124,
+    // 0x00 its negative mirror -32124, 0xff/0x7f the two zeros
+    assert(WavCodec.ulawToLinear(0x80) == 32124)
+    assert(WavCodec.ulawToLinear(0x00) == -32124)
+    assert(WavCodec.ulawToLinear(0xff) == 0)
+    assert(WavCodec.ulawToLinear(0x7f) == 0)
+    // segment boundary: 0xf0 -> ~= 0x0f: exp 0, mant 15 -> 8*15+132-132 = 120... sign 0
+    assert(WavCodec.ulawToLinear(0xf0) == 120)
+    val ulaw = Array.tabulate(251)(i => ((i * 37) % 256).toByte) // odd length -> pad path
+    val w = WavCodec.decode(WavCodec.encodeUlaw(8000, 1, ulaw))
+    assert(w.audioFormat == 7 && w.bitsPerSample == 8 && w.sampleRate == 8000)
+    assert(w.samples.toSeq ==
+      ulaw.toSeq.map(b => WavCodec.ulawToLinear(b & 0xff)))
+    // an unsupported fmt tag must be named, not misread
+    val bad = WavCodec.encodeUlaw(8000, 1, ulaw).clone()
+    bad(20) = 2.toByte // ADPCM
+    val e = intercept[IllegalArgumentException](WavCodec.decode(bad))
+    assert(e.getMessage.contains("fmt tag"))
+  }
+
   // -- PPM -----------------------------------------------------------
 
   test("ppm: encode -> decode round-trips dimensions and pixels exactly") {

@@ -402,7 +402,8 @@ class PlanSpec extends AnyFunSuite {
       "wav_energy" -> Multimodal.wavFrameEnergy(spark, d),
       "image_grid" -> Multimodal.imageGrid(spark, d),
       "stream_frames" -> Multimodal.streamFrames(spark, d),
-      "gif_stats" -> Multimodal.gifStats(spark, d)
+      "gif_stats" -> Multimodal.gifStats(spark, d),
+      "ulaw_energy" -> Multimodal.ulawEnergy(spark, d)
     ).foreach { case (name, df) =>
       val exchanges =
         df.queryExecution.executedPlan.collect { case e: Exchange => e }

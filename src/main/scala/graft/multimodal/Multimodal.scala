@@ -9,9 +9,14 @@ import graft.Tables
   * typed metadata, decoded / feature-extracted in batched
   * per-partition passes.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly marked deterministic STUB ([[FakeDecoder]]) — what is real
-  * and tested is everything Spark-side: the binary column schema, the
+  * Since round 11 the decode step is REAL for every format a JVM can
+  * parse without codec libraries: RIFF/WAVE PCM-16 and G.711 μ-law
+  * audio, binary PPM images and multi-image streams, and
+  * LZW-compressed GIF ([[WavCodec]]/[[PpmCodec]]/[[GifCodec]] —
+  * strict parsers, golden-byte pinned). [[FakeDecoder]] remains only
+  * as the clearly marked stand-in for codec-library formats
+  * (JPEG/MP3/H.264), which this container cannot host. Real
+  * throughout and tested either way: the binary column schema, the
   * batched `mapPartitions` shape (the JVM twin of `mapInPandas`:
   * iterate partitions in bounded batches, never materialize the whole
   * partition), the metadata projection, and the handoff of extracted
@@ -364,6 +369,26 @@ object Multimodal {
       .orderBy(col("doc_id"), col("gy"), col("gx"))
   }
 
+  /** The REAL decode → feature → search pipeline end to end: k-NN
+    * over the decoded 4×4 grid features ([[imageGrid]]), exact
+    * integer squared-L2. Entirely relational — the per-cell sums
+    * equi-join the broadcast query cells on (gy, gx), so the distance
+    * is Σ over 16 cells × 3 channels of (sum − qsum)², computed with
+    * no float anywhere and no feature vector materialized. */
+  def gridKnn(s: SparkSession, d: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val g = imageGrid(s, d)
+    val q = g.filter(col("doc_id") === qid)
+      .select(col("gy"), col("gx"), col("sum_r").as("qr"),
+        col("sum_g").as("qg"), col("sum_b").as("qb"))
+    def sq(c: org.apache.spark.sql.Column) = c * c
+    g.join(broadcast(q), Seq("gy", "gx"))
+      .groupBy(col("doc_id"))
+      .agg(sum(sq(col("sum_r") - col("qr")) + sq(col("sum_g") - col("qg"))
+        + sq(col("sum_b") - col("qb"))).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> ((s, d) => mediaMeta(s, d)),
     "multimodal_features" -> ((s, d) => featuresExploded(s, d)),
@@ -374,7 +399,8 @@ object Multimodal {
     "multimodal_image_grid" -> ((s, d) => imageGrid(s, d)),
     "multimodal_stream_frames" -> ((s, d) => streamFrames(s, d)),
     "multimodal_gif_stats" -> ((s, d) => gifStats(s, d)),
-    "multimodal_ulaw_energy" -> ((s, d) => ulawEnergy(s, d))
+    "multimodal_ulaw_energy" -> ((s, d) => ulawEnergy(s, d)),
+    "multimodal_grid_knn" -> ((s, d) => gridKnn(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -495,12 +521,36 @@ object Multimodal {
         |    END AS lin FROM u)
         |SELECT doc_id, 8000 AS sample_rate, CAST(n AS INT) AS n_samples,
         |  CAST(sum(abs(lin)) AS BIGINT) AS sum_abs
-        |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+        |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // decoded-grid k-NN: the image_grid CTE joined against doc 0's
+    // cells, exact integer squared-L2 over 16 cells x 3 channels
+    "multimodal_grid_knn" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 7 AS BIGINT) AS h FROM documents),
+        |cells AS (SELECT doc_id,
+        |    (k // w) * 4 // h AS gy, (k % w) * 4 // w AS gx,
+        |    sum((doc_id * 31 + (3 * k) * 7) % 256) AS sr,
+        |    sum((doc_id * 31 + (3 * k + 1) * 7) % 256) AS sg,
+        |    sum((doc_id * 31 + (3 * k + 2) * 7) % 256) AS sb
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS k) g
+        |  GROUP BY doc_id, gy, gx),
+        |q AS (SELECT gy, gx, sr AS qr, sg AS qg, sb AS qb
+        |  FROM cells WHERE doc_id = 0)
+        |SELECT c.doc_id,
+        |  CAST(sum((c.sr - q.qr) * (c.sr - q.qr)
+        |         + (c.sg - q.qg) * (c.sg - q.qg)
+        |         + (c.sb - q.qb) * (c.sb - q.qb)) AS BIGINT) AS dist
+        |FROM cells c JOIN q USING (gy, gx)
+        |GROUP BY c.doc_id ORDER BY dist, doc_id LIMIT 10""".stripMargin
   )
 }
 
-/** STUB media decoder — the real implementation would wrap an image /
-  * audio codec here (none exists in this container). Deterministic:
+/** STUB media decoder for the codec-LIBRARY formats (JPEG/MP3/H.264 —
+  * no codec libraries exist in this container; the formats a JVM can
+  * parse unaided are handled for real by [[WavCodec]]/[[PpmCodec]]/
+  * [[GifCodec]]). Deterministic:
   * each "feature" component is a pseudo-uniform value seeded by the
   * payload's content hash (md5) and the component index, so the
   * downstream vector pipeline is fully testable AND the whole decode

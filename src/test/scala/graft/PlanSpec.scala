@@ -403,7 +403,8 @@ class PlanSpec extends AnyFunSuite {
       "image_grid" -> Multimodal.imageGrid(spark, d),
       "stream_frames" -> Multimodal.streamFrames(spark, d),
       "gif_stats" -> Multimodal.gifStats(spark, d),
-      "ulaw_energy" -> Multimodal.ulawEnergy(spark, d)
+      "ulaw_energy" -> Multimodal.ulawEnergy(spark, d),
+      "grid_knn" -> Multimodal.gridKnn(spark, d)
     ).foreach { case (name, df) =>
       val exchanges =
         df.queryExecution.executedPlan.collect { case e: Exchange => e }

@@ -156,9 +156,18 @@ object Multimodal {
 
   /** (doc_id, ppm BINARY): a real binary-PPM (P6) image per document,
     * 8–16 × 8–14 pixels, channel byte k = (doc_id·31 + k·7) mod 256. */
-  def ppmBlobs(s: SparkSession, d: String): DataFrame = {
+  def ppmBlobs(s: SparkSession, d: String): DataFrame =
+    ppmBlobsOf(Tables.documents(s, d).select(col("doc_id")))
+
+  /** [[ppmBlobs]] over an arbitrary (doc_id) source — filters cannot
+    * push through a typed `mapPartitions`, so a caller that needs ONE
+    * document's blob (the [[gridKnn]] query side) must filter the
+    * scan BEFORE synthesis/decode, not decode the corpus and discard
+    * it. */
+  private def ppmBlobsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    docs.select(col("doc_id")).as[Long]
       .mapPartitions { iter =>
         iter.map { id =>
           val w = 8 + (id % 9).toInt
@@ -344,9 +353,15 @@ object Multimodal {
     * exact per-channel byte sums (integer — no float resampling
     * ambiguity between engines). This is the real "resize" primitive:
     * cell (gy, gx) owns pixels with gy = y·4/h, gx = x·4/w. */
-  def imageGrid(s: SparkSession, d: String): DataFrame = {
+  def imageGrid(s: SparkSession, d: String): DataFrame =
+    gridCellsOf(ppmBlobs(s, d))
+      .orderBy(col("doc_id"), col("gy"), col("gx"))
+
+  /** The decode → cell-sum stage over any (doc_id, ppm) source. */
+  private def gridCellsOf(blobs: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
     import s.implicits._
-    ppmBlobs(s, d).as[(Long, Array[Byte])]
+    blobs.as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.flatMap { case (id, bytes) =>
           val img = PpmCodec.decodeP6(bytes)
@@ -366,7 +381,6 @@ object Multimodal {
           (0 until 16).map(c => (id, c / 4, c % 4, sr(c), sg(c), sb(c)))
         }
       }.toDF("doc_id", "gy", "gx", "sum_r", "sum_g", "sum_b")
-      .orderBy(col("doc_id"), col("gy"), col("gx"))
   }
 
   /** The REAL decode → feature → search pipeline end to end: k-NN
@@ -376,8 +390,14 @@ object Multimodal {
     * is Σ over 16 cells × 3 channels of (sum − qsum)², computed with
     * no float anywhere and no feature vector materialized. */
   def gridKnn(s: SparkSession, d: String, qid: Long = 0L, k: Int = 10): DataFrame = {
-    val g = imageGrid(s, d)
-    val q = g.filter(col("doc_id") === qid)
+    val g = gridCellsOf(ppmBlobs(s, d))
+    // the query side decodes exactly ONE document: the doc_id filter
+    // lands on the parquet scan (PushedFilters), BEFORE the synthesis
+    // and decode mapPartitions it could never push through — at 100 TB
+    // the alternative is decoding the corpus twice to read 16 rows
+    val q = gridCellsOf(ppmBlobsOf(
+        Tables.documents(s, d).filter(col("doc_id") === qid)
+          .select(col("doc_id"))))
       .select(col("gy"), col("gx"), col("sum_r").as("qr"),
         col("sum_g").as("qg"), col("sum_b").as("qb"))
     def sq(c: org.apache.spark.sql.Column) = c * c

@@ -383,6 +383,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("grid_knn: the query side's doc filter is pushed to the parquet scan") {
+    // filters cannot push through the synthesis/decode mapPartitions,
+    // so the one-document query side must filter BEFORE it — at scale
+    // the alternative decodes the whole corpus twice to read 16 rows
+    import graft.multimodal.Multimodal
+    val p = plan(Multimodal.gridKnn(spark, d))
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,0)]"),
+      s"query-side doc_id filter not pushed to the scan:\n$p")
+  }
+
   test("multimodal decode queries: media blobs never cross an exchange") {
     // the multimodal scale contract: container bytes are decoded and
     // reduced in the scan stage; only the small derived rows

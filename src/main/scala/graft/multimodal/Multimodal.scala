@@ -57,9 +57,17 @@ object Multimodal {
   /** Batched per-partition feature extraction: blob → Array[Float].
     * Mirrors the mapInPandas batch shape — bounded batches, one
     * decoder instance per partition. Feeds the ANN/k-NN operators. */
-  def features(s: SparkSession, d: String, dim: Int = 16, batchSize: Int = 64): DataFrame = {
+  def features(s: SparkSession, d: String, dim: Int = 16, batchSize: Int = 64): DataFrame =
+    featuresOf(blobTable(s, d), dim, batchSize)
+
+  /** [[features]] over an arbitrary (doc_id, blob) source — the
+    * filter-before-decode hook (see [[gridKnn]]'s query side: filters
+    * cannot push through a typed `mapPartitions`). */
+  private def featuresOf(blobs: DataFrame, dim: Int,
+      batchSize: Int): DataFrame = {
+    val s = blobs.sparkSession
     import s.implicits._
-    blobTable(s, d)
+    blobs
       .select(col("doc_id"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
@@ -91,7 +99,12 @@ object Multimodal {
   def multimodalKnn(s: SparkSession, d: String, qid: Long = 0L, k: Int = 10): DataFrame = {
     import graft.functions.VectorFunctions.squaredL2
     val f = features(s, d).withColumn("fv", col("feature").cast("array<double>"))
-    val q = f.filter(col("doc_id") === qid).select(col("fv").as("qv"))
+    // query side decodes exactly ONE document: the doc_id filter is a
+    // plain predicate over blobTable's declarative projection, so it
+    // reaches the parquet scan — never decode-the-corpus-and-discard
+    val q = featuresOf(blobTable(s, d).filter(col("doc_id") === qid),
+        dim = 16, batchSize = 64)
+      .select(col("feature").cast("array<double>").as("qv"))
     f.crossJoin(broadcast(q))
       .select(col("doc_id"), squaredL2(col("fv"), col("qv")).as("dist"))
       .orderBy(col("dist"), col("doc_id"))

@@ -210,6 +210,36 @@ class CodecsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("LZW"))
   }
 
+  test("codec properties: randomized round trips across the parameter space (seeded)") {
+    import graft.multimodal.{GifCodec, PpmCodec, WavCodec}
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic
+    (1 to 25).foreach { _ =>
+      val ch = 1 + rnd.nextInt(3)
+      val frames = 1 + rnd.nextInt(400)
+      val samples = Array.fill(frames * ch)(rnd.nextInt(65536).toShort)
+      val rate = 1 + rnd.nextInt(96000)
+      val w = WavCodec.decode(WavCodec.encodePcm16(rate, ch, samples))
+      assert(w.sampleRate == rate && w.channels == ch)
+      assert(w.samples.toSeq == samples.toSeq)
+    }
+    (1 to 25).foreach { _ =>
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val img = PpmCodec.decodeP6(PpmCodec.encodeP6(w, h, rgb))
+      assert(img.width == w && img.height == h && img.rgb.toSeq == rgb.toSeq)
+    }
+    (1 to 15).foreach { _ =>
+      val bits = 1 + rnd.nextInt(8) // palette sizes 2..256 incl. the <4 floor
+      val n = 1 << bits
+      val palette = Array.tabulate(n)(_ => rnd.nextInt(1 << 24))
+      val w = 1 + rnd.nextInt(60); val h = 1 + rnd.nextInt(60)
+      val idx = Array.fill(w * h)(rnd.nextInt(n).toByte)
+      val g = GifCodec.decode(GifCodec.encode(w, h, palette, idx))
+      assert(g.width == w && g.height == h)
+      assert(g.palette.toSeq == palette.toSeq && g.indices.toSeq == idx.toSeq)
+    }
+  }
+
   // -- decoded queries -----------------------------------------------
 
   test("wav_meta decodes what the container carries: doc 0 and doc 5 analytic pins") {

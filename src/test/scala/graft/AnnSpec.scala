@@ -509,6 +509,23 @@ class AnnSpec extends AnyFunSuite {
       "semantic_dedup_measured must keep measuring live")
     assert(new java.io.File(s"$path/_SUCCESS").exists(),
       "live measured run clobbered the persisted outcome")
+    // knob isolation: a run at different knobs writes its OWN store
+    // location and can never be served for the defaults (the store key
+    // folds in every chooser parameter)
+    val otherPath = Similarity.dedupChoicePath(d, massPerRow = 64)
+    assert(otherPath != path, "store key ignores the mass ceiling knob")
+    val (v2, a2) = Similarity.semanticDedupMeasuredWithState(spark, d,
+      massPerRow = 64)
+    try v2.count() finally Ann.freeBuildState(a2)
+    val cOther = Similarity.lastDedupChoice.get
+    assert(new java.io.File(s"$otherPath/_SUCCESS").exists(),
+      "knob run did not seed its own store")
+    val after = Similarity.chooserMeasurements
+    val s3 = Similarity.dedupStats(spark, d).collect() // defaults again
+    assert(Similarity.chooserMeasurements == after,
+      "defaults dedup_stats re-measured despite its store")
+    assert(s3.map(_.toString).toSeq == s1.map(_.toString).toSeq,
+      s"defaults stats served the knob run's outcome (chosen p ${cOther.p})")
   }
 
   test("sampled-exact ground truth is memoized: second call runs 0 jobs, freed entries rebuild") {

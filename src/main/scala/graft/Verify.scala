@@ -46,6 +46,19 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        // VERDICT r11 fix 1b: a dedup_stats driver red must carry its
+        // evidence — the choice that produced the written rows, and
+        // the state of the cross-session store the declared query is
+        // now guaranteed NOT to have read.
+        if (name == "dedup_stats") {
+          val p = graft.operators.Similarity.dedupChoicePath(sfDir)
+          System.err.println(
+            s"[verify] dedup_stats evidence: derived in-session " +
+              s"(declared query never reads cross-session storage); " +
+              s"choice=${graft.operators.Similarity.lastDedupChoice}; " +
+              s"storePath=$p storeExists=" +
+              new java.io.File(s"$p/_SUCCESS").exists())
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

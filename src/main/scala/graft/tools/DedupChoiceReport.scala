@@ -31,9 +31,21 @@ object DedupChoiceReport {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows = graft.operators.Similarity
-      .semanticDedupMeasured(spark, d, eps = eps, stride = stride,
-        massPerRow = massPerRow, cellSize = cellSize).count()
+    // at the declared-query defaults the REPORT path may serve the
+    // persisted (version-stamped, invariant-validated) outcome —
+    // build-once/report-many; any other knob set measures live
+    val defaults = eps == 1.1 && stride == 0L && massPerRow == 512L &&
+      cellSize == 64
+    val rows =
+      if (defaults) {
+        val stats = graft.operators.Similarity.dedupStatsStored(spark, d)
+          .collect()
+        println(s"[dedup-choice] stats rows (stored-or-measured):")
+        stats.foreach(r => println(s"[dedup-choice]   $r"))
+        stats.head.getLong(7) // dropped
+      } else graft.operators.Similarity
+        .semanticDedupMeasured(spark, d, eps = eps, stride = stride,
+          massPerRow = massPerRow, cellSize = cellSize).count()
     val c = graft.operators.Similarity.lastDedupChoice.get
     println(s"[dedup-choice] d=$d eps=$eps stride=$stride " +
       s"massPerRow=$massPerRow cellSize=$cellSize chosen_p=${c.p} " +

@@ -482,7 +482,7 @@ class AnnSpec extends AnyFunSuite {
     assert(n == 0L, s"eps=1e-12 must drop nothing: $n")
   }
 
-  test("dedup chooser outcome is persisted: stats store-hit re-measures 0 times, rows identical") {
+  test("dedup chooser lifecycle: declared stats is session-pure, stored path validates + serves") {
     import graft.operators.Similarity
     val path = Similarity.dedupChoicePath(d)
     def rm(f: java.io.File): Unit = {
@@ -490,25 +490,63 @@ class AnnSpec extends AnyFunSuite {
       f.delete(); ()
     }
     rm(new java.io.File(path)) // hermetic: drop any earlier store
+    Similarity.clearChooserMemo()
+    // the store key carries the code revision and a CONTENT digest of
+    // the embeddings bytes (r11 fixes 1a + 5) — not just size+mtime
+    assert(path.contains(Similarity.ChooserStoreVersion),
+      s"store key lacks the code-version stamp: $path")
+    assert(path.contains(Similarity.embeddingsContentDigest(d)),
+      s"store key lacks the embeddings content digest: $path")
     val before = Similarity.chooserMeasurements
-    val s1 = Similarity.dedupStats(spark, d).collect() // miss: measure + seed
+    val s1 = Similarity.dedupStats(spark, d).collect() // measures + seeds
     assert(Similarity.chooserMeasurements == before + 1,
-      "store-miss dedup_stats must run the live measurement exactly once")
+      "first declared dedup_stats must run the live measurement exactly once")
     assert(new java.io.File(s"$path/_SUCCESS").exists(),
       "measured run did not seed the persisted chooser outcome")
-    val s2 = Similarity.dedupStats(spark, d).collect() // hit: serve stored
+    // same session again: served from the IN-SESSION memo (pure — same
+    // code, same bytes), never from the cross-session parquet store
+    rm(new java.io.File(path))
+    val s2 = Similarity.dedupStats(spark, d).collect()
     assert(Similarity.chooserMeasurements == before + 1,
-      "store-hit dedup_stats re-ran the measurement")
+      "same-session dedup_stats re-ran the measurement despite the memo")
     assert(s2.map(_.toString).toSeq == s1.map(_.toString).toSeq,
-      s"store-served rows diverged from measured rows:\n${s1.mkString("\n")}\nvs\n${s2.mkString("\n")}")
+      s"memo-served rows diverged from measured rows:\n${s1.mkString("\n")}\nvs\n${s2.mkString("\n")}")
     // the declared measuring query stays LIVE (kmeans_iter posture: it
-    // IS the measurement operator) and leaves the store intact
+    // IS the measurement operator) and re-seeds the store it finds gone
     val (v, a) = Similarity.semanticDedupMeasuredWithState(spark, d)
     try v.count() finally Ann.freeBuildState(a)
     assert(Similarity.chooserMeasurements == before + 2,
       "semantic_dedup_measured must keep measuring live")
     assert(new java.io.File(s"$path/_SUCCESS").exists(),
-      "live measured run clobbered the persisted outcome")
+      "live measured run did not re-seed the persisted outcome")
+    // a FRESH session (memo cleared) serving from storage: the REPORT
+    // entry point re-measures zero times and returns identical rows
+    Similarity.clearChooserMemo()
+    val s3 = Similarity.dedupStatsStored(spark, d).collect()
+    assert(Similarity.chooserMeasurements == before + 2,
+      "store-hit dedupStatsStored re-ran the measurement")
+    assert(s3.map(_.toString).toSeq == s1.map(_.toString).toSeq,
+      s"store-served rows diverged from measured rows:\n${s1.mkString("\n")}\nvs\n${s3.mkString("\n")}")
+    // ... but the DECLARED query in that fresh session must NOT read
+    // the store: it re-measures (gate output = f(fixture) alone)
+    Similarity.clearChooserMemo()
+    val s4 = Similarity.dedupStats(spark, d).collect()
+    assert(Similarity.chooserMeasurements == before + 3,
+      "fresh-session declared dedup_stats served cross-session store state")
+    assert(s4.map(_.toString).toSeq == s1.map(_.toString).toSeq,
+      "re-measured declared rows diverged")
+    // a store entry that fails live-invariant validation (wrong stride
+    // ⇒ a foreign/stale code revision's rows) is refused, deleted, and
+    // re-measured — never served into output
+    val good = Similarity.lastDedupChoice.get
+    assert(Similarity.servedChoiceValid(good, dEmbeddingsN),
+      "freshly measured choice must validate against live invariants")
+    val forged = good.copy(stride = good.stride + 7)
+    assert(!Similarity.servedChoiceValid(forged, dEmbeddingsN),
+      "stride-inconsistent choice passed validation")
+    val forgedWalk = good.copy(p = if (good.p == 1) 2 else 1)
+    assert(!Similarity.servedChoiceValid(forgedWalk, dEmbeddingsN),
+      "floor-walk-inconsistent chosen width passed validation")
     // knob isolation: a run at different knobs writes its OWN store
     // location and can never be served for the defaults (the store key
     // folds in every chooser parameter)
@@ -520,13 +558,19 @@ class AnnSpec extends AnyFunSuite {
     val cOther = Similarity.lastDedupChoice.get
     assert(new java.io.File(s"$otherPath/_SUCCESS").exists(),
       "knob run did not seed its own store")
+    Similarity.clearChooserMemo()
     val after = Similarity.chooserMeasurements
-    val s3 = Similarity.dedupStats(spark, d).collect() // defaults again
+    val s5 = Similarity.dedupStatsStored(spark, d).collect() // defaults
     assert(Similarity.chooserMeasurements == after,
-      "defaults dedup_stats re-measured despite its store")
-    assert(s3.map(_.toString).toSeq == s1.map(_.toString).toSeq,
+      "defaults dedupStatsStored re-measured despite its store")
+    assert(s5.map(_.toString).toSeq == s1.map(_.toString).toSeq,
       s"defaults stats served the knob run's outcome (chosen p ${cOther.p})")
   }
+
+  /** Live embeddings row count of fixture `d` — the n the serving-side
+    * invariant validation derives its expectations from. */
+  private lazy val dEmbeddingsN: Long =
+    graft.Tables.embeddings(spark, d).count()
 
   test("sampled-exact ground truth is memoized: second call runs 0 jobs, freed entries rebuild") {
     val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))

@@ -13,9 +13,10 @@ import graft.Tables
   * parse without codec libraries: RIFF/WAVE PCM-16 and G.711 μ-law
   * audio, binary PPM images and multi-image streams, and
   * LZW-compressed GIF ([[WavCodec]]/[[PpmCodec]]/[[GifCodec]] —
-  * strict parsers, golden-byte pinned). [[FakeDecoder]] remains only
-  * as the clearly marked stand-in for codec-library formats
-  * (JPEG/MP3/H.264), which this container cannot host. Real
+  * strict parsers, golden-byte pinned). Since round 12 EVERY declared
+  * query derives from real codec output; [[FakeDecoder]] remains only
+  * as the spec-pinned, clearly marked stand-in for codec-library
+  * formats (JPEG/MP3/H.264), which this container cannot host. Real
   * throughout and tested either way: the binary column schema, the
   * batched `mapPartitions` shape (the JVM twin of `mapInPandas`:
   * iterate partitions in bounded batches, never materialize the whole
@@ -54,20 +55,17 @@ object Multimodal {
         (octet_length(col("blob")) % 16 + 1).as("n_frames"))
       .orderBy(col("doc_id"))
 
-  /** Batched per-partition feature extraction: blob → Array[Float].
-    * Mirrors the mapInPandas batch shape — bounded batches, one
-    * decoder instance per partition. Feeds the ANN/k-NN operators. */
-  def features(s: SparkSession, d: String, dim: Int = 16, batchSize: Int = 64): DataFrame =
-    featuresOf(blobTable(s, d), dim, batchSize)
-
-  /** [[features]] over an arbitrary (doc_id, blob) source — the
-    * filter-before-decode hook (see [[gridKnn]]'s query side: filters
-    * cannot push through a typed `mapPartitions`). */
-  private def featuresOf(blobs: DataFrame, dim: Int,
-      batchSize: Int): DataFrame = {
-    val s = blobs.sparkSession
+  /** TEST-ONLY batched per-partition feature extraction: blob →
+    * Array[Float] through [[FakeDecoder]]. Since round 12 this serves
+    * ZERO declared queries — the declared feature/search pipeline
+    * ([[featuresExploded]], [[multimodalKnn]]) runs on REAL codec
+    * output — but the mapInPandas batch-shape contract it documents
+    * (bounded batches, one decoder instance per partition, fixed-dim
+    * float vectors) stays spec-pinned as the drop-in slot a
+    * codec-library decoder (JPEG/MP3/H.264) would fill. */
+  def features(s: SparkSession, d: String, dim: Int = 16, batchSize: Int = 64): DataFrame = {
     import s.implicits._
-    blobs
+    blobTable(s, d)
       .select(col("doc_id"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
@@ -79,36 +77,69 @@ object Multimodal {
       .toDF("doc_id", "feature")
   }
 
-  /** Gate form of [[features]]: the feature vector exploded to
-    * (pos, val) rows — the correctness harness compares rows via pandas
-    * sorting, which cannot order array cells. Same content, dim rows
-    * per doc; [[features]] stays the programmatic (vector-typed) API. */
-  def featuresExploded(s: SparkSession, d: String, dim: Int = 16): DataFrame =
-    features(s, d, dim)
-      .select(col("doc_id"), posexplode(col("feature")).as(Seq("pos", "val")))
+  /** The REAL decoded feature table in gate form: the 48-dim integer
+    * feature vector of every document — per-channel byte sums over the
+    * 4×4 downsample grid of the DECODED PPM pixels ([[imageGrid]]'s
+    * cells laid out as pos = (gy·4 + gx)·3 + channel) — exploded to
+    * (pos, val) rows, because the correctness harness compares rows
+    * via pandas sorting, which cannot order array cells. Every value
+    * is downstream of a real container parse; integer end to end, so
+    * no float resampling ambiguity between engines. */
+  def featuresExploded(s: SparkSession, d: String): DataFrame =
+    gridCellsOf(ppmBlobs(s, d))
+      .selectExpr("doc_id",
+        "stack(3, (gy * 4 + gx) * 3, sum_r, (gy * 4 + gx) * 3 + 1, " +
+          "sum_g, (gy * 4 + gx) * 3 + 2, sum_b) AS (pos, val)")
       .orderBy(col("doc_id"), col("pos"))
 
   /** The decode → search handoff: the extracted feature vectors fed
-    * straight into the exact vector-search operator — the end-to-end
-    * pipeline (binary blob → decode → embed → k-NN) a multimodal
-    * corpus runs, all under the hash gate because [[FakeDecoder]] is
-    * oracle-re-expressible. Same physics as `knn_topk`: the 1-row
-    * query broadcast against the feature table, `TakeOrderedAndProject`
-    * top-k — the corpus-side blobs are decoded in the scan stage and
-    * never shuffle. */
+    * straight into the vector-search shape — since round 12 for the
+    * AUDIO modality on REAL codec output: k-NN over fixed 8-band
+    * energy features decoded from the PCM-16 RIFF/WAVE containers
+    * ([[wavBlobs]]) — band b owns interleaved samples with i·8/n = b,
+    * its feature is the exact Σ|sample| (integer). The image twin is
+    * [[gridKnn]]. Entirely relational after the scan-stage decode:
+    * corpus bands equi-join the broadcast query bands, the distance is
+    * Σ over 8 bands of (sum − qsum)² with no float anywhere, and blobs
+    * never cross an exchange. */
   def multimodalKnn(s: SparkSession, d: String, qid: Long = 0L, k: Int = 10): DataFrame = {
-    import graft.functions.VectorFunctions.squaredL2
-    val f = features(s, d).withColumn("fv", col("feature").cast("array<double>"))
-    // query side decodes exactly ONE document: the doc_id filter is a
-    // plain predicate over blobTable's declarative projection, so it
-    // reaches the parquet scan — never decode-the-corpus-and-discard
-    val q = featuresOf(blobTable(s, d).filter(col("doc_id") === qid),
-        dim = 16, batchSize = 64)
-      .select(col("feature").cast("array<double>").as("qv"))
-    f.crossJoin(broadcast(q))
-      .select(col("doc_id"), squaredL2(col("fv"), col("qv")).as("dist"))
+    val b = audioBandsOf(wavBlobs(s, d))
+    // query side decodes exactly ONE document: the doc_id filter lands
+    // on the parquet scan BEFORE the synthesis/decode mapPartitions it
+    // could never push through — never decode-the-corpus-and-discard
+    val q = audioBandsOf(wavBlobsOf(
+        Tables.documents(s, d).filter(col("doc_id") === qid)
+          .select(col("doc_id"))))
+      .select(col("band"), col("sum_abs").as("qs"))
+    b.join(broadcast(q), Seq("band"))
+      .groupBy(col("doc_id"))
+      .agg(sum((col("sum_abs") - col("qs")) * (col("sum_abs") - col("qs")))
+        .as("dist"))
       .orderBy(col("dist"), col("doc_id"))
       .limit(k)
+  }
+
+  /** The decode → 8-band energy stage over any (doc_id, wav) source:
+    * parse the container, split the interleaved sample stream into 8
+    * equal index ranges (band of sample i = i·8/n), emit the exact
+    * per-band Σ|sample|. Runs in the scan stage; only
+    * (doc_id, band, sum) rows move. */
+  private def audioBandsOf(blobs: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
+    blobs.as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          val w = WavCodec.decode(bytes)
+          val n = w.samples.length
+          val acc = new Array[Long](8)
+          var i = 0
+          while (i < n) {
+            acc(i * 8 / n) += math.abs(w.samples(i).toLong); i += 1
+          }
+          (0 until 8).map(b => (id, b, acc(b)))
+        }
+      }.toDF("doc_id", "band", "sum_abs")
   }
 
   /** Frame sampling: every `stride`-th frame index of each media blob,
@@ -152,9 +183,16 @@ object Multimodal {
     * − 32768; 256 + (doc_id mod 512) frames; 1–2 channels; rate from
     * [[WavRates]]. Blob construction is map-only and blobs never
     * shuffle — every decode query reduces them in the scan stage. */
-  def wavBlobs(s: SparkSession, d: String): DataFrame = {
+  def wavBlobs(s: SparkSession, d: String): DataFrame =
+    wavBlobsOf(Tables.documents(s, d).select(col("doc_id")))
+
+  /** [[wavBlobs]] over an arbitrary (doc_id) source — the
+    * filter-before-synthesis hook ([[multimodalKnn]]'s query side),
+    * same shape as [[ppmBlobsOf]]. */
+  private def wavBlobsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    docs.select(col("doc_id")).as[Long]
       .mapPartitions { iter =>
         iter.map { id =>
           val rate = WavRates((id % 3).toInt)
@@ -445,27 +483,42 @@ object Multimodal {
         |  ascii(substr(text, 2, 1)) % 64 + 1 AS height,
         |  octet_length(encode(text)) % 16 + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // FakeDecoder re-implemented declaratively: DuckDB md5(VARCHAR)
-    // hashes the utf-8 bytes — exactly the blob the Spark side decodes.
+    // the REAL 48-dim decoded-grid feature vector (image_grid's cells
+    // laid out as pos = (gy*4+gx)*3 + channel) — the engine must
+    // round-trip real P6 containers to reach these rows; the oracle
+    // re-derives them from the analytic pixel rule
     "multimodal_features" ->
-      """SELECT doc_id, CAST(j.j AS INT) AS pos,
-        |  CAST((CAST(('0x' || substr(md5(concat(md5(text), '-', CAST(j.j AS STRING))), 1, 15)) AS BIGINT)
-        |        % 1000001) / 1000000.0 - 0.5 AS FLOAT) AS val
-        |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 7 AS BIGINT) AS h FROM documents),
+        |cells AS (SELECT doc_id,
+        |    (k // w) * 4 // h AS gy, (k % w) * 4 // w AS gx,
+        |    sum((doc_id * 31 + (3 * k) * 7) % 256) AS sr,
+        |    sum((doc_id * 31 + (3 * k + 1) * 7) % 256) AS sg,
+        |    sum((doc_id * 31 + (3 * k + 2) * 7) % 256) AS sb
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS k) g
+        |  GROUP BY doc_id, gy, gx)
+        |SELECT doc_id, CAST((gy * 4 + gx) * 3 + c.c AS INT) AS pos,
+        |  CAST(CASE c.c WHEN 0 THEN sr WHEN 1 THEN sg ELSE sb END
+        |       AS BIGINT) AS val
+        |FROM cells CROSS JOIN (SELECT unnest([0, 1, 2]) AS c) c
         |ORDER BY doc_id, pos""".stripMargin,
-    // the decoded-feature table rebuilt declaratively (the same md5
-    // chain as multimodal_features, as lists), then exact top-k by
-    // squared L2 — float features cast to DOUBLE before the fold in
-    // both engines
+    // audio-modality k-NN over REAL WAV decode: 8-band |sample| sums
+    // re-derived from the analytic PCM rule, then exact integer
+    // squared-L2 against doc 0's bands
     "multimodal_knn" ->
-      """WITH f AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
-        |    CAST(CAST((CAST(('0x' || substr(md5(concat(md5(text), '-', CAST(j AS STRING))), 1, 15)) AS BIGINT)
-        |         % 1000001) / 1000000.0 - 0.5 AS FLOAT) AS DOUBLE)) AS v
-        |  FROM documents),
-        |q AS (SELECT v AS qv FROM f WHERE doc_id = 0)
-        |SELECT f.doc_id,
-        |  list_sum(list_transform(list_zip(f.v, q.qv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
-        |FROM f, q ORDER BY dist, doc_id LIMIT 10""".stripMargin,
+      """WITH p AS (SELECT doc_id,
+        |    (256 + doc_id % 512) * (1 + doc_id % 2) AS n FROM documents),
+        |b AS (SELECT doc_id, CAST(i * 8 // n AS INT) AS band,
+        |    sum(abs((doc_id * 131 + i * 17) % 65536 - 32768)) AS s
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
+        |  GROUP BY doc_id, band),
+        |q AS (SELECT band, s AS qs FROM b WHERE doc_id = 0)
+        |SELECT b.doc_id,
+        |  CAST(sum((b.s - q.qs) * (b.s - q.qs)) AS BIGINT) AS dist
+        |FROM b JOIN q USING (band)
+        |GROUP BY b.doc_id ORDER BY dist, doc_id LIMIT 10""".stripMargin,
     // stride-4 sampling over 1..16 frames: {0,4,8,12} ∩ [0, n_frames)
     "multimodal_frames" ->
       """WITH b AS (SELECT doc_id,
@@ -583,14 +636,14 @@ object Multimodal {
 /** STUB media decoder for the codec-LIBRARY formats (JPEG/MP3/H.264 —
   * no codec libraries exist in this container; the formats a JVM can
   * parse unaided are handled for real by [[WavCodec]]/[[PpmCodec]]/
-  * [[GifCodec]]). Deterministic:
-  * each "feature" component is a pseudo-uniform value seeded by the
-  * payload's content hash (md5) and the component index, so the
-  * downstream vector pipeline is fully testable AND the whole decode
-  * is re-expressible in the DuckDB oracle (the correctness gate covers
-  * the multimodal path end-to-end). The interface — construct once per
-  * partition, decode in batches, emit fixed-dim float vectors — is the
-  * real contract a codec-backed decoder drops into. */
+  * [[GifCodec]]). TEST-ONLY since round 12: zero declared queries use
+  * it — the declared feature/search pipeline runs on real codec
+  * output. Deterministic: each "feature" component is a pseudo-uniform
+  * value seeded by the payload's content hash (md5) and the component
+  * index, so the batch-shape contract stays fully testable. The
+  * interface — construct once per partition, decode in batches, emit
+  * fixed-dim float vectors — is the real contract a codec-backed
+  * decoder drops into. */
 final class FakeDecoder(dim: Int) {
   // one digest instance per decoder (= per partition), reset by digest()
   private val md = java.security.MessageDigest.getInstance("MD5")

@@ -393,6 +393,15 @@ class PlanSpec extends AnyFunSuite {
       s"query-side doc_id filter not pushed to the scan:\n$p")
   }
 
+  test("multimodal_knn (audio bands): the query side's doc filter is pushed to the parquet scan") {
+    // same contract as grid_knn for the audio modality: the one-document
+    // query side filters the documents scan BEFORE WAV synthesis/decode
+    import graft.multimodal.Multimodal
+    val p = plan(Multimodal.multimodalKnn(spark, d))
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,0)]"),
+      s"query-side doc_id filter not pushed to the scan:\n$p")
+  }
+
   test("multimodal decode queries: media blobs never cross an exchange") {
     // the multimodal scale contract: container bytes are decoded and
     // reduced in the scan stage; only the small derived rows
@@ -414,7 +423,9 @@ class PlanSpec extends AnyFunSuite {
       "stream_frames" -> Multimodal.streamFrames(spark, d),
       "gif_stats" -> Multimodal.gifStats(spark, d),
       "ulaw_energy" -> Multimodal.ulawEnergy(spark, d),
-      "grid_knn" -> Multimodal.gridKnn(spark, d)
+      "grid_knn" -> Multimodal.gridKnn(spark, d),
+      "features" -> Multimodal.featuresExploded(spark, d),
+      "audio_knn" -> Multimodal.multimodalKnn(spark, d)
     ).foreach { case (name, df) =>
       val exchanges =
         df.queryExecution.executedPlan.collect { case e: Exchange => e }

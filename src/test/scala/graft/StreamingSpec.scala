@@ -228,6 +228,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneShot == rebuild, "single-batch fold != full rebuild")
     assert(split == rebuild, "3-batch fold (with dup arrival) != full rebuild")
   }
+
+  test("streaming_join state shards: feed-sized derivation, floor 8, shuffle-parallelism cap") {
+    // pins the r11 fix that cut streaming_join 23.3 -> 2.5 s (256
+    // delta-commits for 40k rows of state): shards follow feed volume
+    // at ~32 MB/shard with floor 8, capped at the session's configured
+    // shuffle parallelism — so a future conf change cannot silently
+    // restore the per-shard commit tax on small feeds
+    val d = "/root/testdata/sf0.001"
+    // floor: the tiny fixture feed derives the 8-shard floor
+    assert(StreamingOps.stateShards(spark, d, "events") == 8,
+      "small-feed floor moved")
+    // bytes-derived: a 320 MB feed is 10 shards (sparse file — the
+    // derivation reads only file LENGTH, never content)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toFile
+    val big = new java.io.RandomAccessFile(
+      new java.io.File(tmp, "events.parquet"), "rw")
+    try big.setLength(320L << 20) finally big.close()
+    try {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      // uncapped regime (cap 64 > derived 10): pure 32 MB/shard math
+      spark.conf.set(key, "64")
+      try assert(StreamingOps.stateShards(spark, tmp.getPath, "events") == 10,
+        "32 MB/shard derivation moved")
+      finally spark.conf.set(key, prev)
+      // cap: configured shuffle parallelism is authoritative — for the
+      // derived count AND the floor (a 4-thread session gets 4 shards)
+      spark.conf.set(key, "4")
+      try {
+        assert(StreamingOps.stateShards(spark, tmp.getPath, "events") == 4,
+          "cap does not bound the derived count")
+        assert(StreamingOps.stateShards(spark, d, "events") == 4,
+          "cap does not bound the floor")
+      } finally spark.conf.set(key, prev)
+    } finally {
+      new java.io.File(tmp, "events.parquet").delete()
+      tmp.delete()
+    }
+  }
 }
 
 /** Multimodal plumbing: schema, batching, determinism, ANN handoff. */
@@ -247,6 +286,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.length == 500)
     assert(f1.forall(_.getSeq[Float](1).length == 16))
     assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+  }
+
+  test("decoded-grid features: 48 integer dims per doc, consistent with image_grid") {
+    val f = multimodal.Multimodal.featuresExploded(spark, d)
+    val counts = f.groupBy("doc_id").count()
+      .select("count").distinct().collect()
+    assert(counts.map(_.getLong(0)).toSeq == Seq(48L),
+      s"expected exactly 48 feature rows per doc: ${counts.mkString(",")}")
+    // pos (gy*4+gx)*3 + channel must restate image_grid's cell sums
+    val g = multimodal.Multimodal.imageGrid(spark, d)
+      .filter(col("doc_id") === 0 && col("gy") === 0 && col("gx") === 0)
+      .collect().head
+    val p0 = f.filter(col("doc_id") === 0 && col("pos") === 0).collect().head
+    assert(p0.getLong(2) == g.getLong(3),
+      s"features pos 0 (${p0.getLong(2)}) != image_grid (0,0) sum_r (${g.getLong(3)})")
+  }
+
+  test("audio-band knn: the query document ranks itself first at distance 0") {
+    val res = multimodal.Multimodal.multimodalKnn(spark, d).collect()
+    assert(res.length == 10)
+    assert(res.head.getLong(0) == 0L && res.head.getLong(1) == 0L,
+      s"doc 0 must be its own nearest neighbor at distance 0: ${res.head}")
   }
 
   test("extracted features feed the exact k-NN operator") {

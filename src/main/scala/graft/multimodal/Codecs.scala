@@ -136,6 +136,11 @@ object WavCodec {
     }
     val (format, channels, rate, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("no fmt chunk"))
+    // mirror the encoder-side checks: a container declaring 0 channels
+    // would die as an ArithmeticException at the divisibility check
+    // below, and rate 0 divides by zero in every duration consumer
+    require(channels > 0, s"fmt chunk declares $channels channels")
+    require(rate > 0, s"fmt chunk declares sample rate $rate")
     val raw = data.getOrElse(
       throw new IllegalArgumentException("no data chunk"))
     val samples = format match {
@@ -229,19 +234,35 @@ object PpmCodec {
       require(pos > start, s"truncated PPM header at byte $start")
       new String(bytes, start, pos - start, "US-ASCII")
     }
+    // numeric header fields must fail as the contract's named
+    // IllegalArgumentException, not a NumberFormatException
+    def intToken(field: String): Int = {
+      val t = token()
+      try t.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"non-numeric PPM $field: '$t'")
+      }
+    }
     val magic = token()
     require(magic == "P6", s"bad PPM magic: '$magic'")
-    val width = token().toInt
-    val height = token().toInt
-    val maxval = token().toInt
+    val width = intToken("width")
+    val height = intToken("height")
+    require(width > 0 && height > 0,
+      s"PPM dimensions must be positive: $width x $height")
+    val maxval = intToken("maxval")
     require(maxval == 255, s"only maxval 255 supported, got $maxval")
     require(pos < bytes.length && bytes(pos).toChar.isWhitespace,
       "missing whitespace after maxval")
     pos += 1 // exactly ONE whitespace byte separates header and payload
-    val expect = width * height * 3
-    require(bytes.length - pos >= expect,
-      s"pixel payload ${bytes.length - pos} bytes, expected $expect " +
+    // Long math: a hostile header can declare dims whose w*h*3 wraps
+    // Int (negative → NegativeArraySizeException, or — on an exact
+    // 2^32 multiple — a silently misparsed frame). Bounding by the
+    // remaining payload (an Int) also bounds the allocation.
+    val expectL = width.toLong * height * 3
+    require(expectL <= bytes.length - pos,
+      s"pixel payload ${bytes.length - pos} bytes, expected $expectL " +
         s"($width x $height x 3)")
+    val expect = expectL.toInt
     val rgb = new Array[Byte](expect)
     System.arraycopy(bytes, pos, rgb, 0, expect)
     (Ppm(width, height, rgb), pos + expect)

@@ -226,39 +226,76 @@ object GifCodec {
     out.toByteArray
   }
 
+  /** Pixel-count ceiling the decoder will allocate for (2^28 = 268M
+    * pixels ≈ 256 MiB of indices): a hostile header can declare up to
+    * 65535×65535 ≈ 4.3G pixels — `width * height` overflows Int — so
+    * the product is computed in Long and refused past the bound with a
+    * named error instead of a NegativeArraySizeException/OOM. */
+  private val MaxPixels = 1L << 28
+
   def decode(bytes: Array[Byte]): Gif = {
     var pos = 0
-    def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
-    def u16(): Int = { val v = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8); pos += 2; v }
+    // every read states its need first: a truncated/hostile container
+    // must throw the contract's named IllegalArgumentException, never
+    // an ArrayIndexOutOfBounds from an unchecked bytes(pos)
+    def need(n: Int, what: String): Unit =
+      require(n <= bytes.length - pos,
+        s"truncated GIF: $what needs $n bytes at offset $pos, " +
+          s"${bytes.length - pos} remain")
+    def u8(what: String): Int = {
+      need(1, what); val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(what: String): Int = {
+      need(2, what)
+      val v = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
+      pos += 2; v
+    }
+    need(6, "magic")
     val magic = new String(bytes, 0, 6, "US-ASCII"); pos = 6
     require(magic == "GIF87a" || magic == "GIF89a", s"bad GIF magic: '$magic'")
-    u16(); u16() // logical screen dims (frame carries its own)
-    val packed = u8()
-    u8(); u8()   // background index, aspect
+    u16("screen width"); u16("screen height") // frame carries its own
+    val packed = u8("screen descriptor flags")
+    u8("background index"); u8("aspect ratio")
     val palette: Array[Int] =
       if ((packed & 0x80) != 0) {
         val n = 1 << ((packed & 0x07) + 1)
-        Array.fill(n) { val r = u8(); val g = u8(); val b = u8(); (r << 16) | (g << 8) | b }
+        need(3 * n, s"$n-entry global color table")
+        Array.fill(n) {
+          val r = u8("palette"); val g = u8("palette"); val b = u8("palette")
+          (r << 16) | (g << 8) | b
+        }
       } else Array.empty
-    while (bytes(pos) == 0x21) { // skip extension blocks (89a)
-      pos += 2 // introducer + label
-      var n = u8()
-      while (n != 0) { pos += n; n = u8() }
+    while ({ need(1, "block introducer"); bytes(pos) == 0x21 }) {
+      pos += 1 // extension blocks (89a): label + sub-blocks, skipped
+      u8("extension label")
+      var n = u8("extension sub-block size")
+      while (n != 0) {
+        need(n, "extension sub-block"); pos += n
+        n = u8("extension sub-block size")
+      }
     }
-    require(u8() == 0x2c, "expected image descriptor")
-    u16(); u16() // left, top
-    val width = u16(); val height = u16()
-    val idPacked = u8()
+    require(u8("image separator") == 0x2c, "expected image descriptor")
+    u16("frame left"); u16("frame top")
+    val width = u16("frame width"); val height = u16("frame height")
+    require(width > 0 && height > 0,
+      s"frame dimensions must be positive: $width x $height")
+    val nPixels = width.toLong * height
+    require(nPixels <= MaxPixels,
+      s"refusing a $width x $height frame ($nPixels pixels > $MaxPixels)")
+    val idPacked = u8("image descriptor flags")
     require((idPacked & 0x80) == 0, "local color tables not supported")
     require((idPacked & 0x40) == 0, "interlaced images not supported")
     require(palette.nonEmpty, "no global color table")
-    val minCodeSize = u8()
+    val minCodeSize = u8("LZW min code size")
     require(minCodeSize >= 2 && minCodeSize <= 8,
       s"bad LZW min code size: $minCodeSize")
     val data = new java.io.ByteArrayOutputStream()
-    var n = u8()
-    while (n != 0) { data.write(bytes, pos, n); pos += n; n = u8() }
-    val indices = lzwDecode(minCodeSize, data.toByteArray, width * height)
+    var n = u8("image sub-block size")
+    while (n != 0) {
+      need(n, "image sub-block"); data.write(bytes, pos, n); pos += n
+      n = u8("image sub-block size")
+    }
+    val indices = lzwDecode(minCodeSize, data.toByteArray, nPixels.toInt)
     indices.foreach(i => require((i & 0xff) < palette.length,
       s"pixel index ${i & 0xff} outside the ${palette.length}-color table"))
     Gif(width, height, palette, indices)

@@ -78,6 +78,16 @@ class CodecsSpec extends AnyFunSuite {
     // a chunk whose declared size overruns the buffer must not be read
     val overrun = good.clone(); overrun(40) = 0x7f.toByte
     intercept[IllegalArgumentException](WavCodec.decode(overrun))
+    // fmt declaring 0 channels: named rejection, not the mod-by-zero
+    // ArithmeticException at the divisibility check (ADVICE r11)
+    val noCh = good.clone(); noCh(22) = 0.toByte
+    val e3 = intercept[IllegalArgumentException](WavCodec.decode(noCh))
+    assert(e3.getMessage.contains("channels"))
+    // fmt declaring rate 0: named rejection, not a downstream div-by-0
+    val noRate = good.clone()
+    noRate(24) = 0; noRate(25) = 0; noRate(26) = 0; noRate(27) = 0
+    val e4 = intercept[IllegalArgumentException](WavCodec.decode(noRate))
+    assert(e4.getMessage.contains("rate"))
   }
 
   test("wav mu-law: G.711 golden values and a real fmt-7 container round trip") {
@@ -146,6 +156,20 @@ class CodecsSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](
       PpmCodec.decodeP6("P6\n1 1\n65535\n......".getBytes("US-ASCII")))
     assert(e3.getMessage.contains("maxval"))
+    // hostile headers (ADVICE r11): non-numeric dims must be the named
+    // rejection, not a NumberFormatException ...
+    val e4 = intercept[IllegalArgumentException](
+      PpmCodec.decodeP6("P6\nxx 1\n255\n...".getBytes("US-ASCII")))
+    assert(e4.getMessage.contains("width"))
+    // ... zero/negative dims are refused by name ...
+    val e5 = intercept[IllegalArgumentException](
+      PpmCodec.decodeP6("P6\n0 4\n255\n".getBytes("US-ASCII")))
+    assert(e5.getMessage.contains("positive"))
+    // ... and dims whose w*h*3 wraps Int (46341^2*3 > 2^32) must hit
+    // the Long-math payload check, not NegativeArraySizeException
+    val e6 = intercept[IllegalArgumentException](
+      PpmCodec.decodeP6("P6\n46341 46341\n255\n...".getBytes("US-ASCII")))
+    assert(e6.getMessage.contains("payload"))
   }
 
   // -- GIF / LZW -------------------------------------------------------
@@ -208,6 +232,24 @@ class CodecsSpec extends AnyFunSuite {
       GifCodec.lzwDecode(2, Array[Byte](0x04.toByte, 0x7f.toByte, 0x7f.toByte), 16)
     }
     assert(e2.getMessage.contains("LZW"))
+    // truncated containers (ADVICE r11): every cut must throw the
+    // named "truncated" rejection, never ArrayIndexOutOfBounds
+    Seq(3, 8, 14, good.length - 3).foreach { cut =>
+      val e = intercept[IllegalArgumentException](
+        GifCodec.decode(good.take(cut)))
+      assert(e.getMessage.contains("truncated") ||
+        e.getMessage.contains("magic"),
+        s"cut at $cut threw '${e.getMessage}'")
+    }
+    // a frame descriptor declaring 0 width is refused by name
+    val zeroW = good.clone()
+    // image descriptor starts after 6 magic + 7 screen + 12 palette;
+    // width is its bytes 5-6
+    val idOff = 6 + 7 + 12
+    assert(zeroW(idOff) == 0x2c.toByte, "image descriptor offset moved")
+    zeroW(idOff + 5) = 0; zeroW(idOff + 6) = 0
+    val e3 = intercept[IllegalArgumentException](GifCodec.decode(zeroW))
+    assert(e3.getMessage.contains("positive"))
   }
 
   test("codec properties: randomized round trips across the parameter space (seeded)") {

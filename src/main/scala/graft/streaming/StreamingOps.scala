@@ -230,7 +230,7 @@ object StreamingOps {
     * shuffle parallelism, which stays authoritative at cluster scale
     * (a 100 TB feed hits the cap; the knob only trims the fixed
     * per-shard commit tax when the feed is small). */
-  private def stateShards(s: SparkSession, d: String, table: String): Int = {
+  private[graft] def stateShards(s: SparkSession, d: String, table: String): Int = {
     val f = new java.io.File(s"$d/$table.parquet")
     val bytes =
       if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.length).sum

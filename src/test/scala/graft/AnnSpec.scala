@@ -572,6 +572,35 @@ class AnnSpec extends AnyFunSuite {
   private lazy val dEmbeddingsN: Long =
     graft.Tables.embeddings(spark, d).count()
 
+  test("chooser store key is content-sensitive: same size+mtime, different bytes miss the store") {
+    // closes the size+mtime collision channel for the one store whose
+    // VALUES flow into output: a fixture regenerated in place with
+    // identical file metadata but different bytes must land on a
+    // different chooser key
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_digest").toFile
+    val dst = new java.io.File(tmp, "embeddings.parquet")
+    java.nio.file.Files.copy(
+      new java.io.File(s"$d/embeddings.parquet").toPath, dst.toPath)
+    try {
+      val key1 = Similarity.dedupChoicePath(tmp.getPath)
+      val mtime = dst.lastModified()
+      val raf = new java.io.RandomAccessFile(dst, "rw")
+      try { // flip one byte; size unchanged
+        raf.seek(100)
+        val b = raf.read()
+        raf.seek(100)
+        raf.write(b ^ 0xff)
+      } finally raf.close()
+      assert(dst.setLastModified(mtime), "could not restore mtime")
+      val key2 = Similarity.dedupChoicePath(tmp.getPath)
+      assert(key1 != key2,
+        "store key collided across different bytes at identical size+mtime")
+    } finally {
+      dst.delete(); tmp.delete()
+    }
+  }
+
   test("sampled-exact ground truth is memoized: second call runs 0 jobs, freed entries rebuild") {
     val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     val first = Ann.sampledExactPairsCached(spark, d, e, 1L, 16)

@@ -135,7 +135,10 @@ object Multimodal {
           val acc = new Array[Long](8)
           var i = 0
           while (i < n) {
-            acc(i * 8 / n) += math.abs(w.samples(i).toLong); i += 1
+            // Long band math: i*8 wraps Int past 2^28 samples, and
+            // WavCodec accepts data chunks that large
+            acc((i.toLong * 8 / n).toInt) += math.abs(w.samples(i).toLong)
+            i += 1
           }
           (0 until 8).map(b => (id, b, acc(b)))
         }

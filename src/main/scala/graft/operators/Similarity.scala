@@ -733,13 +733,23 @@ object Similarity {
     * digest of the embeddings bytes, and EVERY chooser parameter, so a
     * regenerated fixture, a code change, or a different knob can never
     * serve a stale choice. */
-  private[graft] def dedupChoicePath(d: String, eps: Double = 1.1,
-      cellSize: Int = 64, pMax: Int = 8, floorNum: Long = 9,
+  private[graft] def dedupChoicePath(d: String, eps: Double = DefaultEps,
+      cellSize: Int = DefaultCellSize, pMax: Int = DefaultPMax,
+      floorNum: Long = 9,
       floorDen: Long = 10, massPerRow: Long = 512,
       stride: Long = 0L): String =
     Ann.storePath(d, s"dedupchoice-$ChooserStoreVersion-" +
       s"${embeddingsContentDigest(d)}-e$eps-c$cellSize-p$pMax-" +
       s"f${floorNum}_${floorDen}-m$massPerRow-s$stride")
+
+  /** The declared-query chooser knobs, named ONCE: every path that
+    * must agree on them — the store key, the measurement defaults, the
+    * serving-side validation, and the dropped-count stage — reads
+    * these, so a future default change cannot silently diverge the
+    * memo/stored paths from the measured path. */
+  private[graft] val DefaultEps = 1.1
+  private[graft] val DefaultCellSize = 64
+  private[graft] val DefaultPMax = 8
 
   /** In-session memo of chooser outcomes, keyed by the full store key
     * (fixture content + code revision + knobs). A memo hit is PURE —
@@ -750,6 +760,16 @@ object Similarity {
   private val chooserMemo =
     scala.collection.concurrent.TrieMap.empty[String, DedupChoice]
   private[graft] def clearChooserMemo(): Unit = chooserMemo.clear()
+
+  /** Recursive delete, null-safe on unreadable dirs — the one copy the
+    * store lifecycle paths (and specs) share. */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
+    f.delete(); ()
+  }
 
   /** Atomic publish (ADVICE r11): the parquet rows land in a tmp
     * sibling and a single rename makes them visible, so a concurrent
@@ -767,11 +787,19 @@ object Similarity {
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), dedupChoiceSchema)
       .write.mode("overwrite").parquet(tmp)
     if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
+      // rename fails either because a concurrent writer won (dest has
+      // _SUCCESS — both wrote identical deterministic rows, discard
+      // ours) or because a STALE PARTIAL dir blocks the slot (e.g. a
+      // JVM died mid-delete): clear it and retry once, so a dead
+      // partial can never permanently block seeding
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        deleteRecursively(new java.io.File(path))
+        if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"dedup choice store: could not publish $path (blocked " +
+              "twice); consumers will re-measure")
       }
-      rm(new java.io.File(tmp))
+      deleteRecursively(new java.io.File(tmp))
     }
   }
 
@@ -821,8 +849,9 @@ object Similarity {
     *
     * Returns (vec_id, dup_of) — the keep-min-id verdicts at the chosen
     * width. The chooser outcome lands in [[lastDedupChoice]]. */
-  def semanticDedupMeasured(s: SparkSession, d: String, eps: Double = 1.1,
-      cellSize: Int = 64, pMax: Int = 8, floorNum: Long = 9,
+  def semanticDedupMeasured(s: SparkSession, d: String,
+      eps: Double = DefaultEps, cellSize: Int = DefaultCellSize,
+      pMax: Int = DefaultPMax, floorNum: Long = 9,
       floorDen: Long = 10, massPerRow: Long = 512,
       stride: Long = 0L): DataFrame =
     semanticDedupMeasuredWithState(s, d, eps, cellSize, pMax, floorNum,
@@ -833,7 +862,8 @@ object Similarity {
     * CONSUMES the verdicts itself (e.g. [[dedupStats]]) can free the
     * assignment instead of leaking it. */
   private[graft] def semanticDedupMeasuredWithState(s: SparkSession,
-      d: String, eps: Double = 1.1, cellSize: Int = 64, pMax: Int = 8,
+      d: String, eps: Double = DefaultEps,
+      cellSize: Int = DefaultCellSize, pMax: Int = DefaultPMax,
       floorNum: Long = 9, floorDen: Long = 10, massPerRow: Long = 512,
       stride: Long = 0L): (DataFrame, DataFrame) = {
     val ladder = Seq(1, 2, 4, 8).filter(_ <= pMax)
@@ -973,8 +1003,8 @@ object Similarity {
     * identical to [[semanticDedupMeasured]]'s output plan), counted. */
   private def droppedAtChosenWidth(s: SparkSession, d: String,
       choice: DedupChoice): Long = {
-    val assign = semanticCellsProbe(s, d, 64, 8)
-    try probeJoinVerdicts(assign, 1.1, Some(choice.p)).count()
+    val assign = semanticCellsProbe(s, d, DefaultCellSize, DefaultPMax)
+    try probeJoinVerdicts(assign, DefaultEps, Some(choice.p)).count()
     finally Ann.freeBuildState(assign)
   }
 
@@ -1009,7 +1039,7 @@ object Similarity {
     * captured/mass/truePairs and the live n). A row that fails any of
     * these is a foreign or stale store entry, never servable. */
   private[graft] def servedChoiceValid(c: DedupChoice, n: Long,
-      pMax: Int = 8, floorNum: Long = 9, floorDen: Long = 10,
+      pMax: Int = DefaultPMax, floorNum: Long = 9, floorDen: Long = 10,
       massPerRow: Long = 512, stride: Long = 0L): Boolean = {
     val ladder = Seq(1, 2, 4, 8).filter(_ <= pMax)
     val strideEff = if (stride > 0L) stride else math.max(1L, n / 2048L)
@@ -1049,11 +1079,7 @@ object Similarity {
             s"dedup_stats_stored: persisted choice at $choicePath fails " +
               s"live-invariant validation (n=$n, stored=$c); " +
               "discarding and re-measuring")
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(); ()
-          }
-          rm(new java.io.File(choicePath))
+          deleteRecursively(new java.io.File(choicePath))
           None
         }
       } else None

@@ -485,10 +485,7 @@ class AnnSpec extends AnyFunSuite {
   test("dedup chooser lifecycle: declared stats is session-pure, stored path validates + serves") {
     import graft.operators.Similarity
     val path = Similarity.dedupChoicePath(d)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
+    def rm(f: java.io.File): Unit = Similarity.deleteRecursively(f)
     rm(new java.io.File(path)) // hermetic: drop any earlier store
     Similarity.clearChooserMemo()
     // the store key carries the code revision and a CONTENT digest of
@@ -582,6 +579,9 @@ class AnnSpec extends AnyFunSuite {
     val dst = new java.io.File(tmp, "embeddings.parquet")
     java.nio.file.Files.copy(
       new java.io.File(s"$d/embeddings.parquet").toPath, dst.toPath)
+    // the copy inherits the fixture's read-only mode bits; the "rw"
+    // byte flip below must not depend on running as root
+    assert(dst.setWritable(true), "could not make the copy writable")
     try {
       val key1 = Similarity.dedupChoicePath(tmp.getPath)
       val mtime = dst.lastModified()

@@ -771,19 +771,24 @@ object Similarity {
     f.delete(); ()
   }
 
+  private val publishSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Atomic publish (ADVICE r11): the parquet rows land in a tmp
     * sibling and a single rename makes them visible, so a concurrent
     * reader never observes an in-progress overwrite and two racing
     * writers resolve to one winner (the loser's tmp dir is discarded —
     * both wrote identical deterministic rows anyway). */
-  private def writeDedupChoice(s: SparkSession, path: String,
+  private[graft] def writeDedupChoice(s: SparkSession, path: String,
       c: DedupChoice): Unit = {
     val rows = c.capturedAtP.keys.toSeq.sorted.map { p =>
       org.apache.spark.sql.Row(p, c.capturedAtP(p),
         new java.math.BigDecimal(c.massAtP(p).bigInteger),
         c.truePairs, c.stride, c.p, c.floorMet)
     }
-    val tmp = s"$path.tmp-${java.lang.ProcessHandle.current().pid()}"
+    // unique per process AND per call: same-JVM concurrent writers
+    // (e.g. two report paths racing) must not stomp one tmp sibling
+    val tmp = s"$path.tmp-${java.lang.ProcessHandle.current().pid()}" +
+      s"-${publishSeq.incrementAndGet()}"
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), dedupChoiceSchema)
       .write.mode("overwrite").parquet(tmp)
     if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
@@ -803,7 +808,7 @@ object Similarity {
     }
   }
 
-  private def readDedupChoice(s: SparkSession, path: String): DedupChoice = {
+  private[graft] def readDedupChoice(s: SparkSession, path: String): DedupChoice = {
     val rows = s.read.parquet(path).collect()
     DedupChoice(
       p = rows.head.getInt(5),

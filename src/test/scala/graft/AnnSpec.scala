@@ -569,6 +569,46 @@ class AnnSpec extends AnyFunSuite {
   private lazy val dEmbeddingsN: Long =
     graft.Tables.embeddings(spark, d).count()
 
+  test("chooser store publish is atomic: concurrent writers converge, stale partials are cleared") {
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_publish").toFile
+    val path = new java.io.File(tmp, "choice").getPath
+    val choice = Similarity.DedupChoice(1, 1L, 3L,
+      Map(1 -> 3L, 2 -> 3L, 4 -> 3L, 8 -> 3L),
+      Map(1 -> BigInt(10), 2 -> BigInt(20), 4 -> BigInt(40),
+        8 -> BigInt(80)), floorMet = true)
+    try {
+      // N concurrent writers of the same deterministic rows: exactly
+      // one publish wins, the slot ends complete, every loser's tmp
+      // sibling is discarded (ADVICE r11: a reader must never observe
+      // an in-progress overwrite)
+      val threads = (1 to 4).map(_ => new Thread(() =>
+        Similarity.writeDedupChoice(spark, path, choice)))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(new java.io.File(s"$path/_SUCCESS").exists(),
+        "no complete store after concurrent publishes")
+      assert(Similarity.readDedupChoice(spark, path) == choice,
+        "published rows corrupted under concurrency")
+      val leftovers = tmp.listFiles()
+        .filter(_.getName.startsWith("choice.tmp"))
+      assert(leftovers.isEmpty,
+        s"loser tmp dirs not cleaned: ${leftovers.mkString(",")}")
+      // a stale partial (dir without _SUCCESS — a writer died
+      // mid-publish) must not block the slot forever: the next writer
+      // clears it and publishes
+      Similarity.deleteRecursively(new java.io.File(path))
+      val partial = new java.io.File(path)
+      assert(partial.mkdirs())
+      val junk = new java.io.File(partial, "part-junk")
+      java.nio.file.Files.writeString(junk.toPath, "stale")
+      Similarity.writeDedupChoice(spark, path, choice)
+      assert(new java.io.File(s"$path/_SUCCESS").exists(),
+        "stale successor-less partial permanently blocked seeding")
+      assert(Similarity.readDedupChoice(spark, path) == choice,
+        "publish over a stale partial lost the rows")
+    } finally Similarity.deleteRecursively(tmp)
+  }
+
   test("chooser store key is content-sensitive: same size+mtime, different bytes miss the store") {
     // closes the size+mtime collision channel for the one store whose
     // VALUES flow into output: a fixture regenerated in place with

@@ -24,13 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.SqlBridge.{column, expression}
-  import graft.functions.expressions.{SquaredL2Distance, DotProduct}
+  import graft.functions.expressions.{SquaredL2Distance, SquaredL2Within, DotProduct}
 
   /** Squared L2 distance between two ARRAY<DOUBLE> columns.
     * Mirror of `src/hnsw.zig:182-192` (generic T → DOUBLE).
     * Native codegen'd expression; bit-identical to [[squaredL2Hof]]. */
   def squaredL2(a: Column, b: Column): Column =
     column(SquaredL2Distance(expression(a), expression(b)))
+
+  /** Fused `squaredL2(a, b) < eps` with early exit — verdict-identical
+    * to the unfused comparison (monotone non-negative fold, see
+    * [[graft.functions.expressions.SquaredL2Within]]); the ε-join
+    * filter form every dedup pair stage should use. */
+  def squaredL2Within(a: Column, b: Column, eps: Double): Column =
+    column(SquaredL2Within(expression(a), expression(b), eps))
 
   /** HOF formulation of [[squaredL2]] — kept as the readable spec and
     * for cross-checking the native expression in tests. */

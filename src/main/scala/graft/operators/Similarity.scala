@@ -438,7 +438,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val truePairs = e.crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("qid") &&
-        squaredL2(col("embedding"), col("qv")) < eps)
+        squaredL2Within(col("embedding"), col("qv"), eps))
       .select(least(col("vec_id"), col("qid")).as("a"),
         greatest(col("vec_id"), col("qid")).as("b"))
       .distinct()
@@ -475,7 +475,7 @@ object Similarity {
     val a = assign.select(col("cell"), col("vec_id").as("src"), col("embedding").as("sv"))
     val b = assign.select(col("cell"), col("vec_id").as("dst"), col("embedding").as("dv"))
     a.join(b, "cell")
-      .filter(col("src") < col("dst") && squaredL2(col("sv"), col("dv")) < eps)
+      .filter(col("src") < col("dst") && squaredL2Within(col("sv"), col("dv"), eps))
       .groupBy(col("dst"), col("cell"))
       .agg(min(col("src")).as("dup_of"))
       .select(col("dst").as("vec_id"), col("cell"), col("dup_of"))
@@ -598,7 +598,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val truePairs = e.crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("qid") &&
-        squaredL2(col("embedding"), col("qv")) < eps)
+        squaredL2Within(col("embedding"), col("qv"), eps))
       .select(least(col("vec_id"), col("qid")).as("a"),
         greatest(col("vec_id"), col("qid")).as("b"))
       .distinct()
@@ -649,7 +649,7 @@ object Similarity {
     val occ = assign.filter(col("rnk") === 1)
       .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("dv"))
     probes.join(occ, "cell")
-      .filter(col("src") =!= col("dst") && squaredL2(col("sv"), col("dv")) < eps)
+      .filter(col("src") =!= col("dst") && squaredL2Within(col("sv"), col("dv"), eps))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
@@ -889,7 +889,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val truePairs = e.crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("qid") &&
-        squaredL2(col("embedding"), col("qv")) < eps)
+        squaredL2Within(col("embedding"), col("qv"), eps))
       .select(least(col("vec_id"), col("qid")).as("a"),
         greatest(col("vec_id"), col("qid")).as("b"))
       .distinct()

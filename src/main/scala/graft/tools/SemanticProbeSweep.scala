@@ -41,7 +41,7 @@ object SemanticProbeSweep {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val truePairs = e.crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("qid") &&
-        squaredL2(col("embedding"), col("qv")) < eps)
+        squaredL2Within(col("embedding"), col("qv"), eps))
       .select(least(col("vec_id"), col("qid")).as("a"),
         greatest(col("vec_id"), col("qid")).as("b"))
       .distinct()

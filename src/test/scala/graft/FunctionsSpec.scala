@@ -161,6 +161,38 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("squaredL2Within ≡ squaredL2 < eps: verdicts identical over fixture pairs, edges pinned") {
+    // the fused early-exit predicate must be the SAME boolean function
+    // as the unfused comparison — exhaustively over a fixture sample
+    // at several eps (incl. ones where nothing / everything exits
+    // early), plus the n=0 and eps<=0 edges the loop cannot reach
+    import graft.functions.VectorFunctions.{squaredL2, squaredL2Within}
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d).limit(60)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.crossJoin(
+      e.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    Seq(0.5, 1.1, 10.0, 1e6).foreach { eps =>
+      val diff = pairs.filter(
+        squaredL2Within(col("embedding"), col("qv"), eps) =!=
+          (squaredL2(col("embedding"), col("qv")) < eps)).count()
+      assert(diff == 0L, s"fused/unfused verdicts diverge at eps=$eps")
+    }
+    // n = 0: the loop body never runs; the answer must still be 0 < eps
+    import spark.implicits._
+    val empty = Seq((Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    val r = empty.select(
+      squaredL2Within(col("a"), col("b"), 1.0).as("pos"),
+      squaredL2Within(col("a"), col("b"), 0.0).as("zero"),
+      squaredL2Within(col("a"), col("b"), -1.0).as("neg")).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && !r.getBoolean(2),
+      s"empty-array edge moved: $r")
+    // length mismatch is null (a Filter drops it), like the unfused form
+    val mism = Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(squaredL2Within(col("a"), col("b"), 1.0)).head()
+    assert(mism.isNullAt(0), "length mismatch must be null")
+  }
+
   test("Tables.normalizeTs folds every fixture vintage to the same µs timestamps") {
     // every events consumer (batch + streaming) routes through this
     // helper; the driver fixtures have switched physical type once

@@ -54,6 +54,25 @@ object BlockKnnJoin {
     acc
   }
 
+  /** [[sqDist]] with EARLY ABANDON: once the partial sum exceeds
+    * `bound` STRICTLY the pair cannot beat the bound (each term is
+    * ≥ 0 and IEEE addition of non-negatives is monotone), so the
+    * partial is returned — any result > bound means "discard", any
+    * result ≤ bound is the EXACT full distance (ties at the bound keep
+    * accumulating, because (dist, id) orders decide equality by id). */
+  @inline private[operators] def sqDistBounded(a: Array[Double],
+      b: Array[Double], bound: Double): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a(i) - b(i); acc += d * d
+      if (acc > bound) return acc
+      i += 1
+    }
+    acc
+  }
+
   /** Exact m-NN graph over the corpus: (query_id, idCol, dist, rnk),
     * rnk in 1..m ascending by (dist, id), self-edges excluded. */
   def knnGraph(
@@ -74,7 +93,14 @@ object BlockKnnJoin {
           var i = 0
           while (i < rnodes.length) {
             val (did, dvec) = rnodes(i)
-            if (did != sid) h.offer(sqDist(svec, dvec), did)
+            if (did != sid) {
+              // early-abandon against the heap's admission bound: a
+              // partial sum already past the current m-th distance can
+              // never enter; survivors carry the exact full distance
+              val bound = h.bound
+              val dd = sqDistBounded(svec, dvec, bound)
+              if (dd <= bound) h.offer(dd, did)
+            }
             i += 1
           }
           h.drain().iterator.map { case (dist, did) => (sid, did, dist) }
@@ -105,7 +131,11 @@ object BlockKnnJoin {
         lnodes.iterator.flatMap { case (sid, svec) =>
           rnodes.iterator
             .filter { case (did, _) => sid < did }
-            .map { case (did, dvec) => (sid, did, sqDist(svec, dvec)) }
+            // early-abandon at the ε bound: discarded pairs return a
+            // partial ≥ threshold (filtered identically), survivors
+            // the exact full distance
+            .map { case (did, dvec) =>
+              (sid, did, sqDistBounded(svec, dvec, threshold)) }
             .filter(_._3 < threshold)
         }
       }

@@ -96,11 +96,12 @@ object BroadcastKnnJoin {
           while (qi < nq) {
             val (qid, qv) = queries(qi)
             if (!(skipSelf && qid == id)) {
-              val n = math.min(vec.length, qv.length)
-              var acc = 0.0
-              var i = 0
-              while (i < n) { val d = vec(i) - qv(i); acc += d * d; i += 1 }
-              heaps(qi).offer(acc, id)
+              // early-abandon against this query's heap bound (see
+              // BlockKnnJoin.sqDistBounded): a partial sum strictly
+              // past the current k-th distance can never enter
+              val bound = heaps(qi).bound
+              val dd = BlockKnnJoin.sqDistBounded(vec, qv, bound)
+              if (dd <= bound) heaps(qi).offer(dd, id)
             }
             qi += 1
           }
@@ -131,6 +132,13 @@ final class BoundedTopK(k: Int) extends Serializable {
 
   @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
     d1 > d2 || (d1 == d2 && i1 > i2)
+
+  /** Current admission bound: a candidate whose distance is STRICTLY
+    * above this can never enter the heap (when full, the root's dist).
+    * Equality is not prunable — (dist, id) ties are decided by id — so
+    * early-abandon callers must keep accumulating at acc == bound. */
+  def bound: Double =
+    if (size < k) Double.PositiveInfinity else dists(0)
 
   def offer(d: Double, id: Long): Unit = {
     if (size < k) {

@@ -39,10 +39,35 @@ object Verify {
         }
       }
     }
+    // Reader-unstable dtype guard: a DECIMAL column in a DECLARED
+    // output hashes differently depending on which parquet reader the
+    // adjudicator uses (duckdb .df() → float64, pyarrow → Decimal
+    // objects) — the r11 dedup_stats driver red, unreproducible
+    // through any same-reader path. Decimals stay fine INTERNALLY
+    // (exact aggregation); they must not reach a gate-hashed schema.
+    def decimalCols(t: org.apache.spark.sql.types.DataType,
+        path: String): Seq[String] = t match {
+      case _: org.apache.spark.sql.types.DecimalType => Seq(path)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.toSeq.flatMap(f => decimalCols(f.dataType, s"$path.${f.name}"))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        decimalCols(a.elementType, s"$path[]")
+      case m: org.apache.spark.sql.types.MapType =>
+        decimalCols(m.keyType, s"$path.key") ++
+          decimalCols(m.valueType, s"$path.value")
+      case _ => Seq.empty
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        val decs = df.schema.fields.toSeq
+          .flatMap(f => decimalCols(f.dataType, f.name))
+        if (decs.nonEmpty) System.err.println(
+          s"[verify] WARNING $name: decimal column(s) ${decs.mkString(",")} " +
+            "in a declared output — reader-unstable at the driver gate " +
+            "(duckdb renders DECIMAL as float64, pyarrow as Decimal objects)")
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -972,7 +972,9 @@ object Similarity {
   /** The dedup chooser's outcome as a queryable row per ladder width —
     * the [[graft.operators.Ann]] BuildDiag/index_stats treatment for
     * [[semanticDedupMeasured]]: shipped width, the measured capture
-    * curve, DECIMAL-exact candidate mass, the floor verdict, and the
+    * curve, candidate mass (accounted DECIMAL-exact in the chooser,
+    * reported as a guarded BIGINT — see [[statsFrame]] for why the
+    * report column must not be decimal), the floor verdict, and the
     * dropped-vector count at the shipped width, all adjudicable by the
     * DuckDB oracle that restates the chooser's CTEs. */
   def dedupStats(s: SparkSession, d: String): DataFrame = {
@@ -1017,18 +1019,36 @@ object Similarity {
       dropped: Long): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    // `mass` is reported as BIGINT, not DECIMAL(38,0): this was the
+    // ONLY decimal column in any declared output, and a decimal column
+    // hashes differently depending on which parquet reader the
+    // adjudicator uses — duckdb 1.0.0's .df() renders DECIMAL(38,0)
+    // as float64 (32532.0) while pyarrow renders the same column as
+    // Decimal('32532') objects, so a gate that reads the Spark result
+    // through one and the oracle through the other hash-mismatches on
+    // value-identical rows (the r11 driver red: rows/schema green,
+    // hash red, unreproducible through any same-reader path). The
+    // chooser's internal accounting stays BigInt-exact (ceiling
+    // comparisons never narrow); only this report narrows, and it
+    // refuses loudly past int64 rather than wrapping — a corpus whose
+    // candidate mass exceeds 2^63 (n ≳ 3e9 at the quadratic worst
+    // case) gets an error naming the field, the same posture as the
+    // oracle's own regime guards.
     val schema = StructType(Seq(
       StructField("p", IntegerType, nullable = false),
       StructField("captured", LongType, nullable = false),
-      StructField("mass", DecimalType(38, 0), nullable = true),
+      StructField("mass", LongType, nullable = false),
       StructField("true_pairs", LongType, nullable = false),
       StructField("stride", LongType, nullable = false),
       StructField("chosen", IntegerType, nullable = false),
       StructField("floor_met", BooleanType, nullable = false),
       StructField("dropped", LongType, nullable = false)))
     val rows = c.capturedAtP.keys.toSeq.sorted.map { p =>
-      Row(p, c.capturedAtP(p),
-        new java.math.BigDecimal(c.massAtP(p).bigInteger),
+      val m = c.massAtP(p)
+      require(m.isValidLong,
+        s"dedup_stats: candidate mass at p=$p ($m) exceeds int64; " +
+          "the report column cannot represent this corpus")
+      Row(p, c.capturedAtP(p), m.toLong,
         c.truePairs, c.stride, c.p, c.floorMet, dropped)
     }
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
@@ -1344,7 +1364,7 @@ object Similarity {
          |  CAST(CASE l.p WHEN 1 THEN c1 WHEN 2 THEN c2
          |                WHEN 4 THEN c4 ELSE c8 END AS BIGINT) AS captured,
          |  CAST(CASE l.p WHEN 1 THEN m1 WHEN 2 THEN m2
-         |                WHEN 4 THEN m4 ELSE m8 END AS DECIMAL(38,0)) AS mass,
+         |                WHEN 4 THEN m4 ELSE m8 END AS BIGINT) AS mass,
          |  total AS true_pairs,
          |  CAST(greatest(1, n // 2048) AS BIGINT) AS stride,
          |  ch.p AS chosen, floor_met, dropped

@@ -119,6 +119,24 @@ def main():
             print(f"FAIL {name}: no spark result parquet")
             rec(name, False, reason="no spark result parquet")
             fails += 1; continue
+        # Reader-unstable dtype guard: this mimic reads BOTH sides
+        # through duckdb .df(), which renders DECIMAL as float64 — but
+        # the driver's gate reads the Spark parquet through a reader
+        # that yields Decimal OBJECTS for the same column (pyarrow), so
+        # a decimal column that is value-equal here hash-mismatches at
+        # the driver (the r11 dedup_stats red: rows/schema green, hash
+        # red, unreproducible through any same-reader path). Fail it
+        # HERE so the divergence can never reach the driver unseen.
+        import pyarrow.parquet as _pq
+        dec_cols = [f.name for f in _pq.read_schema(files[0])
+                    if "decimal" in str(f.type)]
+        if dec_cols:
+            print(f"FAIL {name}: decimal output column(s) {dec_cols} — "
+                  "reader-unstable dtype (duckdb .df() → float64, pyarrow "
+                  "→ Decimal objects); the driver's hash mismatches on "
+                  "value-equal rows")
+            rec(name, False, reason=f"decimal output columns: {dec_cols}")
+            fails += 1; continue
         got = con.sql(f"SELECT * FROM '{files[0]}'").df()
         try:
             want = con.sql(sql).df()

@@ -91,8 +91,15 @@ final class DedupTopM(m: Int) extends Serializable {
   private val ids = new Array[Long](math.max(m, 1))
   private var size = 0
 
-  @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
-    d1 > d2 || (d1 == d2 && i1 > i2)
+  // Total order via Double.compare, NOT raw > : a NaN distance must
+  // order LAST, as Spark SQL's ORDER BY and DuckDB rank it — raw
+  // `NaN > x` is false both ways, which made a NaN un-evictable once
+  // admitted. (−0.0 < 0.0 under Double.compare is unreachable: squared
+  // distances are sums of IEEE squares, never −0.0.)
+  @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(d1, d2)
+    c > 0 || (c == 0 && i1 > i2)
+  }
 
   private def contains(id: Long): Boolean = {
     var i = 0
@@ -143,11 +150,13 @@ final class DedupTopM(m: Int) extends Serializable {
     }
   }
 
-  /** (dists, ids, n) ascending by (dist, id); leaves the heap intact. */
+  /** (dists, ids, n) ascending by (dist, id), NaN last (the same
+    * Double.compare order the heap uses); leaves the heap intact. */
   def sortedAsc: (Array[Double], Array[Long], Int) = {
     val n = size
     val idx = Array.range(0, n).sortWith { (a, b) =>
-      dists(a) < dists(b) || (dists(a) == dists(b) && ids(a) < ids(b))
+      val c = java.lang.Double.compare(dists(a), dists(b))
+      c < 0 || (c == 0 && ids(a) < ids(b))
     }
     (idx.map(dists), idx.map(ids), n)
   }

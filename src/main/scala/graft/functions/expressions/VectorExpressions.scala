@@ -125,7 +125,11 @@ case class SquaredL2Distance(left: Expression, right: Expression)
   * monotone non-decreasing (the rounded sum never drops below the
   * previous partial), so a partial sum ≥ eps proves the full strict
   * left fold is ≥ eps — no pair can change sides. Null/length-mismatch
-  * semantics match the unfused form (null, which a Filter drops).
+  * semantics match the unfused form (null, which a Filter drops), and
+  * NaN does too: the exit tests `!(acc < eps)`, so the first NaN
+  * partial returns false — exactly the unfused `NaN < eps`, since the
+  * unfused form computes the SAME strict left fold and NaN partials
+  * propagate to a NaN total.
   *
   * Why it exists: the ε-joins (exact sampled pair stage of the dedup
   * chooser, probes×occupants verdict joins, cell pair stages) evaluate
@@ -157,15 +161,22 @@ case class SquaredL2Within(left: Expression, right: Expression, eps: Double)
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
     if (n != ys.numElements()) return null
-    val xa = xs.toDoubleArray()
-    val ya = ys.toDoubleArray()
+    // direct getDouble reads, mirroring the generated code — the
+    // interpreted path (codegen fallback, constant folding) must not
+    // pay the two toDoubleArray copies the fusion exists to avoid.
     // n = 0 leaves the loop unentered: the answer is 0.0 < eps
     var within = 0.0 < eps
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val d = xa(i) - ya(i); acc += d * d
-      if (acc >= eps) { within = false; i = n } else { within = true; i += 1 }
+      val d = xs.getDouble(i) - ys.getDouble(i); acc += d * d
+      // !(acc < eps), NOT acc >= eps: both are identical for finite
+      // sums, but a NaN partial (NaN input, or Inf−Inf) must exit
+      // FALSE — the unfused `squared_l2 < eps` computes the same
+      // strict left fold, whose NaN propagates to a NaN total, and
+      // `NaN < eps` is false. `NaN >= eps` is ALSO false, so the
+      // >= form would keep looping and return true for NaN pairs.
+      if (!(acc < eps)) { within = false; i = n } else { within = true; i += 1 }
     }
     within
   }
@@ -197,7 +208,9 @@ case class SquaredL2Within(left: Expression, right: Expression, eps: Double)
             for (int $i = 0; $i < $n; $i++) {
               double d = ${leftGen.value}.getDouble($i) - ${rightGen.value}.getDouble($i);
               $acc += d * d;
-              if ($acc >= $epsLit) { $within = false; break; }
+              // !(acc < eps): identical to >= for finite sums, but a
+              // NaN partial must exit FALSE like the unfused NaN < eps
+              if (!($acc < $epsLit)) { $within = false; break; }
               $within = true;
             }
             ${ev.isNull} = false;

@@ -1329,15 +1329,32 @@ object Ann {
     }
     val keyEq = ("proj_id" +: bucketCols)
       .map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
-    val scored = attach(
+    // Each unordered candidate pair is scored ONCE (join on <, not ≠)
+    // and mirrored into both directed rows by a generator in the same
+    // map stage — the candidate generation is symmetric (both sides
+    // draw from the same capped bucket rows and the ±probe window is
+    // symmetric), so the directed multiset is IDENTICAL to the ≠-join
+    // form while the join emits half the rows and the dominant cost —
+    // the 64-wide distance fold, ~Σ bucket² evaluations — runs half as
+    // often. Bit-identical distances: (x−y)² = (y−x)² term by term and
+    // the fold visits the same index order, so the (dist, id) heaps
+    // and the DISTINCT-formulated oracle are untouched.
+    val half = attach(
       bve.as("l").join(probed.as("r"),
-          keyEq && col("l.vec_id") =!= col("r.vec_id"))
-        .select(col("l.vec_id").as("src"), col("l.embedding").as("lv"),
-          col("r.vec_id").as("dst"),
+          keyEq && col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("a"), col("l.embedding").as("lv"),
+          col("r.vec_id").as("b"),
           least(col("l.level"), col("r.level"), lit(MaxLevel)).as("minl")),
-      "dst", "rv")
-      .select(col("src"), col("dst"),
+      "b", "rv")
+      .select(col("a"), col("b"),
         squaredL2(col("lv"), col("rv")).as("dist"), col("minl"))
+    val scored = half
+      .select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"),
+        col("dist"), col("minl"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("dist"), col("minl"))
     // Chord-finger seed: every node also gets deterministic LONG-RANGE
     // seed candidates — rank r connects to ranks (r + 2^j) mod n for
     // j < bit-length(n-1), the Chord finger table. The bucket cap
@@ -1478,15 +1495,27 @@ object Ann {
       // → score → partial TopMEdges heap is one map stage.
       val nb = base.select(col("level"), col("src"), col("dst"))
         .unionByName(revCapped.select(col("level"), col("src"), col("dst")))
-      val cand = attach(attach(
+      // co-neighbor proposals are symmetric (u,v share a hub s in
+      // either order), so score each unordered pair once (join on <)
+      // and mirror the directed rows in the same map stage — half the
+      // distance folds of the ≠-join form, identical candidate
+      // multiset, bit-identical distances (same index-order fold)
+      val candHalf = attach(attach(
         nb.as("a").join(nb.as("b"),
             col("a.level") === col("b.level") && col("a.src") === col("b.src") &&
-              col("a.dst") =!= col("b.dst"))
-          .select(col("a.level").as("level"), col("a.dst").as("src"),
-            col("b.dst").as("dst")),
-        "src", "av"), "dst", "bv")
-        .select(col("level"), col("src"), col("dst"),
+              col("a.dst") < col("b.dst"))
+          .select(col("a.level").as("level"), col("a.dst").as("u"),
+            col("b.dst").as("v")),
+        "u", "av"), "v", "bv")
+        .select(col("level"), col("u"), col("v"),
           squaredL2(col("av"), col("bv")).as("dist"))
+      val cand = candHalf
+        .select(col("level"), explode(array(
+            struct(col("u").as("src"), col("v").as("dst")),
+            struct(col("v").as("src"), col("u").as("dst")))).as("e"),
+          col("dist"))
+        .select(col("level"), col("e.src").as("src"),
+          col("e.dst").as("dst"), col("dist"))
       topM(cand.unionByName(
         base.select(col("level"), col("src"), col("dst"), col("dist"))))
         .drop("rnk")

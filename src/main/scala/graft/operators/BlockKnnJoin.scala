@@ -59,7 +59,10 @@ object BlockKnnJoin {
     * ≥ 0 and IEEE addition of non-negatives is monotone), so the
     * partial is returned — any result > bound means "discard", any
     * result ≤ bound is the EXACT full distance (ties at the bound keep
-    * accumulating, because (dist, id) orders decide equality by id). */
+    * accumulating, because (dist, id) orders decide equality by id).
+    * A NaN partial never satisfies `acc > bound`, so a NaN pair runs
+    * to completion and returns the exact NaN total for the caller's
+    * heap to order last. */
   @inline private[operators] def sqDistBounded(a: Array[Double],
       b: Array[Double], bound: Double): Double = {
     val n = math.min(a.length, b.length)
@@ -96,10 +99,11 @@ object BlockKnnJoin {
             if (did != sid) {
               // early-abandon against the heap's admission bound: a
               // partial sum already past the current m-th distance can
-              // never enter; survivors carry the exact full distance
-              val bound = h.bound
-              val dd = sqDistBounded(svec, dvec, bound)
-              if (dd <= bound) h.offer(dd, did)
+              // never enter; survivors carry the exact full distance.
+              // offer() arbitrates — abandoned partials reject on the
+              // same compare, NaN admits NaN-last like the SQL rank
+              val dd = sqDistBounded(svec, dvec, h.bound)
+              h.offer(dd, did)
             }
             i += 1
           }

@@ -98,10 +98,13 @@ object BroadcastKnnJoin {
             if (!(skipSelf && qid == id)) {
               // early-abandon against this query's heap bound (see
               // BlockKnnJoin.sqDistBounded): a partial sum strictly
-              // past the current k-th distance can never enter
-              val bound = heaps(qi).bound
-              val dd = BlockKnnJoin.sqDistBounded(vec, qv, bound)
-              if (dd <= bound) heaps(qi).offer(dd, id)
+              // past the current k-th distance can never enter. offer()
+              // is the arbiter — an abandoned partial (> bound) is
+              // rejected by the same compare, and a NaN distance into
+              // an under-filled heap is admitted NaN-last like the SQL
+              // rank, instead of being dropped by a raw <= test
+              val dd = BlockKnnJoin.sqDistBounded(vec, qv, heaps(qi).bound)
+              heaps(qi).offer(dd, id)
             }
             qi += 1
           }
@@ -130,15 +133,28 @@ final class BoundedTopK(k: Int) extends Serializable {
   private val ids = new Array[Long](k)
   private var size = 0
 
-  @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
-    d1 > d2 || (d1 == d2 && i1 > i2)
+  // Total order via Double.compare, NOT raw > : a NaN distance (NaN
+  // input vector, or Inf−Inf) must order LAST, exactly as Spark SQL's
+  // ORDER BY and DuckDB rank it — raw `NaN > x` is false both ways,
+  // which made NaN un-evictable once admitted and silently dropped
+  // under early-abandon. Double.compare puts NaN above +Inf. (Its
+  // −0.0 < 0.0 quirk is unreachable here: squared distances are sums
+  // of IEEE squares, which are never −0.0.)
+  @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(d1, d2)
+    c > 0 || (c == 0 && i1 > i2)
+  }
 
   /** Current admission bound: a candidate whose distance is STRICTLY
     * above this can never enter the heap (when full, the root's dist).
     * Equality is not prunable — (dist, id) ties are decided by id — so
-    * early-abandon callers must keep accumulating at acc == bound. */
+    * early-abandon callers must keep accumulating at acc == bound.
+    * k = 0 admits nothing, so its bound is −∞ (offer() is the final
+    * arbiter either way; the bound only licenses abandoning). */
   def bound: Double =
-    if (size < k) Double.PositiveInfinity else dists(0)
+    if (k == 0) Double.NegativeInfinity
+    else if (size < k) Double.PositiveInfinity
+    else dists(0)
 
   def offer(d: Double, id: Long): Unit = {
     if (size < k) {

@@ -705,9 +705,12 @@ object Similarity {
     * closes the same-size/same-mtime collision channel too. */
   private[graft] def embeddingsContentDigest(d: String): String = {
     val root = new java.io.File(s"$d/embeddings.parquet")
+    // listFiles() returns NULL (not empty) on an IO/permission
+    // failure — treat it as no files, like a missing fixture
     val files: Seq[java.io.File] =
       if (root.isDirectory)
-        root.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
+        Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.isFile).sortBy(_.getName).toSeq
       else if (root.isFile) Seq(root)
       else Seq.empty
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -715,12 +718,35 @@ object Similarity {
       md.update(s"${f.getName}|${f.length}|".getBytes("UTF-8"))
       val raf = new java.io.RandomAccessFile(f, "r")
       try {
+        // SAMPLED digest, not a full content hash: head + tail 8 KB
+        // (the tail covers the parquet footer — schema, row-group
+        // offsets, chunk statistics) plus 6 strided 4 KB interior
+        // windows, so a same-size in-place edit anywhere near a
+        // sampled region changes the key. Full hashing would read the
+        // whole fixture on every report call — wrong at 100 TB. The
+        // residual risk (an edit landing entirely between windows AND
+        // leaving every footer statistic bit-identical) is accepted
+        // and documented; the threat is accidental staleness, and the
+        // serving side re-validates every stored row against live
+        // invariants regardless.
         val span = math.min(8192L, raf.length).toInt
         val buf = new Array[Byte](span)
         raf.readFully(buf); md.update(buf)
         if (raf.length > span) {
           raf.seek(raf.length - span)
           raf.readFully(buf); md.update(buf)
+        }
+        val win = 4096
+        if (raf.length > 2L * span + win) {
+          val innerLo = span.toLong
+          val innerHi = raf.length - span - win
+          val wbuf = new Array[Byte](win)
+          var i = 1
+          while (i <= 6) {
+            val off = innerLo + (innerHi - innerLo) * i / 7
+            raf.seek(off); raf.readFully(wbuf); md.update(wbuf)
+            i += 1
+          }
         }
       } finally raf.close()
     }
@@ -735,9 +761,9 @@ object Similarity {
     * serve a stale choice. */
   private[graft] def dedupChoicePath(d: String, eps: Double = DefaultEps,
       cellSize: Int = DefaultCellSize, pMax: Int = DefaultPMax,
-      floorNum: Long = 9,
-      floorDen: Long = 10, massPerRow: Long = 512,
-      stride: Long = 0L): String =
+      floorNum: Long = DefaultFloorNum,
+      floorDen: Long = DefaultFloorDen, massPerRow: Long = DefaultMassPerRow,
+      stride: Long = DefaultStride): String =
     Ann.storePath(d, s"dedupchoice-$ChooserStoreVersion-" +
       s"${embeddingsContentDigest(d)}-e$eps-c$cellSize-p$pMax-" +
       s"f${floorNum}_${floorDen}-m$massPerRow-s$stride")
@@ -750,6 +776,11 @@ object Similarity {
   private[graft] val DefaultEps = 1.1
   private[graft] val DefaultCellSize = 64
   private[graft] val DefaultPMax = 8
+  private[graft] val DefaultFloorNum = 9L
+  private[graft] val DefaultFloorDen = 10L
+  private[graft] val DefaultMassPerRow = 512L
+  /** 0 = the engine's measured-bounded auto stride, max(1, n/2048). */
+  private[graft] val DefaultStride = 0L
 
   /** In-session memo of chooser outcomes, keyed by the full store key
     * (fixture content + code revision + knobs). A memo hit is PURE —
@@ -856,9 +887,9 @@ object Similarity {
     * width. The chooser outcome lands in [[lastDedupChoice]]. */
   def semanticDedupMeasured(s: SparkSession, d: String,
       eps: Double = DefaultEps, cellSize: Int = DefaultCellSize,
-      pMax: Int = DefaultPMax, floorNum: Long = 9,
-      floorDen: Long = 10, massPerRow: Long = 512,
-      stride: Long = 0L): DataFrame =
+      pMax: Int = DefaultPMax, floorNum: Long = DefaultFloorNum,
+      floorDen: Long = DefaultFloorDen, massPerRow: Long = DefaultMassPerRow,
+      stride: Long = DefaultStride): DataFrame =
     semanticDedupMeasuredWithState(s, d, eps, cellSize, pMax, floorNum,
       floorDen, massPerRow, stride)._1
 
@@ -869,8 +900,9 @@ object Similarity {
   private[graft] def semanticDedupMeasuredWithState(s: SparkSession,
       d: String, eps: Double = DefaultEps,
       cellSize: Int = DefaultCellSize, pMax: Int = DefaultPMax,
-      floorNum: Long = 9, floorDen: Long = 10, massPerRow: Long = 512,
-      stride: Long = 0L): (DataFrame, DataFrame) = {
+      floorNum: Long = DefaultFloorNum, floorDen: Long = DefaultFloorDen,
+      massPerRow: Long = DefaultMassPerRow,
+      stride: Long = DefaultStride): (DataFrame, DataFrame) = {
     val ladder = Seq(1, 2, 4, 8).filter(_ <= pMax)
     require(ladder.nonEmpty && ladder.last == pMax,
       s"pMax must be a ladder width (1/2/4/8), got $pMax")
@@ -1096,16 +1128,22 @@ object Similarity {
     val choicePath = dedupChoicePath(d)
     val served: Option[DedupChoice] =
       if (new java.io.File(s"$choicePath/_SUCCESS").exists()) {
-        val c = readDedupChoice(s, choicePath)
+        // the read itself is part of validation: a store with _SUCCESS
+        // but truncated/corrupt/empty parquet (disk fault, external
+        // tampering) must be DISCARDED and re-measured like any other
+        // invalid entry, not crash the report path
+        val readOrInvalid = scala.util.Try(readDedupChoice(s, choicePath))
         val n = Tables.embeddings(s, d).count()
-        if (servedChoiceValid(c, n)) Some(c)
-        else {
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"dedup_stats_stored: persisted choice at $choicePath fails " +
-              s"live-invariant validation (n=$n, stored=$c); " +
-              "discarding and re-measuring")
-          deleteRecursively(new java.io.File(choicePath))
-          None
+        readOrInvalid match {
+          case scala.util.Success(c) if servedChoiceValid(c, n) => Some(c)
+          case other =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"dedup_stats_stored: persisted choice at $choicePath is " +
+                other.fold(e => s"unreadable (${e.getMessage})",
+                  c => s"invalid against live invariants (n=$n, stored=$c)") +
+                "; discarding and re-measuring")
+            deleteRecursively(new java.io.File(choicePath))
+            None
         }
       } else None
     served match {

@@ -17,11 +17,13 @@ import org.apache.spark.sql.SparkSession
   */
 object DedupChoiceReport {
   def main(args: Array[String]): Unit = {
+    import graft.operators.Similarity.{DefaultEps, DefaultStride,
+      DefaultMassPerRow, DefaultCellSize}
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val eps = args.lift(1).map(_.toDouble).getOrElse(1.1)
-    val stride = args.lift(2).map(_.toLong).getOrElse(0L)
-    val massPerRow = args.lift(3).map(_.toLong).getOrElse(512L)
-    val cellSize = args.lift(4).map(_.toInt).getOrElse(64)
+    val eps = args.lift(1).map(_.toDouble).getOrElse(DefaultEps)
+    val stride = args.lift(2).map(_.toLong).getOrElse(DefaultStride)
+    val massPerRow = args.lift(3).map(_.toLong).getOrElse(DefaultMassPerRow)
+    val cellSize = args.lift(4).map(_.toInt).getOrElse(DefaultCellSize)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-dedup-choice")
@@ -33,9 +35,11 @@ object DedupChoiceReport {
     spark.sparkContext.setLogLevel("WARN")
     // at the declared-query defaults the REPORT path may serve the
     // persisted (version-stamped, invariant-validated) outcome —
-    // build-once/report-many; any other knob set measures live
-    val defaults = eps == 1.1 && stride == 0L && massPerRow == 512L &&
-      cellSize == 64
+    // build-once/report-many; any other knob set measures live.
+    // Compared against the NAMED constants, never re-hardcoded
+    // literals — a future default change must move this test with it
+    val defaults = eps == DefaultEps && stride == DefaultStride &&
+      massPerRow == DefaultMassPerRow && cellSize == DefaultCellSize
     val rows =
       if (defaults) {
         val stats = graft.operators.Similarity.dedupStatsStored(spark, d)

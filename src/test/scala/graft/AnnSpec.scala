@@ -495,7 +495,19 @@ class AnnSpec extends AnyFunSuite {
     assert(path.contains(Similarity.embeddingsContentDigest(d)),
       s"store key lacks the embeddings content digest: $path")
     val before = Similarity.chooserMeasurements
-    val s1 = Similarity.dedupStats(spark, d).collect() // measures + seeds
+    val statsDf = Similarity.dedupStats(spark, d)
+    // reader-stability pin: no declared output may carry a DECIMAL
+    // column — duckdb .df() renders it float64 while pyarrow yields
+    // Decimal objects, so a two-reader gate hash-mismatches on
+    // value-identical rows (the r11 driver red, root-caused r12).
+    // `mass` is the column that used to be DECIMAL(38,0).
+    assert(statsDf.schema.fields.forall(f =>
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]),
+      s"dedup_stats schema carries a decimal column: ${statsDf.schema}")
+    assert(statsDf.schema("mass").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "mass must report as BIGINT (reader-stable dtype)")
+    val s1 = statsDf.collect() // measures + seeds
     assert(Similarity.chooserMeasurements == before + 1,
       "first declared dedup_stats must run the live measurement exactly once")
     assert(new java.io.File(s"$path/_SUCCESS").exists(),
@@ -562,6 +574,23 @@ class AnnSpec extends AnyFunSuite {
       "defaults dedupStatsStored re-measured despite its store")
     assert(s5.map(_.toString).toSeq == s1.map(_.toString).toSeq,
       s"defaults stats served the knob run's outcome (chosen p ${cOther.p})")
+    // a store whose parquet is UNREADABLE (truncated part file beside
+    // _SUCCESS — disk fault / external tampering) is discarded and
+    // re-measured like any invalid entry, never a crash of the report
+    Similarity.clearChooserMemo()
+    rm(new java.io.File(path))
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_SUCCESS"), "")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "part-corrupt.snappy.parquet"),
+      "not parquet")
+    val beforeCorrupt = Similarity.chooserMeasurements
+    val s6 = Similarity.dedupStatsStored(spark, d).collect()
+    assert(Similarity.chooserMeasurements == beforeCorrupt + 1,
+      "corrupt store must be discarded and re-measured")
+    assert(s6.map(_.toString).toSeq == s1.map(_.toString).toSeq,
+      "re-measured rows after corrupt store diverged")
   }
 
   /** Live embeddings row count of fixture `d` — the n the serving-side

@@ -191,6 +191,26 @@ class FunctionsSpec extends AnyFunSuite {
     val mism = Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
       .select(squaredL2Within(col("a"), col("b"), 1.0)).head()
     assert(mism.isNullAt(0), "length mismatch must be null")
+    // NaN/Inf parity: the unfused `squared_l2 < eps` is FALSE for a
+    // NaN or +Inf distance; the fused exit must agree (a NaN partial
+    // fails `acc < eps`, so the >= form would have returned true)
+    val weird = Seq(
+      (Array(Double.NaN, 1.0), Array(0.0, 0.0)),           // NaN first term
+      (Array(1.0, Double.NaN), Array(1.0, 0.0)),           // NaN after finite
+      (Array(Double.PositiveInfinity),
+        Array(Double.PositiveInfinity)),                   // Inf−Inf = NaN
+      (Array(Double.PositiveInfinity), Array(0.0)),        // Inf distance
+      (Array(Double.NegativeInfinity), Array(1.0))         // Inf via square
+    ).toDF("a", "b")
+    Seq(1.0, 1e300).foreach { eps =>
+      val bad = weird.filter(
+        squaredL2Within(col("a"), col("b"), eps) =!=
+          (squaredL2(col("a"), col("b")) < eps)).count()
+      assert(bad == 0L, s"fused/unfused diverge on NaN/Inf rows at eps=$eps")
+      val anyTrue = weird.filter(
+        squaredL2Within(col("a"), col("b"), eps)).count()
+      assert(anyTrue == 0L, s"a NaN/Inf distance passed the ε-ball at eps=$eps")
+    }
   }
 
   test("Tables.normalizeTs folds every fixture vintage to the same µs timestamps") {

@@ -269,6 +269,38 @@ class BoundedTopKSpec extends AnyFunSuite {
       assert(got == want, s"trial $trial n=$n k=$k")
     }
   }
+
+  test("k = 0: bound is total-rejection, offers are no-ops, drain empty") {
+    val h = new BoundedTopK(0)
+    assert(h.bound == Double.NegativeInfinity) // was AIOOBE on dists(0)
+    h.offer(1.0, 1L); h.offer(Double.NaN, 2L)
+    assert(h.drain().isEmpty)
+  }
+
+  test("NaN distances order LAST (Spark SQL / DuckDB rank): admitted " +
+      "under-filled, evicted first, never displacing a finite neighbor") {
+    // under-filled heap: NaN is kept (the SQL top-k would include it
+    // when fewer than k finite candidates exist) but sorts last
+    val h = new BoundedTopK(3)
+    h.offer(Double.NaN, 7L); h.offer(2.0, 1L)
+    val partial = h.drain().toSeq
+    assert(partial.map(_._2) == Seq(1L, 7L) && partial(1)._1.isNaN,
+      s"under-filled NaN placement: $partial")
+    // full heap: finite arrivals evict the NaN, and a NaN candidate
+    // can never displace a finite resident
+    val h2 = new BoundedTopK(2)
+    h2.offer(Double.NaN, 7L); h2.offer(2.0, 1L); h2.offer(3.0, 2L)
+    h2.offer(Double.NaN, 9L)
+    assert(h2.drain().toSeq == Seq((2.0, 1L), (3.0, 2L)))
+    // abandon-path integration: a NaN distance total (e.g. Inf−Inf in
+    // sqDistBounded, which never satisfies `acc > bound` and so runs
+    // to completion) must flow through offer() and land NaN-last, not
+    // be dropped by a <= admission test at the call site
+    val h3 = new BoundedTopK(2)
+    h3.offer(Double.NaN, 5L)
+    val only = h3.drain().toSeq
+    assert(only.size == 1 && only.head._2 == 5L && only.head._1.isNaN)
+  }
 }
 
 /** DedupTopM vs distinct-then-sort oracle: the heap over a candidate
@@ -315,5 +347,20 @@ class DedupTopMSpec extends AnyFunSuite {
       val got = (0 until n).map(i => (ds(i), is(i)))
       assert(got == oracle(stream, m), s"trial $trial m=$m cut=$cut")
     }
+  }
+
+  test("NaN distances order LAST and are evicted first, matching the SQL rank") {
+    val h = new DedupTopM(2)
+    h.offer(Double.NaN, 7L); h.offer(1.0, 1L); h.offer(2.0, 2L)
+    h.offer(Double.NaN, 9L) // full of finite: NaN candidate rejected
+    val (ds, is, n) = h.sortedAsc
+    assert(n == 2 && is.take(2).toSeq == Seq(1L, 2L) &&
+      ds.take(2).toSeq == Seq(1.0, 2.0), s"NaN displaced a finite edge")
+    // under-filled: NaN kept but sorted last
+    val h2 = new DedupTopM(3)
+    h2.offer(Double.NaN, 7L); h2.offer(1.0, 1L)
+    val (ds2, is2, n2) = h2.sortedAsc
+    assert(n2 == 2 && is2.take(2).toSeq == Seq(1L, 7L) && ds2(1).isNaN,
+      "under-filled NaN must sort last")
   }
 }

@@ -127,9 +127,12 @@ def main():
         # the driver (the r11 dedup_stats red: rows/schema green, hash
         # red, unreproducible through any same-reader path). Fail it
         # HERE so the divergence can never reach the driver unseen.
-        import pyarrow.parquet as _pq
-        dec_cols = [f.name for f in _pq.read_schema(files[0])
-                    if "decimal" in str(f.type)]
+        # schema probed through duckdb itself (DESCRIBE preserves the
+        # DECIMAL type the .df() conversion would erase) — no pyarrow
+        # dependency, which this mimic otherwise never needs
+        dec_cols = [r[0] for r in
+                    con.sql(f"DESCRIBE SELECT * FROM '{files[0]}'").fetchall()
+                    if "DECIMAL" in str(r[1]).upper()]
         if dec_cols:
             print(f"FAIL {name}: decimal output column(s) {dec_cols} — "
                   "reader-unstable dtype (duckdb .df() → float64, pyarrow "

@@ -42,13 +42,16 @@ object TextOps {
 
   /** docs with distinct 3-word shingles (ordered shingling, distinct
     * for set semantics — a DEFINITION shared with the oracle). */
+  /** Ordered 3-word shingles (with repeats) — the ONE definition of
+    * the shingle transform; [[shingled]] wraps it with array_distinct
+    * for set semantics and [[repetitionStats]] consumes it ordered. */
+  private def orderedShingles: org.apache.spark.sql.Column =
+    when(size(col("toks")) >= 3,
+      expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))"))
+      .otherwise(expr("array()"))
+
   private def shingled(s: SparkSession, d: String): DataFrame =
-    toks(s, d).withColumn(
-      "sh",
-      when(size(col("toks")) >= 3,
-        array_distinct(expr(
-          "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))")))
-        .otherwise(expr("array()")))
+    toks(s, d).withColumn("sh", array_distinct(orderedShingles))
 
   /** 60-bit integer hash of a string via md5 (engine-portable). */
   private val hash60 = "CAST(conv(substr(md5(%s), 1, 15), 16, 10) AS BIGINT)"
@@ -119,11 +122,7 @@ object TextOps {
     * templated/boilerplate text that token-level stats (TTR) miss.
     * One explode + two per-doc aggregations; map-only otherwise. */
   def repetitionStats(s: SparkSession, d: String): DataFrame = {
-    val ordered = toks(s, d).withColumn(
-      "sh",
-      when(size(col("toks")) >= 3,
-        expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))"))
-        .otherwise(expr("array()")))
+    val ordered = toks(s, d).withColumn("sh", orderedShingles)
     val e = ordered.select(col("doc_id"), explode(col("sh")).as("sg"))
     val counts = e.groupBy(col("doc_id"), col("sg")).agg(count(lit(1)).as("c"))
     val top = counts
@@ -241,7 +240,17 @@ object TextOps {
     * parameterization is [[simhash64NearDup]]: 64-bit fingerprints,
     * hd≤3, 4×16-bit bands — 2¹⁰× smaller buckets, same plan shape. */
   def simhashNearDup(s: SparkSession, d: String, maxHd: Int = 8): DataFrame = {
-    val f = docFingerprint(s, d).select(col("doc_id"), col("sim48")).cache()
+    import org.apache.spark.sql.graftbridge.SqlBridge.{column, expression}
+    import graft.functions.expressions.SimHash48
+    // shingle-less docs are EXCLUDED from near-dup judging (not from
+    // the declared doc_fingerprint, whose contract is a row per doc):
+    // SimHash over zero shingles is 0 — "no signal", not a signature —
+    // so every sub-3-token doc would share fingerprint 0, collide in
+    // every band, and be reported as hamming-0 near-dups of each other
+    val hs = expr(s"transform(sh, t -> ${hash60.format("t")})")
+    val f = shingled(s, d).filter(size(col("sh")) > 0)
+      .select(col("doc_id"), column(SimHash48(expression(hs))).as("sim48"))
+      .cache()
     val widths = Seq(6, 6, 6, 5, 5, 5, 5, 5, 5)
     val offsets = widths.scanLeft(0)(_ + _).init
     val bandCols = widths.zip(offsets).zipWithIndex.map { case ((wd, off), bi) =>
@@ -275,7 +284,9 @@ object TextOps {
     val h1 = hash60.format("t")
     val h2 = hash60.format("concat('s2:', t)")
     val hs64 = expr(s"transform(sh, t -> ($h1 & 4294967295L) | shiftleft($h2, 32))")
-    shingled(s, d)
+    // shingle-less docs excluded — see [[simhashNearDup]]: a zero-
+    // shingle SimHash is 0 for every such doc, not a signature
+    shingled(s, d).filter(size(col("sh")) > 0)
       .select(col("doc_id"), column(SimHash(expression(hs64), 64)).as("sim64"))
   }
 
@@ -323,7 +334,13 @@ object TextOps {
     // and `sig` into all 4 band keys — recomputing the interpreted
     // md5 chain ~64× per doc, twice more via the self-join. Caching
     // `bands` cuts the lineage so the hash chain runs exactly once.
-    val sig = sh
+    // Shingle-less docs (< 3 tokens) carry NO signature: an empty
+    // shingle set makes every array_min NULL, every band key md5('')
+    // — ALL such docs band-collide pairwise and the exact-Jaccard
+    // verify divides 0/(0+0-0), which throws under ANSI. A doc with
+    // no shingles cannot be near-dup-judged; it produces no bands
+    // (the oracles state the same len(sh) > 0 predicate).
+    val sig = sh.filter(size(col("sh")) > 0)
       .withColumn("hs", expr(s"transform(sh, t -> ${hash60.format("t")} % 2147483647)"))
       .withColumn("sig", expr(
         "transform(sequence(0,15), i -> array_min(transform(hs, h -> ((2*i+1)*h + i*7919) % 2147483647)))"))
@@ -712,11 +729,31 @@ object TextOps {
     * overlap count + per-query window; the fusion is a full-outer join
     * of two cTop-row-per-query sets. Corpus-sized work is one scan per
     * arm. */
+  /** The shared arms of the hybrid retrievers: exact vector ranks for
+    * the first `nq` embedding ids (top `cTop` per query), and the RRF
+    * fusion `Σ_arms 1/(c0 + rank)` over a full-outer join of the two
+    * per-query rank sets — ONE definition, so the fusion constant
+    * handling and tie-breaks cannot drift between [[hybridRrf]] and
+    * [[hybridBm25]]. */
+  private def vecArm(s: SparkSession, d: String, nq: Int, cTop: Int): DataFrame = {
+    val e = graft.Tables.embeddings(s, d)
+    graft.plans.KnnJoin.exact(e, e.filter(col("vec_id") < nq), cTop)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("rv"))
+  }
+  private def rrfFuse(vecRanks: DataFrame, textRanks: DataFrame,
+      k: Int, c0: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    vecRanks.join(textRanks, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(c0) + col("rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c0) + col("rt")), lit(0.0))).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def hybridRrf(s: SparkSession, d: String, nq: Int = 10, k: Int = 10,
                 cTop: Int = 30, c0: Int = 60): DataFrame = {
-    val e = graft.Tables.embeddings(s, d)
-    val vecRanks = graft.plans.KnnJoin.exact(e, e.filter(col("vec_id") < nq), cTop)
-      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("rv"))
     val dt = toks(s, d).select(col("doc_id"), array_distinct(col("toks")).as("dt"))
     val qt = dt.filter(col("doc_id") < nq)
       .select(col("doc_id").as("query_id"), col("dt").as("qt"))
@@ -727,14 +764,7 @@ object TextOps {
       .withColumn("rt", row_number().over(wT))
       .filter(col("rt") <= cTop)
       .select(col("query_id"), col("doc_id"), col("rt"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    vecRanks.join(textRanks, Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        (coalesce(lit(1.0) / (lit(c0) + col("rv")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(c0) + col("rt")), lit(0.0))).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .orderBy(col("query_id"), col("rnk"))
+    rrfFuse(vecArm(s, d, nq, cTop), textRanks, k, c0)
   }
 
   /** HYBRID search with a BM25 text arm — [[hybridRrf]]'s production
@@ -762,12 +792,9 @@ object TextOps {
     * terms and their df ride broadcasts; candidates are docs sharing
     * ≥1 query term (term equi-join — never all docs × queries); the
     * fold is one aggregation keyed (query, doc). The vector arm and
-    * fusion are [[hybridRrf]]'s verbatim. */
+    * fusion are shared with [[hybridRrf]] (vecArm / rrfFuse). */
   def hybridBm25(s: SparkSession, d: String, nq: Int = 10, k: Int = 10,
                  cTop: Int = 30, c0: Int = 60): DataFrame = {
-    val e = graft.Tables.embeddings(s, d)
-    val vecRanks = graft.plans.KnnJoin.exact(e, e.filter(col("vec_id") < nq), cTop)
-      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("rv"))
     val tk = toks(s, d).select(col("doc_id"), col("toks"))
     val st = tk.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -797,14 +824,7 @@ object TextOps {
       .withColumn("rt", row_number().over(wT))
       .filter(col("rt") <= cTop)
       .select(col("query_id"), col("doc_id"), col("rt"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    vecRanks.join(textRanks, Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        (coalesce(lit(1.0) / (lit(c0) + col("rv")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(c0) + col("rt")), lit(0.0))).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .orderBy(col("query_id"), col("rnk"))
+    rrfFuse(vecArm(s, d, nq, cTop), textRanks, k, c0)
   }
 
   // ---------------------------------------------------------------- langid
@@ -815,9 +835,16 @@ object TextOps {
     * relational pipeline (explode → count → rank → join → argmax). */
   def langidTrigram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // length ≥ 3 guard (the shingled() treatment): Spark's sequence()
+    // runs DESCENDING when stop < start, so an unguarded len-2 here
+    // fabricates "trigrams" (substr at 0 and negative positions) for
+    // sub-3-char docs — DuckDB's generate_series(1, len-2) is empty
+    // for those, so the fabricated rows diverge from the oracle
     val tri = docs.select(
       col("doc_id"), col("lang"),
-      explode(expr("transform(sequence(1, CAST(length(text) AS INT)-2), i -> substr(text, i, 3))")).as("tri"))
+      explode(expr("CASE WHEN length(text) >= 3 THEN " +
+        "transform(sequence(1, CAST(length(text) AS INT)-2), i -> substr(text, i, 3)) " +
+        "ELSE array() END")).as("tri"))
     // ONE shuffle of the exploded trigrams: the per-(doc, trigram)
     // counts feed both the language profiles (second-stage agg of
     // already-reduced rows) and the distinct doc-trigram pairs (free —
@@ -1302,7 +1329,8 @@ object TextOps {
       s"""WITH $duckShingles,
          |h AS (SELECT doc_id, list_transform(sh, t -> [
          |        ${duckHash60.format("t")},
-         |        ${duckHash60.format("concat('s2:', t)")}]) AS hs FROM d),
+         |        ${duckHash60.format("concat('s2:', t)")}]) AS hs
+         |      FROM d WHERE len(sh) > 0),
          |fp AS (SELECT doc_id, list_reduce(list_transform(generate_series(0,63), b ->
          |        CASE WHEN list_sum(list_transform(hs, p ->
          |          CASE WHEN ((CASE WHEN b < 32 THEN p[1] >> b ELSE p[2] >> (b-32) END) & 1) = 1
@@ -1316,7 +1344,8 @@ object TextOps {
          |ORDER BY src, dst""".stripMargin,
     "minhash_lsh_dedup" ->
       s"""WITH $duckShingles,
-         |h AS (SELECT doc_id, list_transform(sh, t -> ${duckHash60.format("t")} % 2147483647) AS hs FROM d),
+         |h AS (SELECT doc_id, list_transform(sh, t -> ${duckHash60.format("t")} % 2147483647) AS hs
+         |      FROM d WHERE len(sh) > 0),
          |sig AS (SELECT doc_id, list_transform(generate_series(0,15), i ->
          |          list_min(list_transform(hs, h -> ((2*i+1)*h + i*7919) % 2147483647))) AS sig FROM h),
          |bands AS (SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4+1, b*4+4), '-')) AS bk
@@ -1407,8 +1436,8 @@ object TextOps {
          |           WHERE len(string_split(text, ' ')) >= 8),
          |p AS (SELECT doc_id,
          |        ${duckHash60.format("array_to_string(list_slice(toks, i*8+1, i*8+8), ' ')")} AS ph
-         |      FROM t, (SELECT unnest(generate_series(0, 4095)) AS i) g
-         |      WHERE i <= len(toks) // 8 - 1),
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(generate_series(0, len(toks) // 8 - 1)) AS i FROM t)),
          |b AS (SELECT ph FROM (SELECT ph, count(DISTINCT doc_id) AS nd FROM p GROUP BY ph)
          |      WHERE nd >= 2),
          |tot AS (SELECT doc_id, count(*) AS n_passages FROM p GROUP BY doc_id),
@@ -1450,7 +1479,8 @@ object TextOps {
         |FROM p GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 50""".stripMargin,
     "cross_split_contamination" ->
       s"""WITH $duckShingles,
-         |h AS (SELECT doc_id, list_transform(sh, t -> ${duckHash60.format("t")} % 2147483647) AS hs FROM d),
+         |h AS (SELECT doc_id, list_transform(sh, t -> ${duckHash60.format("t")} % 2147483647) AS hs
+         |      FROM d WHERE len(sh) > 0),
          |sig AS (SELECT doc_id, list_transform(generate_series(0,15), i ->
          |          list_min(list_transform(hs, h -> ((2*i+1)*h + i*7919) % 2147483647))) AS sig FROM h),
          |bands AS (SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4+1, b*4+4), '-')) AS bk

@@ -36,12 +36,42 @@ object StreamingOps {
     * would match nothing and silently deliver an EMPTY stream, which
     * is exactly what the first sf1 scale run did). */
   private def tableStream(s: SparkSession, d: String, table: String): DataFrame = {
+    // session-wide by design, matching graft.Tables' batch readers:
+    // every fixture vintage with INT64-nanos timestamps is read as
+    // LONG and folded by Tables.normalizeTs; scoping it per-stream
+    // would leave batch and stream reads of one session inconsistent
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/$table.parquet"
     val schema = s.read.parquet(path).schema
     val base = s.readStream.schema(schema)
-    if (new java.io.File(path).isDirectory) base.parquet(path)
+    // directory detection through the Hadoop FileSystem API: on a
+    // non-local store (s3a://, hdfs://) java.io.File.isDirectory is
+    // ALWAYS false, which would route a Spark-written directory table
+    // into the glob branch where pathGlobFilter matches no part file
+    // and the stream silently delivers zero rows — the exact failure
+    // this two-layout split exists to prevent
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val isDir = hpath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(hpath).isDirectory
+    if (isDir) base.parquet(path)
     else base.option("pathGlobFilter", s"$table.parquet").parquet(d)
+  }
+
+  /** Memory-sink names, one LIVE sink per query kind: each invocation
+    * drops the previous invocation's temp view before registering its
+    * own, so repeated Bench/Verify runs hold at most one result set
+    * per kind in driver memory instead of accumulating a UUID-named
+    * view (and its full rows) per call. The previous invocation's
+    * returned DataFrame dies with its view — results are caller-owned
+    * per invocation, the build-state lifecycle posture. */
+  private val liveSinks = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def freshSink(s: SparkSession, kind: String): String = {
+    liveSinks.remove(kind).foreach { prev =>
+      try s.catalog.dropTempView(prev) catch { case _: Throwable => () }
+    }
+    val name = kind + "_" + UUID.randomUUID().toString.replace("-", "")
+    liveSinks.put(kind, name)
+    name
   }
 
   /** Hourly per-type counts and value sums, computed by a streaming
@@ -57,7 +87,7 @@ object StreamingOps {
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
-    val name = "stream_hourly_" + UUID.randomUUID().toString.replace("-", "")
+    val name = freshSink(s, "stream_hourly")
     val q = agg.writeStream
       .outputMode(OutputMode.Complete)
       .format("memory")
@@ -109,7 +139,14 @@ object StreamingOps {
               closed += SessionOut(userId, st.sessionId, st.nEvents, st.lastUs - st.startUs)
               st = SessionState(st.sessionId + 1, us, us, 1L)
             } else {
-              st = st.copy(lastUs = us, nEvents = st.nEvents + 1)
+              // the session frontier is the MAX event time seen and the
+              // start the MIN: a cross-batch out-of-order event that
+              // lands inside the current session must not REWIND
+              // lastUs (a rewound frontier makes the next on-time event
+              // look > gap away and falsely splits the session) nor be
+              // excluded from the duration
+              st = st.copy(lastUs = math.max(st.lastUs, us),
+                startUs = math.min(st.startUs, us), nEvents = st.nEvents + 1)
             }
           }
           state.update(st)
@@ -127,7 +164,7 @@ object StreamingOps {
   def streamingSessionizeQuery(s: SparkSession, d: String): DataFrame = {
     val src = tableStream(s, d, "events")
       .transform(graft.Tables.normalizeTs)
-    val name = "stream_sess_" + UUID.randomUUID().toString.replace("-", "")
+    val name = freshSink(s, "stream_sess")
     val q = streamingSessionize(s, src).writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
@@ -161,7 +198,7 @@ object StreamingOps {
   def streamingLateHourlyQuery(s: SparkSession, d: String): DataFrame = {
     val src = tableStream(s, d, "events")
       .transform(graft.Tables.normalizeTs)
-    val name = "stream_late_" + UUID.randomUUID().toString.replace("-", "")
+    val name = freshSink(s, "stream_late")
     val q = lateHourlyAgg(src).writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
@@ -196,7 +233,7 @@ object StreamingOps {
         sum(coalesce(col("n_orders"), lit(0L))).as("sum_user_orders"),
         sum(coalesce(col("spend"), lit(0).cast(DecimalType(12, 2))))
           .cast("double").as("sum_user_spend"))
-    val name = "stream_enrich_" + UUID.randomUUID().toString.replace("-", "")
+    val name = freshSink(s, "stream_enrich")
     val q = agg.writeStream
       .outputMode(OutputMode.Complete)
       .format("memory")
@@ -267,7 +304,7 @@ object StreamingOps {
         col("buy_ts") >= col("view_ts") &&
         col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("user_id"), col("view_id"), col("buy_id"), col("value"))
-    val name = "stream_join_" + UUID.randomUUID().toString.replace("-", "")
+    val name = freshSink(s, "stream_join")
     val q = joined.writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
@@ -291,7 +328,7 @@ object StreamingOps {
     * dedup guaranteed only within the lateness horizon). */
   def streamingDedupQuery(s: SparkSession, d: String): DataFrame = {
     val src = tableStream(s, d, "documents")
-    val name = "stream_dedup_" + UUID.randomUUID().toString.replace("-", "")
+    val name = freshSink(s, "stream_dedup")
     val q = src
       .select(md5(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")

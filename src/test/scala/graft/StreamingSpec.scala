@@ -92,6 +92,29 @@ class StreamingSpec extends AnyFunSuite {
     val all = spark.table("sess_test").as[StreamingOps.SessionOut].collect()
     assert(all.length == 2)
     assert(all.exists(o => o.user_id == 2L && o.n_events == 1L))
+
+    // batch 4+5: a cross-batch OUT-OF-ORDER event inside the current
+    // session must not rewind the frontier. User 3: frontier at 60min;
+    // a late 45min event arrives (inside the session), then an 88min
+    // event — 88-60=28min <= gap, so NO split. A rewound frontier
+    // (lastUs=45) would see 88-45=43min > gap and falsely close.
+    mem.addData((3L, 30 * min), (3L, 60 * min))
+    q.processAllAvailable()
+    mem.addData((3L, 45 * min))
+    q.processAllAvailable()
+    mem.addData((3L, 88 * min))
+    q.processAllAvailable()
+    val u3closed = spark.table("sess_test").as[StreamingOps.SessionOut]
+      .collect().filter(_.user_id == 3L)
+    assert(u3closed.isEmpty,
+      s"out-of-order event rewound the session frontier: ${u3closed.mkString(",")}")
+    // close it and pin the accounting: 4 events, duration 88-30 min
+    mem.addData((3L, 200 * min))
+    q.processAllAvailable()
+    val u3 = spark.table("sess_test").as[StreamingOps.SessionOut]
+      .collect().filter(_.user_id == 3L)
+    assert(u3.toSeq == Seq(StreamingOps.SessionOut(3L, 1L, 4L, 58 * min)),
+      s"session accounting wrong: ${u3.mkString(",")}")
     q.stop()
   }
 

@@ -318,4 +318,46 @@ class TextOpsSpec extends AnyFunSuite {
       assert(rows.forall(_._6 == rows.map(_._4).sum), s"shard $shard shard_toks wrong")
     }
   }
+
+  test("short docs (< 3 tokens) carry no shingle signature: no fabricated " +
+      "near-dups, no divide-by-zero, no bogus trigrams") {
+    // a corpus of sub-3-token docs plus normal docs — the regime the
+    // gated fixtures never exercise (their min token count is 10).
+    // Pre-fix behavior: empty shingle sets gave every short doc the
+    // same MinHash band keys (md5('')) and SimHash 0, so all short
+    // pairs were reported as duplicates and the exact-Jaccard verify
+    // divided 0/0 (an ANSI runtime error); langid fabricated trigrams
+    // from Spark's DESCENDING sequence() on len<3 texts.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_short_docs")
+    val dir = tmp.toString
+    val docs = Seq(
+      (0L, "a b", "en", "s0", 3L),                           // 2 tokens
+      (1L, "x y", "en", "s0", 3L),                           // 2 tokens
+      (2L, "z", "fr", "s1", 1L),                             // 1 token, 1 char
+      (3L, "one two three four five six", "en", "s0", 27L),  // normal
+      (4L, "one two three four five six", "en", "s0", 27L),  // exact dup of 3
+      (5L, "ab", "fr", "s1", 2L)                             // 2 chars
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // near-dup families: ONLY the genuine duplicate pair (3, 4)
+    val mh = TextOps.minhashLshDedup(spark, dir).collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 4L)),
+      s"minhash reported short-doc pairs: ${mh.mkString(",")}")
+    val s64 = TextOps.simhash64NearDup(spark, dir).collect()
+    assert(s64.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 4L)),
+      s"simhash64 reported short-doc pairs: ${s64.mkString(",")}")
+    val s48 = TextOps.simhashNearDup(spark, dir).collect()
+    assert(s48.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 4L)),
+      s"simhash48 reported short-doc pairs: ${s48.mkString(",")}")
+    // langid: every doc predicted (short docs score 0 for all langs →
+    // alphabetically-first profile), no fabricated trigrams — matches
+    // DuckDB's empty generate_series(1, len-2) for len < 3
+    val li = TextOps.langidTrigram(spark, dir).collect()
+    assert(li.length == docs.count().toInt, "langid must keep every doc")
+    val shortScores = li.filter(r => Seq(2L, 5L).contains(r.getLong(0)))
+    assert(shortScores.forall(_.getLong(3) == 0L),
+      s"sub-3-char docs scored on fabricated trigrams: ${shortScores.mkString(",")}")
+    graft.operators.Similarity.deleteRecursively(tmp.toFile)
+  }
 }

@@ -46,7 +46,7 @@ object BlockKnnJoin {
       .mapGroups((blk: Int, it: Iterator[(Long, Array[Double])]) => (blk, it.toArray))
   }
 
-  @inline private[operators] def sqDist(a: Array[Double], b: Array[Double]): Double = {
+  @inline private[graft] def sqDist(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var acc = 0.0
     var i = 0
@@ -63,7 +63,7 @@ object BlockKnnJoin {
     * A NaN partial never satisfies `acc > bound`, so a NaN pair runs
     * to completion and returns the exact NaN total for the caller's
     * heap to order last. */
-  @inline private[operators] def sqDistBounded(a: Array[Double],
+  @inline private[graft] def sqDistBounded(a: Array[Double],
       b: Array[Double], bound: Double): Double = {
     val n = math.min(a.length, b.length)
     var acc = 0.0

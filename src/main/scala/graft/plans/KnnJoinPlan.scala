@@ -114,11 +114,14 @@ case class KnnJoinExec(
         while (qi < nq) {
           val (qid, qv) = queries(qi)
           if (!(skipSelf && qid == id)) {
-            val n = math.min(vec.length, qv.length)
-            var acc = 0.0
-            var i = 0
-            while (i < n) { val d = vec(i) - qv(i); acc += d * d; i += 1 }
-            heaps(qi).offer(acc, id)
+            // early-abandon against this query's heap bound — the
+            // BroadcastKnnJoin treatment (its documented bit-parity
+            // twin): a partial sum strictly past the k-th distance can
+            // never enter; offer() arbitrates abandoned partials and
+            // NaN totals identically (see BlockKnnJoin.sqDistBounded)
+            heaps(qi).offer(
+              graft.operators.BlockKnnJoin.sqDistBounded(
+                vec, qv, heaps(qi).bound), id)
           }
           qi += 1
         }
@@ -157,7 +160,11 @@ object KnnJoin {
     // split tables — same guard as BroadcastKnnJoin)
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val c0 = shape(corpus)
-    val c = if (c0.rdd.getNumPartitions < p) c0.repartition(p) else c0
+    // queryExecution.toRdd, not .rdd: the partition-count probe must
+    // not build a per-call row-deserializer lineage (the documented
+    // BroadcastKnnJoin guard, kept consistent here)
+    val c = if (c0.queryExecution.toRdd.getNumPartitions < p)
+      c0.repartition(p) else c0
     val partial = SqlBridge.ofRows(spark,
       KnnJoinPlan(SqlBridge.analyzed(c), SqlBridge.analyzed(shape(queries)), k, excludeSelf))
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))

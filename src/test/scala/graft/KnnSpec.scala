@@ -270,6 +270,44 @@ class BoundedTopKSpec extends AnyFunSuite {
     }
   }
 
+  test("sqDistBounded contract: survivors bit-equal sqDist, abandons strictly exceed the bound") {
+    import graft.operators.BlockKnnJoin.{sqDist, sqDistBounded}
+    val rnd = new scala.util.Random(99)
+    def randVec(n: Int, weird: Boolean): Array[Double] =
+      Array.fill(n) {
+        val r = rnd.nextInt(if (weird) 20 else 100)
+        if (weird && r == 0) Double.NaN
+        else if (weird && r == 1) Double.PositiveInfinity
+        else rnd.nextDouble() * 10 - 5
+      }
+    for (trial <- 1 to 500) {
+      val n = rnd.nextInt(80)
+      val weird = trial % 5 == 0
+      val a = randVec(n, weird); val b = randVec(n, weird)
+      val exact = sqDist(a, b)
+      // bounds including the EXACT distance itself (the tie case a
+      // weakened strict > would break: result must stay exact so the
+      // (dist, id) order can decide), ±ulp, 0, and the infinities
+      val bounds = Seq(exact, Math.nextUp(exact), Math.nextDown(exact),
+        0.0, exact / 2, exact * 2, Double.PositiveInfinity,
+        Double.NegativeInfinity, Double.NaN)
+      bounds.foreach { bd =>
+        val got = sqDistBounded(a, b, bd)
+        if (!(got > bd)) // survivor (also: any NaN total never abandons)
+          assert(java.lang.Double.doubleToRawLongBits(got) ==
+            java.lang.Double.doubleToRawLongBits(exact),
+            s"trial $trial bound=$bd: survivor $got != exact $exact")
+        else // abandoned: the exact total can never beat the bound
+          assert(java.lang.Double.compare(exact, bd) > 0,
+            s"trial $trial bound=$bd: abandoned but exact $exact <= bound")
+      }
+      // note: a NaN TOTAL may still abandon on an earlier finite
+      // partial — outcome-identical (exact NaN orders above any finite
+      // bound, so both the partial and the exact total are rejected by
+      // the same compare), which the contract assertions above cover
+    }
+  }
+
   test("k = 0: bound is total-rejection, offers are no-ops, drain empty") {
     val h = new BoundedTopK(0)
     assert(h.bound == Double.NegativeInfinity) // was AIOOBE on dists(0)

@@ -262,21 +262,11 @@ object Ann {
           while (i < rnodes.length) {
             val (did, dvec, dlvl) = rnodes(i)
             if (did != sid) {
+              // plain fold — no heap-bound abandon (a measured
+              // pessimization; see BlockKnnJoin.knnGraph)
+              val dist = BlockKnnJoin.sqDist(svec, dvec)
               val top = math.min(lmax, dlvl)
-              // early-abandon against the LOOSEST receiving heap's
-              // bound (total-order max via Double.compare: an
-              // under-filled heap's +Inf — or a NaN root, which admits
-              // every finite candidate — disables abandoning, exactly
-              // as offer()'s own compare requires)
-              var b = Double.NegativeInfinity
               var l = 0
-              while (l <= top) {
-                val hb = heaps(l).bound
-                if (java.lang.Double.compare(hb, b) > 0) b = hb
-                l += 1
-              }
-              val dist = BlockKnnJoin.sqDistBounded(svec, dvec, b)
-              l = 0
               while (l <= top) { heaps(l).offer(dist, did); l += 1 }
             }
             i += 1
@@ -337,24 +327,12 @@ object Ann {
           while (j < rnodes.length) {
             val (bid, bv, blvl) = rnodes(j)
             if (bid != aid) {
+              // plain fold — no heap-bound abandon (a measured
+              // pessimization; see BlockKnnJoin.knnGraph)
+              val dist = BlockKnnJoin.sqDist(av, bv)
               val top = math.min(math.min(alvl, blvl), ml)
               val rh = rheaps(j)
-              // abandon bound: total-order max over EVERY heap this
-              // pair feeds (both endpoints, levels 0..top) — see
-              // levelEdgePartials for the NaN/under-filled semantics
-              var b = Double.NegativeInfinity
               var l = 0
-              while (l <= top) {
-                if (lh != null) {
-                  val hb = lh(l).bound
-                  if (java.lang.Double.compare(hb, b) > 0) b = hb
-                }
-                val rb = rh(l).bound
-                if (java.lang.Double.compare(rb, b) > 0) b = rb
-                l += 1
-              }
-              val dist = BlockKnnJoin.sqDistBounded(av, bv, b)
-              l = 0
               while (l <= top) {
                 if (lh != null) lh(l).offer(dist, bid)
                 rh(l).offer(dist, aid)

@@ -62,7 +62,15 @@ object BlockKnnJoin {
     * accumulating, because (dist, id) orders decide equality by id).
     * A NaN partial never satisfies `acc > bound`, so a NaN pair runs
     * to completion and returns the exact NaN total for the caller's
-    * heap to order last. */
+    * heap to order last.
+    *
+    * REGIME: only worth it when the bound sits BELOW almost every
+    * distance so the crossing lands within a few terms — the ε-join
+    * case (eps ~1.1 vs typical distances 10-40: measured 1.8× win,
+    * tools/DistLoopMicro). Against a running HEAP bound the crossing
+    * lands mid-fold and the per-iteration branch costs more than the
+    * skipped arithmetic (measured 0.53 → 0.72 ms per 8k dim-64 folds)
+    * — the kNN/build loops use the plain [[sqDist]]. */
   @inline private[graft] def sqDistBounded(a: Array[Double],
       b: Array[Double], bound: Double): Double = {
     val n = math.min(a.length, b.length)
@@ -97,13 +105,14 @@ object BlockKnnJoin {
           while (i < rnodes.length) {
             val (did, dvec) = rnodes(i)
             if (did != sid) {
-              // early-abandon against the heap's admission bound: a
-              // partial sum already past the current m-th distance can
-              // never enter; survivors carry the exact full distance.
-              // offer() arbitrates — abandoned partials reject on the
-              // same compare, NaN admits NaN-last like the SQL rank
-              val dd = sqDistBounded(svec, dvec, h.bound)
-              h.offer(dd, did)
+              // PLAIN fold, no early abandon: measured (DistLoopMicro,
+              // dim 64/128/1024) the bounded loop only pays when the
+              // crossing happens within a few terms (the ε-join
+              // regime, ~1.8× win) — against a HEAP bound the crossing
+              // lands mid-fold and the per-iteration branch costs more
+              // than the skipped arithmetic (0.53 → 0.72 ms per 8k
+              // folds at dim 64). offer() rejects in O(1) either way.
+              h.offer(sqDist(svec, dvec), did)
             }
             i += 1
           }

@@ -96,15 +96,13 @@ object BroadcastKnnJoin {
           while (qi < nq) {
             val (qid, qv) = queries(qi)
             if (!(skipSelf && qid == id)) {
-              // early-abandon against this query's heap bound (see
-              // BlockKnnJoin.sqDistBounded): a partial sum strictly
-              // past the current k-th distance can never enter. offer()
-              // is the arbiter — an abandoned partial (> bound) is
-              // rejected by the same compare, and a NaN distance into
-              // an under-filled heap is admitted NaN-last like the SQL
-              // rank, instead of being dropped by a raw <= test
-              val dd = BlockKnnJoin.sqDistBounded(vec, qv, heaps(qi).bound)
-              heaps(qi).offer(dd, id)
+              // PLAIN fold — the heap-bound early abandon was measured
+              // a pessimization here (see BlockKnnJoin.knnGraph note:
+              // the crossing lands mid-fold, and the per-iteration
+              // branch costs more than the skipped arithmetic); offer()
+              // is the arbiter and admits a NaN distance NaN-last like
+              // the SQL rank
+              heaps(qi).offer(BlockKnnJoin.sqDist(vec, qv), id)
             }
             qi += 1
           }

@@ -114,14 +114,11 @@ case class KnnJoinExec(
         while (qi < nq) {
           val (qid, qv) = queries(qi)
           if (!(skipSelf && qid == id)) {
-            // early-abandon against this query's heap bound — the
-            // BroadcastKnnJoin treatment (its documented bit-parity
-            // twin): a partial sum strictly past the k-th distance can
-            // never enter; offer() arbitrates abandoned partials and
-            // NaN totals identically (see BlockKnnJoin.sqDistBounded)
+            // the ONE shared plain fold (no heap-bound abandon — a
+            // measured pessimization, see BlockKnnJoin.knnGraph);
+            // offer() arbitrates, admitting NaN NaN-last like SQL
             heaps(qi).offer(
-              graft.operators.BlockKnnJoin.sqDistBounded(
-                vec, qv, heaps(qi).bound), id)
+              graft.operators.BlockKnnJoin.sqDist(vec, qv), id)
           }
           qi += 1
         }

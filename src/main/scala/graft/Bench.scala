@@ -169,7 +169,9 @@ object Bench {
     // (the regression-relevant rows), the rest summarized.
     val bySec = results.sortBy { case (_, v) => -v }
     val top = bySec.take(20)
-    val restSec = bySec.drop(20).map(_._2).sum
+    // failures carry a -1.0 sentinel; summing them would understate
+    // (or negate) the tail seconds — the total already excludes them
+    val restSec = bySec.drop(20).map(_._2).filter(_ >= 0).sum
     val qsTop = top.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val failedNames = failed.keys.map(k => s""""$k"""").mkString("[", ",", "]")

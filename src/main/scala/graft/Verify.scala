@@ -57,6 +57,18 @@ object Verify {
           decimalCols(m.valueType, s"$path.value")
       case _ => Seq.empty
     }
+    // Bench's leaked-state discipline (see Bench.scala): several
+    // queries return caller-owned block-manager state by design
+    // (localCheckpoint'd assignments, cached bands); this main IS the
+    // caller, and without freeing between queries ~100 queries of
+    // leaked checkpoints accumulate into late-query GC/OOM pressure —
+    // at a wall-clock-budgeted driver gate that surfaces as a query
+    // failure. Results are written BEFORE the free, and the in-session
+    // chooser memo is a plain map, untouched by cache clearing.
+    def freeLeakedState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -93,6 +105,7 @@ object Verify {
             s"[verify] dedup_stats evidence unavailable: ${e.getMessage}")
         }
       }
+      freeLeakedState()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

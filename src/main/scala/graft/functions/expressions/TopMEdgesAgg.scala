@@ -47,6 +47,19 @@ case class TopMEdges(
   override def right: Expression = dist
   override def prettyName: String = "top_m_edges"
   override def nullable: Boolean = false
+  // analysis-time type guard: update() casts the evaluated inputs
+  // unchecked, so a mistyped call site (INT ids, FLOAT dists) must
+  // fail HERE, not as a per-row ClassCastException inside the
+  // aggregate — the BinaryDoubleArrayFold treatment
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (dst.dataType, dist.dataType) match {
+      case (LongType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (BIGINT dst, DOUBLE dist), got " +
+            s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("dst", LongType, nullable = false),
     StructField("dist", DoubleType, nullable = false))), containsNull = false)

@@ -188,8 +188,15 @@ case class SquaredL2Within(left: Expression, right: Expression, eps: Double)
     val i = ctx.freshName("i")
     val acc = ctx.freshName("acc")
     val within = ctx.freshName("within")
-    // Double.toString round-trips the exact eps value into Java source
-    val epsLit = s"${java.lang.Double.toString(eps)}D"
+    // Double.toString round-trips every FINITE eps exactly; the
+    // non-finite values stringify to Java-uncompilable literals
+    // ("InfinityD"/"NaND"), which would fail Janino and silently drop
+    // the whole stage to interpreted execution — name their constants
+    val epsLit =
+      if (java.lang.Double.isNaN(eps)) "Double.NaN"
+      else if (eps == Double.PositiveInfinity) "Double.POSITIVE_INFINITY"
+      else if (eps == Double.NegativeInfinity) "Double.NEGATIVE_INFINITY"
+      else s"${java.lang.Double.toString(eps)}D"
     // direct getDouble reads, NO toDoubleArray: the ε-filter hot loop
     // runs per PAIR, and materializing both sides first costs two
     // array allocations + copies per pair AND defeats the early exit

@@ -365,7 +365,14 @@ object Similarity {
     * [[semanticDedup]] applies before its pair join, and what
     * production SemDeDup persists between phases anyway. */
   private[graft] def semanticCells(s: SparkSession, d: String,
-                                   cellSize: Int): DataFrame = {
+                                   cellSize: Int): DataFrame =
+    semanticCellsWithLevels(s, d, cellSize)._1
+
+  /** [[semanticCells]] plus the level count it derived — so callers
+    * that branch on L (the [[semanticDedup]] materialization decision)
+    * don't pay a second full-corpus count to recompute it. */
+  private[graft] def semanticCellsWithLevels(s: SparkSession, d: String,
+                                   cellSize: Int): (DataFrame, Int) = {
     val e = Tables.embeddings(s, d)
     val levels = semanticLevels(e.count(), cellSize)
     val c = cellSize.toLong
@@ -415,8 +422,8 @@ object Similarity {
       // session that is done with it frees it via Ann.freeBuildState.
       val out = cur.localCheckpoint(true)
       bases.foreach(Ann.freeBuildState)
-      out
-    } else cur
+      (out, levels)
+    } else (cur, levels)
   }
 
   /** Measured pair recall of [[semanticCells]]'s Voronoi partition
@@ -444,16 +451,23 @@ object Similarity {
       .distinct()
       .localCheckpoint(true)
     try {
-      val cells = semanticCells(s, d, cellSize).select(col("vec_id"), col("cell"))
-      val total = truePairs.count()
-      if (total == 0L) 1.0
-      else {
-        val ca = cells.select(col("vec_id").as("a"), col("cell").as("cell_a"))
-        val cb = cells.select(col("vec_id").as("b"), col("cell").as("cell_b"))
-        truePairs.join(ca, "a").join(cb, "b")
-          .filter(col("cell_a") === col("cell_b"))
-          .count().toDouble / total
-      }
+      // keep the RAW handle: semanticCells returns caller-owned
+      // materialized state at L > 2, and freeBuildState needs the
+      // checkpoint's own frame — a .select on top would discard it
+      // and leak a corpus-sized block set per measurement
+      val cellsRaw = semanticCells(s, d, cellSize)
+      try {
+        val cells = cellsRaw.select(col("vec_id"), col("cell"))
+        val total = truePairs.count()
+        if (total == 0L) 1.0
+        else {
+          val ca = cells.select(col("vec_id").as("a"), col("cell").as("cell_a"))
+          val cb = cells.select(col("vec_id").as("b"), col("cell").as("cell_b"))
+          truePairs.join(ca, "a").join(cb, "b")
+            .filter(col("cell_a") === col("cell_b"))
+            .count().toDouble / total
+        }
+      } finally Ann.freeBuildState(cellsRaw)
     } finally Ann.freeBuildState(truePairs)
   }
 
@@ -468,9 +482,9 @@ object Similarity {
     // eagerly-materialized state (it must, to free its per-level
     // checkpoints), so checkpointing again would hold a second
     // corpus-sized copy for nothing.
-    val cellsDf = semanticCells(s, d, cellSize)
+    val (cellsDf, levels) = semanticCellsWithLevels(s, d, cellSize)
     val assign =
-      if (semanticLevels(Tables.embeddings(s, d).count(), cellSize) > 2) cellsDf
+      if (levels > 2) cellsDf
       else cellsDf.localCheckpoint()
     val a = assign.select(col("cell"), col("vec_id").as("src"), col("embedding").as("sv"))
     val b = assign.select(col("cell"), col("vec_id").as("dst"), col("embedding").as("dv"))
@@ -603,22 +617,28 @@ object Similarity {
         greatest(col("vec_id"), col("qid")).as("b"))
       .distinct()
       .localCheckpoint(true)
-    val cells = semanticCellsProbe(s, d, cellSize, p)
+    // the probe build sits INSIDE the truePairs guard: a failure in
+    // semanticCellsProbe must still free the already-materialized
+    // truePairs checkpoint (the failure-path discipline of the r9
+    // session-state fixes)
     try {
-      val total = truePairs.count()
-      if (total == 0L) 1.0
-      else {
-        val pa = cells.select(col("vec_id").as("a"), col("cell").as("ca"),
-          col("rnk").as("ra"))
-        val pb = cells.select(col("vec_id").as("b"), col("cell").as("cb"),
-          col("rnk").as("rb"))
-        truePairs.join(pa, "a").join(pb, "b")
-          .filter(col("ca") === col("cb") &&
-            (col("ra") === 1 || col("rb") === 1))
-          .select(col("a"), col("b")).distinct()
-          .count().toDouble / total
-      }
-    } finally { Ann.freeBuildState(truePairs); Ann.freeBuildState(cells) }
+      val cells = semanticCellsProbe(s, d, cellSize, p)
+      try {
+        val total = truePairs.count()
+        if (total == 0L) 1.0
+        else {
+          val pa = cells.select(col("vec_id").as("a"), col("cell").as("ca"),
+            col("rnk").as("ra"))
+          val pb = cells.select(col("vec_id").as("b"), col("cell").as("cb"),
+            col("rnk").as("rb"))
+          truePairs.join(pa, "a").join(pb, "b")
+            .filter(col("ca") === col("cb") &&
+              (col("ra") === 1 || col("rb") === 1))
+            .select(col("a"), col("b")).distinct()
+            .count().toDouble / total
+        }
+      } finally Ann.freeBuildState(cells)
+    } finally Ann.freeBuildState(truePairs)
   }
 
   /** [[semanticDedup]] with boundary-aware multi-probe assignment:
@@ -668,8 +688,11 @@ object Similarity {
 
   /** Count of LIVE chooser measurement runs in this JVM — spec
     * observability for the persisted-choice lifecycle (a store-hit
-    * path must re-measure exactly 0 times). */
-  @volatile private[graft] var chooserMeasurements: Long = 0L
+    * path must re-measure exactly 0 times). Atomic: += on a volatile
+    * is a lost-update race under the same-JVM concurrency the store
+    * publish path is hardened for. */
+  private val chooserMeasurementCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def chooserMeasurements: Long = chooserMeasurementCount.get()
 
   private val dedupChoiceSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("p",
@@ -917,16 +940,24 @@ object Similarity {
     // guards with an error() past it).
     val strideEff = if (stride > 0L) stride else math.max(1L, n / 2048L)
     val assign = semanticCellsProbe(s, d, cellSize, pMax)
-    val sample = e.filter(col("vec_id") % strideEff === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val truePairs = e.crossJoin(broadcast(sample))
-      .filter(col("vec_id") =!= col("qid") &&
-        squaredL2Within(col("embedding"), col("qv"), eps))
-      .select(least(col("vec_id"), col("qid")).as("a"),
-        greatest(col("vec_id"), col("qid")).as("b"))
-      .distinct()
-      .localCheckpoint(true)
-    chooserMeasurements += 1
+    // the exact-pair stage runs EAGERLY (localCheckpoint(true)) while
+    // `assign` is already materialized caller-owned state — a failure
+    // here must free it (the r9 failure-path discipline; the try
+    // below starts too late to see this stage)
+    val truePairs = try {
+      val sample = e.filter(col("vec_id") % strideEff === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      e.crossJoin(broadcast(sample))
+        .filter(col("vec_id") =!= col("qid") &&
+          squaredL2Within(col("embedding"), col("qv"), eps))
+        .select(least(col("vec_id"), col("qid")).as("a"),
+          greatest(col("vec_id"), col("qid")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+    } catch {
+      case t: Throwable => Ann.freeBuildState(assign); throw t
+    }
+    chooserMeasurementCount.incrementAndGet()
     val choice = try {
       val total = truePairs.count()
       // minimal catching width per true pair, then the capture curve.
@@ -1096,8 +1127,10 @@ object Similarity {
     * captured/mass/truePairs and the live n). A row that fails any of
     * these is a foreign or stale store entry, never servable. */
   private[graft] def servedChoiceValid(c: DedupChoice, n: Long,
-      pMax: Int = DefaultPMax, floorNum: Long = 9, floorDen: Long = 10,
-      massPerRow: Long = 512, stride: Long = 0L): Boolean = {
+      pMax: Int = DefaultPMax, floorNum: Long = DefaultFloorNum,
+      floorDen: Long = DefaultFloorDen,
+      massPerRow: Long = DefaultMassPerRow,
+      stride: Long = DefaultStride): Boolean = {
     val ladder = Seq(1, 2, 4, 8).filter(_ <= pMax)
     val strideEff = if (stride > 0L) stride else math.max(1L, n / 2048L)
     def capOk(p: Int) = c.capturedAtP(p) * floorDen >= c.truePairs * floorNum
@@ -1284,7 +1317,8 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, e.label,
-         |  ${dp.format("e.v", "q.qv")} / (sqrt(${dp.format("e.v", "e.v")}) * sqrt(${dp.format("q.qv", "q.qv")})) AS sim
+         |  CASE WHEN ${dp.format("e.v", "e.v")} = 0 OR ${dp.format("q.qv", "q.qv")} = 0 THEN 0.0
+         |       ELSE ${dp.format("e.v", "q.qv")} / (sqrt(${dp.format("e.v", "e.v")}) * sqrt(${dp.format("q.qv", "q.qv")})) END AS sim
          |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "mips_topk" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -124,14 +124,20 @@ object WavCodec {
           buf.getShort // block align (derived)
           val bits = buf.getShort.toInt
           fmt = Some((audioFormat, channels, rate, bits))
-          buf.position(start + size + (size & 1)) // word-aligned
+          // word-aligned advance, clamped: an odd-sized chunk ending
+          // exactly at end-of-buffer has no pad byte, and an over-limit
+          // position() would throw a BARE IllegalArgumentException
+          // that names no chunk — the decode-error contract requires
+          // named errors
+          buf.position(math.min(start + size + (size & 1), buf.limit()))
         case "data" =>
           val raw = new Array[Byte](size)
           buf.get(raw)
           data = Some(raw)
           if ((size & 1) == 1 && buf.hasRemaining) buf.get
         case _ => // LIST, fact, cue, ... — skip by declared size
-          buf.position(buf.position() + size + (size & 1))
+          // same clamp as fmt: the pad byte may be absent at EOF
+          buf.position(math.min(buf.position() + size + (size & 1), buf.limit()))
       }
     }
     val (format, channels, rate, bits) = fmt.getOrElse(
@@ -194,6 +200,8 @@ object PpmCodec {
     * Rejects trailing garbage (a stream must end exactly at the last
     * frame's final pixel byte). */
   def decodeStream(bytes: Array[Byte]): Seq[Ppm] = {
+    require(bytes.nonEmpty,
+      "empty stream: a P6 stream carries at least one frame")
     val frames = scala.collection.mutable.ListBuffer.empty[Ppm]
     var pos = 0
     while (pos < bytes.length) {

@@ -51,7 +51,6 @@ object GifCodec {
   private final class BitReader(data: Array[Byte]) {
     private var pos = 0
     private var bit = 0
-    def exhausted: Boolean = pos >= data.length
     /** Next `width`-bit code, or -1 if the stream ran out. */
     def get(width: Int): Int = {
       var out = 0
@@ -110,6 +109,24 @@ object GifCodec {
       }
       w.put(cur, width)
     }
+    // a spec-following decoder performs ONE MORE dictionary add after
+    // consuming that final code (the entry for its predecessor) and
+    // grows its read width when that add lands exactly on 1 << width —
+    // mirror the bookkeeping, or EOI is written one bit narrower than
+    // such a decoder reads it. BitWriter's zero padding makes the
+    // mismatch benign in MOST streams (the extra bit read is a 0 pad,
+    // and eoi's high bit is 0), but when the narrow EOI ends flush on
+    // the final byte the wider read runs past the stream — a strict
+    // external decoder errors. (Our own decoder stops at nPixels and
+    // never reads EOI, so round-trips cannot see either case.) The
+    // decoder skips its add at the deferred-clear ceiling, hence the
+    // MaxCode mirror; the single-code stream (decoder prev == -1, no
+    // add) can never satisfy the power-of-two test.
+    // (the decoder's add count equals the encoder's at stream end —
+    // it lags one entry mid-stream but catches up on the final code —
+    // so the trigger is nextFree itself reaching 1 << width)
+    if (nextFree < MaxCode && nextFree == (1 << width) && width < 12)
+      width += 1
     w.put(eoi, width)
     w.finish()
   }

@@ -160,9 +160,11 @@ object Knn {
     * 1e-12 held in BIGINT, floor division throughout), so every
     * iteration is bit-exact in any execution order and in DuckDB —
     * the [[graft.operators.Similarity.kmeansIter]] treatment applied
-    * to an iterative graph algorithm. Out-degree is the structural
-    * constant min(m, n−1) of the m-NN graph, so no degree join
-    * exists; dangling mass is impossible. Nodes with in-degree 0
+    * to an iterative graph algorithm. Contributions divide by each
+    * node's ACTUAL out-degree (one O(E) count + equi-join): on the
+    * exact m-NN graph that equals the structural min(m, n−1) and the
+    * oracle keeps its constant divisor, while the approximate arm's
+    * short lists keep their full rank mass. Nodes with in-degree 0
     * (outliers nobody lists as a neighbor) keep the teleport term via
     * the left join — exactly the low-rank detection the operator is
     * for.
@@ -180,7 +182,7 @@ object Knn {
     * is pluggable because both tables share the m-NN schema, which is
     * the composition the operator docs promise. */
   private def pagerankRanksFrom(edges0: DataFrame, ids: DataFrame,
-                                n: Long, m: Int, iters: Int): DataFrame = {
+                                n: Long, iters: Int): DataFrame = {
     val Scale = 1000000000000L
     val tele = 15L * Scale / (100L * n)
     // Each node's contribution divides by its ACTUAL out-degree, not
@@ -198,17 +200,35 @@ object Knn {
       .localCheckpoint()
     // base is dead once the od-joined table materializes (the line
     // above is an EAGER checkpoint) — free its blocks instead of
-    // leaking an E-sized table per centrality call
+    // leaking an E-sized table per centrality call. The same
+    // discipline holds THROUGH the loop: each round's rank checkpoint
+    // only needs `edges` and its predecessor, so the predecessor frees
+    // as soon as its successor materializes, and the E-sized edge
+    // table frees after the last round — a call leaves ONE n-row rank
+    // table (the deliverable the caller reads) instead of the od-join
+    // plus `iters` intermediates. Failure path frees everything.
     Ann.freeBuildState(base)
     var pr = ids.select(col("id"), lit(Scale / n).as("pr"))
-    (1 to iters).foreach { _ =>
-      val contrib = edges.join(pr, edges("src") === pr("id"))
-        .select(col("dst"), expr(s"(85 * pr) div (100 * od)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      pr = ids.join(contrib, col("id") === col("dst"), "left")
-        .select(col("id"), (lit(tele) + coalesce(col("c"), lit(0L))).as("pr"))
-        .localCheckpoint()
+    var prevCkpt: DataFrame = null
+    try {
+      (1 to iters).foreach { _ =>
+        val contrib = edges.join(pr, edges("src") === pr("id"))
+          .select(col("dst"), expr(s"(85 * pr) div (100 * od)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+        val next = ids.join(contrib, col("id") === col("dst"), "left")
+          .select(col("id"), (lit(tele) + coalesce(col("c"), lit(0L))).as("pr"))
+          .localCheckpoint()
+        if (prevCkpt != null) Ann.freeBuildState(prevCkpt)
+        prevCkpt = next
+        pr = next
+      }
+    } catch {
+      case t: Throwable =>
+        if (prevCkpt != null) Ann.freeBuildState(prevCkpt)
+        Ann.freeBuildState(edges)
+        throw t
     }
+    Ann.freeBuildState(edges)
     pr.select(col("id").as("vec_id"), col("pr"))
   }
 
@@ -218,7 +238,7 @@ object Knn {
     val n = e.count()
     val edges = BlockKnnJoin.knnGraph(s, e, m)
       .select(col("query_id").as("src"), col("vec_id").as("dst"))
-    pagerankRanksFrom(edges, e.select(col("vec_id").as("id")), n, m, iters)
+    pagerankRanksFrom(edges, e.select(col("vec_id").as("id")), n, iters)
   }
 
   /** The composed SCALE-PATH centrality: the identical scaled-integer
@@ -242,7 +262,7 @@ object Knn {
     val edges = Ann.hnswEdgesApprox(s, d, m)
       .filter(col("level") === 0)
       .select(col("src"), col("dst"))
-    pagerankRanksFrom(edges, e.select(col("vec_id").as("id")), n, m, iters)
+    pagerankRanksFrom(edges, e.select(col("vec_id").as("id")), n, iters)
       .orderBy(col("pr").desc, col("vec_id"))
       .limit(k)
   }

@@ -312,4 +312,78 @@ class CodecsSpec extends AnyFunSuite {
       assert(fromCells(id) == whole(id), s"pixel coverage broken for doc $id")
     }
   }
+
+  test("gif lzw: a STRICT decoder (reads until EOI, spec width growth) sees EOI at the written width") {
+    // our production decoder stops at nPixels and never reads the
+    // end-of-information code, so a round-trip cannot see an EOI
+    // written one bit narrower than a spec decoder reads it (the
+    // boundary case: the decoder's post-final-code dictionary add
+    // lands exactly on 1 << width and grows the read width BEFORE
+    // consuming EOI). This strict reader mirrors the spec exactly and
+    // fails loudly if the encoder's EOI width ever desyncs again.
+    import graft.multimodal.GifCodec
+    def strictDecode(minCodeSize: Int, data: Array[Byte]): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      var pos = 0; var bit = 0
+      def get(width: Int): Int = {
+        var out = 0; var i = 0
+        while (i < width) {
+          assert(pos < data.length, "strict decoder ran past the stream before EOI")
+          out |= ((data(pos) >> bit) & 1) << i
+          bit += 1; if (bit == 8) { bit = 0; pos += 1 }
+          i += 1
+        }
+        out
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var width = minCodeSize + 1
+      var nextFree = eoi + 1
+      val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+      var prev = -1
+      def expand(code: Int): Array[Byte] = {
+        val sb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        var c = code
+        while (c >= clear) { sb += suffix(c); c = prefix(c) }
+        (sb += c.toByte).reverse.toArray
+      }
+      var done = false
+      while (!done) {
+        val code = get(width)
+        if (code == clear) { width = minCodeSize + 1; nextFree = eoi + 1; prev = -1 }
+        else if (code == eoi) done = true
+        else {
+          val str =
+            if (code < nextFree) expand(code)
+            else { val p = expand(prev); p :+ p(0) } // KwKwK
+          out ++= str
+          if (prev != -1 && nextFree < 4096) {
+            prefix(nextFree) = prev; suffix(nextFree) = str(0)
+            nextFree += 1
+            if (nextFree == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      out.toArray
+    }
+    // deterministic boundary case: exactly 2 dictionary adds at
+    // minCodeSize 2 leave nextFree == 8 == 1 << width at the final
+    // code, so the strict decoder grows to 4 bits before reading EOI
+    {
+      val in = Array[Byte](0, 1, 2)
+      val got = strictDecode(2, GifCodec.lzwEncode(2, in))
+      assert(got.toSeq == in.toSeq, s"EOI width desync on [0,1,2]: got ${got.toSeq}")
+    }
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 300) {
+      val mcs = 2 + rnd.nextInt(3)
+      val n = 1 + rnd.nextInt(400)
+      val alphabet = 1 << mcs
+      val in = Array.fill(n)((rnd.nextInt(alphabet)).toByte)
+      val enc = GifCodec.lzwEncode(mcs, in)
+      val got = strictDecode(mcs, enc)
+      assert(got.toSeq == in.toSeq, s"trial $trial mcs=$mcs n=$n")
+    }
+  }
 }

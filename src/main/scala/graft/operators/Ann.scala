@@ -713,6 +713,18 @@ object Ann {
     * irrecoverably — via the checkpointed RDD's storage level; a dead
     * entry is rebuilt, never served. Bounded at [[MaxExactPairsEntries]]
     * (each entry is ≤ ~2048·m rows — sample-sized, not corpus-sized). */
+  /** Serializes every set/restore scope of the session-global
+    * ObjectHashAggregate fallback-threshold conf (here, the approx
+    * build, and Similarity's probe assignment): two threads sharing
+    * one SparkSession could otherwise interleave captures and restores
+    * so the LAST restore resurrects the other scope's raise — leaking
+    * a 4M threshold to later KB-buffer aggregates (an OOM hazard) or
+    * demoting a build mid-flight to the sort fallback. synchronized is
+    * reentrant, so the build's inner measurement scopes nest freely;
+    * concurrent builds in one JVM serialize, which is the gate tools'
+    * (sequential) execution model anyway. */
+  private[graft] val fallbackThresholdScope = new Object
+
   private val exactPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[graft] val MaxExactPairsEntries = 8
@@ -739,7 +751,13 @@ object Ann {
           (en: java.util.Map.Entry[String, DataFrame]) =>
             !checkpointLive(en.getValue))
         if (exactPairsCache.size >= MaxExactPairsEntries) {
-          exactPairsCache.values().forEach((v: DataFrame) => freeBuildState(v))
+          // evict WITHOUT explicit freeing: a concurrent (or outer)
+          // build may still hold and re-join an entry, and freeing a
+          // localCheckpoint under a holder truncates it irrecoverably
+          // (this file's own contract). Entries are sample-sized
+          // (≤ ~2048·m rows), so deferring reclamation to the
+          // ContextCleaner once the last holder drops its reference
+          // is bounded-small — correctness never depends on a hit.
           exactPairsCache.clear()
         }
       }
@@ -764,6 +782,7 @@ object Ann {
   private[graft] def sampledExactPairsAt(e: DataFrame, stride: Long,
       m: Int): DataFrame = {
     val s = e.sparkSession
+    fallbackThresholdScope.synchronized {
     val thresholdKey =
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prev = s.conf.getOption(thresholdKey)
@@ -787,6 +806,7 @@ object Ann {
     } finally prev match {
       case Some(v) => s.conf.set(thresholdKey, v)
       case None    => s.conf.unset(thresholdKey)
+    }
     }
   }
 
@@ -1174,6 +1194,7 @@ object Ann {
     // freeable: the bucket-stage cache and the per-round NND
     // checkpoints unpersist on the way out, so repeated builds in one
     // session leave only their result checkpoint (pinned in AnnSpec).
+    fallbackThresholdScope.synchronized {
     val thresholdKey =
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prevThreshold = s.conf.getOption(thresholdKey)
@@ -1198,6 +1219,7 @@ object Ann {
         case None    => s.conf.unset(thresholdKey)
       }
       track.foreach(freeBuildState)
+    }
     }
   }
 
@@ -1454,11 +1476,14 @@ object Ann {
     val top = SqlBridge.column(TopMEdges(
       SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
       .toAggregateExpression())
+    // (level, src, dst, dist) — exactly what both consumers read;
+    // ranks are recomputed by approxFinalRank's window, so a
+    // posexplode rank here would be dead weight in every build plan
     def topM(cands: DataFrame): DataFrame =
       cands.groupBy(col("level"), col("src")).agg(top.as("top"))
-        .select(col("level"), col("src"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("level"), col("src"), explode(col("top")).as("e"))
         .select(col("level"), col("src"), col("e.dst").as("dst"),
-          col("e.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
+          col("e.dist").as("dist"))
     // NN-descent refinement (Dong, Moses & Li, WWW'11 — the standard
     // k-NN-graph convergence loop): each round proposes every pair of
     // co-neighbors (u, v both adjacent to some node, in either edge
@@ -1484,7 +1509,7 @@ object Ann {
     // candidate multiset. Checkpointing round INPUTS (not outputs)
     // leaves the final round's stages visible to the PlanSpec audit
     // and lets them pipeline straight into the output action.
-    var edges = topM(exploded).drop("rnk")
+    var edges = topM(exploded)
     def nndRound(base: DataFrame): DataFrame = {
       val rev = base.select(col("level"), col("dst").as("src"),
         col("src").as("dst"), col("dist"))
@@ -1522,7 +1547,6 @@ object Ann {
           col("e.dst").as("dst"), col("dist"))
       topM(cand.unionByName(
         base.select(col("level"), col("src"), col("dst"), col("dist"))))
-        .drop("rnk")
     }
     for (_ <- 1 to refine) {
       val base = edges.localCheckpoint(false)
@@ -1592,7 +1616,9 @@ object Ann {
     val f = new java.io.File(s"$d/embeddings.parquet")
     val content =
       if (f.isDirectory)
-        f.listFiles().filter(_.isFile)
+        // listFiles() is NULL (not empty) on an IO/permission failure
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.isFile)
           .map(c => c.length + c.lastModified).sum.toString
       else if (f.isFile) s"${f.length}-${f.lastModified}"
       else "absent"
@@ -2050,7 +2076,12 @@ object Ann {
         val vecM = bVec.value
         def distTo(id: Long): Double = BlockKnnJoin.sqDist(vecM(id), qv)
         val empty = Array.empty[Long]
-        var pool: Seq[(Long, Double)] = Seq(0L -> distTo(0L))
+        // seed mirrors the join form exactly: it seeds from
+        // vec_id === 0, which on a corpus WITHOUT id 0 is an empty
+        // frontier and an empty result — not a NoSuchElementException
+        // ('identical results, different physics' is the contract)
+        var pool: Seq[(Long, Double)] =
+          if (vecM.contains(0L)) Seq(0L -> distTo(0L)) else Seq.empty
         var r = 0
         while (r < rr) {
           val cand = scala.collection.mutable.HashMap[Long, Double](pool: _*)
@@ -2240,6 +2271,23 @@ object Ann {
     val lvlCounts: Map[Int, Long] = e.select(expr(levelExpr).as("level"))
       .groupBy(col("level")).agg(count(lit(1)).as("c")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // empty corpus: every sibling search arm (annLsh, annIvf, ...)
+    // returns an empty result; without this guard the census Map is
+    // empty and keys.max throws at plan-construction time
+    if (lvlCounts.isEmpty) {
+      val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("dist",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("qv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = true))))
+      return (empty, Seq.empty)
+    }
     val maxNodeLvl = lvlCounts.keys.max
     val topLevel = math.min(MaxLevel,
       if (lvlCounts(maxNodeLvl) >= 2L) maxNodeLvl
@@ -2274,7 +2322,6 @@ object Ann {
     // tiny argmin shuffle, down from three broadcasts + two joins
     val q = e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val w1 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     var cur: DataFrame = null
     var visited: List[DataFrame] = Nil
     upper match {
@@ -2440,15 +2487,13 @@ object Ann {
     (pool, visited.reverse)
   }
 
-  private[operators] def hnswSearchRaw(
-      s: SparkSession, d: String,
-      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
-      m: Int = 16, truncateLineage: Boolean = true): DataFrame = {
-    val (pool, _) = hnswWalk(s, d, nq, beam, rounds, m, truncateLineage)
+  /** Shared top-k epilogue of the exact and approximate hierarchical
+    * searches: reuse the final beam round's rank when present
+    * (row_number over the same window+order assigns the same 1..beam
+    * ranks), filter to k, present as `rnk` — ONE definition so the
+    * rank-reuse contract cannot drift between the two arms. */
+  private def searchEpilogue(pool: DataFrame, k: Int): DataFrame = {
     val w1 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    // reuse the final beam round's rank when present (rounds ≥ 1):
-    // row_number over the same window+order assigns the same 1..beam
-    // ranks, so filtering ≤ k yields bitwise the epilogue-window rows
     val ranked =
       if (pool.columns.contains("rn")) pool
       else pool.withColumn("rn", row_number().over(w1))
@@ -2456,6 +2501,12 @@ object Ann {
       .withColumnRenamed("rn", "rnk")
       .drop("qv")
   }
+
+  private[operators] def hnswSearchRaw(
+      s: SparkSession, d: String,
+      nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
+      m: Int = 16, truncateLineage: Boolean = true): DataFrame =
+    searchEpilogue(hnswWalk(s, d, nq, beam, rounds, m, truncateLineage)._1, k)
 
   def hnswSearch(
       s: SparkSession, d: String,
@@ -2480,17 +2531,9 @@ object Ann {
   private[operators] def hnswSearchApproxRaw(
       s: SparkSession, d: String,
       nq: Int = 10, k: Int = 10, beam: Int = 16, rounds: Int = 3,
-      m: Int = 16, truncateLineage: Boolean = true): DataFrame = {
-    val (pool, _) = hnswWalk(s, d, nq, beam, rounds, m, truncateLineage,
-      approxIndex = true)
-    val w1 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    val ranked =
-      if (pool.columns.contains("rn")) pool
-      else pool.withColumn("rn", row_number().over(w1))
-    ranked.filter(col("rn") <= k)
-      .withColumnRenamed("rn", "rnk")
-      .drop("qv")
-  }
+      m: Int = 16, truncateLineage: Boolean = true): DataFrame =
+    searchEpilogue(hnswWalk(s, d, nq, beam, rounds, m, truncateLineage,
+      approxIndex = true)._1, k)
 
   def hnswSearchApprox(
       s: SparkSession, d: String,
@@ -2702,7 +2745,10 @@ object Ann {
     // count() at plan-construction time, and annPqRaw reaches this
     // codebook twice (LUT + codes), so an unmemoized check would bill
     // two extra Spark jobs to every PQ plan construction.
-    val vkey = s"${System.identityHashCode(s)}|$d"
+    // keyed through storePath so the CONTENT fingerprint rides along:
+    // an in-place fixture regeneration (re-keyed vec_ids, same dir)
+    // must re-validate, not skip the completeness check it exists for
+    val vkey = s"${System.identityHashCode(s)}|${storePath(d, "pqvalidation")}"
     if (!pqValidated.contains(vkey)) {
       val n = cb.count()
       require(n == PqSubs.toLong * PqK,

@@ -528,6 +528,7 @@ object Similarity {
     // TopMEdges heaps are p entries (~32 B) but the default 128-group
     // fallback would sort-demote every corpus-sized per-vector argmin;
     // scoped raise, restored after the eager materialization below.
+    Ann.fallbackThresholdScope.synchronized {
     val thresholdKey =
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prev = s.conf.getOption(thresholdKey)
@@ -543,6 +544,7 @@ object Similarity {
     } finally prev match {
       case Some(v) => s.conf.set(thresholdKey, v)
       case None    => s.conf.unset(thresholdKey)
+    }
     }
   }
 

@@ -205,6 +205,12 @@ object BaselineWorkload {
     val searchSec = (System.nanoTime() - t1) / 1e9
 
     blocks.unpersist()
+    // the query broadcast is per-run state (at dim 1024 it is ~40 MB
+    // of executor blocks); the sweep runs this method ~20 times, so
+    // relying on GC-driven ContextCleaner reclamation let stale
+    // broadcasts pile up mid-sweep — release it deterministically,
+    // outside both timed spans
+    bcQ.destroy()
     (buildSec, searchSec)
   }
 }

@@ -174,7 +174,11 @@ object FixtureGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse("/root/repo/fixtures/sf1")
+    // a flags-first invocation must not write fixtures into a dir
+    // literally named "--fingerprint": the first arg is outDir only
+    // when it isn't a flag
+    val outDir = args.headOption.filterNot(_.startsWith("--"))
+      .getOrElse("/root/repo/fixtures/sf1")
     val fingerprint = args.contains("--fingerprint")
     // --replicas N: 10 = sf1 (default, byte-identical to the pinned
     // fingerprints), 100 = sf10 (the 100× scale point)
@@ -205,10 +209,14 @@ object FixtureGen {
         // stability in FIXTURES.md
         // sum in DECIMAL(38,0): a BIGINT sum of per-row xxhash64 values
         // overflows under ANSI mode
-        val h = spark.read.parquet(s"$outDir/$name.parquet")
+        // ONE read serves both the hash aggregate and the row count —
+        // a separate count() re-scanned the whole table (at sf10 the
+        // regenerated lineitem is ~600M rows, doubling wall time)
+        val row = spark.read.parquet(s"$outDir/$name.parquet")
           .select(xxhash64(to_json(struct(col("*")))).cast("decimal(38,0)").as("h"))
-          .agg(sum(col("h"))).head().getDecimal(0)
-        val n = spark.read.parquet(s"$outDir/$name.parquet").count()
+          .agg(sum(col("h")), count(lit(1))).head()
+        val h = row.getDecimal(0)
+        val n = row.getLong(1)
         println(f"[fixture] $name%-10s rows=$n%9d fingerprint=$h%s")
       } else {
         println(s"[fixture] $name written")

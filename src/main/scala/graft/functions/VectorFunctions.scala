@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
   * so every top-k / threshold operator is ordering-equivalent while
   * skipping the sqrt (the reference's one genuine optimization, kept).
   *
-  * These are built from higher-order array functions (`zip_with` +
-  * `aggregate`), which Catalyst evaluates without UDF overhead and
-  * whole-stage-codegens around. The fold is a strict left fold over the
-  * array index order, which makes double accumulation deterministic —
-  * required for the DuckDB hash-oracle (DuckDB's `list_sum` is the same
-  * left fold; verified bit-identical).
+  * These wrap the NATIVE codegen'd Catalyst expressions in
+  * [[graft.functions.expressions]] — NOT higher-order array functions:
+  * Spark's `zip_with`/`aggregate` lambdas are CodegenFallback
+  * (interpreted, boxed, measured ~100× slower on 64-dim vectors), so a
+  * new kernel added here must be a native Expression, never a HOF
+  * (`squaredL2Hof` below survives only as the parity test surface).
+  * The fold is a strict left fold over the array index order, which
+  * makes double accumulation deterministic — required for the DuckDB
+  * hash-oracle (DuckDB's `list_sum` is the same left fold; verified
+  * bit-identical).
   *
   * Scale note: per-row array arithmetic is embarrassingly parallel; no
   * shuffle, no state. At 100 TB this is a map stage limited only by scan

@@ -48,6 +48,18 @@ abstract class BinaryDoubleArrayFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  /** Do the input ARRAY TYPES admit null elements? When neither does,
+    * the per-element null probes compile away entirely; when one does,
+    * a null element NULL-PROPAGATES exactly like the HOF form
+    * (`aggregate` turns the accumulator null at the first null and it
+    * stays null) and DuckDB's `list_sum` — reading a null slot as 0.0
+    * would be a silent verdict flip against both. The probe is a null-
+    * word bit test independent of the FP accumulate chain, so it
+    * pipelines for ~free even when emitted. */
+  protected lazy val elementsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   /** The per-element / accumulate step as Java source for codegen;
     * `%acc`, `%x`, `%y` are substituted. */
   protected def stepJava(acc: String, x: String, y: String): String
@@ -62,11 +74,13 @@ abstract class BinaryDoubleArrayFold extends BinaryExpression {
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
     if (n != ys.numElements()) return null
-    val xa = xs.toDoubleArray()
-    val ya = ys.toDoubleArray()
     var acc = 0.0
     var i = 0
-    while (i < n) { acc = step(acc, xa(i), ya(i)); i += 1 }
+    while (i < n) {
+      if (elementsNullable && (xs.isNullAt(i) || ys.isNullAt(i))) return null
+      acc = step(acc, xs.getDouble(i), ys.getDouble(i))
+      i += 1
+    }
     acc
   }
 
@@ -76,6 +90,13 @@ abstract class BinaryDoubleArrayFold extends BinaryExpression {
     val n = ctx.freshName("n")
     val i = ctx.freshName("i")
     val acc = ctx.freshName("acc")
+    val nullEl = ctx.freshName("nullEl")
+    // null-element probe emitted ONLY when the array types admit null
+    // elements — see [[elementsNullable]] for the propagation contract
+    val nullProbe =
+      if (elementsNullable)
+        s"if (${leftGen.value}.isNullAt($i) || ${rightGen.value}.isNullAt($i)) { $nullEl = true; break; }"
+      else ""
     // direct getDouble reads, NO toDoubleArray: the fold runs per
     // joined PAIR in the ε-join / k-NN hot paths, and materializing
     // both sides costs two array allocations + bulk copies per pair —
@@ -92,12 +113,16 @@ abstract class BinaryDoubleArrayFold extends BinaryExpression {
           int $n = ${leftGen.value}.numElements();
           if ($n == ${rightGen.value}.numElements()) {
             double $acc = 0.0;
+            boolean $nullEl = false;
             for (int $i = 0; $i < $n; $i++) {
+              $nullProbe
               ${stepJava(acc, s"${leftGen.value}.getDouble($i)",
                 s"${rightGen.value}.getDouble($i)")}
             }
-            ${ev.isNull} = false;
-            ${ev.value} = $acc;
+            if (!$nullEl) {
+              ${ev.isNull} = false;
+              ${ev.value} = $acc;
+            }
           }
         }
       """
@@ -112,8 +137,10 @@ case class SquaredL2Distance(left: Expression, right: Expression)
   override protected def step(acc: Double, x: Double, y: Double): Double = {
     val d = x - y; acc + d * d
   }
+  // brace-scoped: whole-stage codegen may inline several fold bodies
+  // into one generated method, and an unscoped `d` would collide
   override protected def stepJava(acc: String, x: String, y: String): String =
-    s"double d = $x - $y; $acc += d * d;"
+    s"{ double d = $x - $y; $acc += d * d; }"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -165,10 +192,19 @@ case class SquaredL2Within(left: Expression, right: Expression, eps: Double)
     // interpreted path (codegen fallback, constant folding) must not
     // pay the two toDoubleArray copies the fusion exists to avoid.
     // n = 0 leaves the loop unentered: the answer is 0.0 < eps
+    val elNullable =
+      left.dataType.asInstanceOf[ArrayType].containsNull ||
+        right.dataType.asInstanceOf[ArrayType].containsNull
     var within = 0.0 < eps
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null element NULL-PROPAGATES like the unfused form (whose
+      // fold goes null and `null < eps` is null). A pair that already
+      // exited false before reaching the null stays false — the
+      // unfused form would say null; both drop in a Filter, the one
+      // declared consumer of this predicate
+      if (elNullable && (xs.isNullAt(i) || ys.isNullAt(i))) return null
       val d = xs.getDouble(i) - ys.getDouble(i); acc += d * d
       // !(acc < eps), NOT acc >= eps: both are identical for finite
       // sums, but a NaN partial (NaN input, or Inf−Inf) must exit
@@ -188,6 +224,15 @@ case class SquaredL2Within(left: Expression, right: Expression, eps: Double)
     val i = ctx.freshName("i")
     val acc = ctx.freshName("acc")
     val within = ctx.freshName("within")
+    val nullEl = ctx.freshName("nullEl")
+    val elNullable =
+      left.dataType.asInstanceOf[ArrayType].containsNull ||
+        right.dataType.asInstanceOf[ArrayType].containsNull
+    // null-element probe only when the types admit one — see eval
+    val nullProbe =
+      if (elNullable)
+        s"if (${leftGen.value}.isNullAt($i) || ${rightGen.value}.isNullAt($i)) { $nullEl = true; break; }"
+      else ""
     // Double.toString round-trips every FINITE eps exactly; the
     // non-finite values stringify to Java-uncompilable literals
     // ("InfinityD"/"NaND"), which would fail Janino and silently drop
@@ -212,16 +257,20 @@ case class SquaredL2Within(left: Expression, right: Expression, eps: Double)
           if ($n == ${rightGen.value}.numElements()) {
             boolean $within = 0.0 < $epsLit;
             double $acc = 0.0;
+            boolean $nullEl = false;
             for (int $i = 0; $i < $n; $i++) {
-              double d = ${leftGen.value}.getDouble($i) - ${rightGen.value}.getDouble($i);
-              $acc += d * d;
+              $nullProbe
+              { double d = ${leftGen.value}.getDouble($i) - ${rightGen.value}.getDouble($i);
+                $acc += d * d; }
               // !(acc < eps): identical to >= for finite sums, but a
               // NaN partial must exit FALSE like the unfused NaN < eps
               if (!($acc < $epsLit)) { $within = false; break; }
               $within = true;
             }
-            ${ev.isNull} = false;
-            ${ev.value} = $within;
+            if (!$nullEl) {
+              ${ev.isNull} = false;
+              ${ev.value} = $within;
+            }
           }
         }
       """
@@ -273,12 +322,20 @@ case class SimHash(child: Expression, bits: Int)
       s"$prettyName requires an ARRAY<BIGINT> argument, got ${t.simpleString}")
   }
 
+  /** Null elements NULL-PROPAGATE (the HOF `aggregate` spec this
+    * expression documents bit-parity with, and DuckDB's `list_reduce`,
+    * both go null) — reading a null slot as 0L would cast a silent
+    * all-bits -1 vote instead. Probed only when the type admits one. */
+  private lazy val elementsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val votes = new Array[Int](bits)
     var i = 0
     while (i < n) {
+      if (elementsNullable && arr.isNullAt(i)) return null
       val h = arr.getLong(i)
       var b = 0
       while (b < bits) {
@@ -300,17 +357,24 @@ case class SimHash(child: Expression, bits: Int)
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val out = ctx.freshName("out")
+      val nullProbe =
+        if (elementsNullable)
+          s"if ($arr.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
         int[] $votes = new int[$bits];
         for (int $i = 0; $i < $arr.numElements(); $i++) {
+          $nullProbe
           long $h = $arr.getLong($i);
           for (int $b = 0; $b < $bits; $b++) {
             if ((($h >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
           }
         }
-        long $out = 0L;
-        for (int $b = 0; $b < $bits; $b++) { $out = $out * 2 + ($votes[$b] > 0 ? 1L : 0L); }
-        ${ev.value} = $out;
+        if (!${ev.isNull}) {
+          long $out = 0L;
+          for (int $b = 0; $b < $bits; $b++) { $out = $out * 2 + ($votes[$b] > 0 ? 1L : 0L); }
+          ${ev.value} = $out;
+        }
       """
     })
 

@@ -18,9 +18,20 @@ private[graft] object HnswLevel extends Serializable {
   /** First 15 hex chars of md5(key) as a 60-bit non-negative long —
     * identical to SQL `CAST(conv(substr(md5(key),1,15),16,10) AS
     * BIGINT)` and DuckDB `CAST('0x'||substr(md5(key),1,15) AS BIGINT)`. */
-  def hash60(key: String): Long =
-    hash60FromDigest(java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")))
+  // per-thread reused digest: levelOf/hash60 sit in per-row hot loops
+  // (Ann.levelNodes maps every corpus row), and a fresh
+  // MessageDigest.getInstance per call pays a provider lookup +
+  // allocation per row — the reuse pattern hash60FromDigest exists for
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def hash60(key: String): Long = {
+    val d = md5.get()
+    d.reset()
+    hash60FromDigest(d.digest(key.getBytes("UTF-8")))
+  }
 
   /** The 60-bit extraction alone, for callers that manage their own
     * (reused) `MessageDigest` instance in hot per-row loops. */

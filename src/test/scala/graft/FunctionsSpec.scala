@@ -211,6 +211,27 @@ class FunctionsSpec extends AnyFunSuite {
         squaredL2Within(col("a"), col("b"), eps)).count()
       assert(anyTrue == 0L, s"a NaN/Inf distance passed the ε-ball at eps=$eps")
     }
+    // null ELEMENTS null-propagate like the HOF form (whose aggregate
+    // accumulator goes null at the first null and stays null) and
+    // DuckDB's list folds — reading the slot as 0.0 would be a silent
+    // verdict flip against both
+    val nulled = spark.sql(
+      """SELECT array(1.0D, CAST(NULL AS DOUBLE)) AS a,
+        |       array(0.0D, 0.0D) AS b""".stripMargin)
+    val nr = nulled.select(
+      squaredL2(col("a"), col("b")).as("d"),
+      squaredL2Within(col("a"), col("b"), 10.0).as("w"),
+      graft.functions.VectorFunctions.dot(col("a"), col("b")).as("p"),
+      graft.functions.VectorFunctions.squaredL2Hof(col("a"), col("b")).as("hof")
+    ).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1) && nr.isNullAt(2) && nr.isNullAt(3),
+      s"null element did not propagate: $nr")
+    // simhash: a null element hash nulls the fingerprint (HOF parity)
+    import org.apache.spark.sql.graftbridge.SqlBridge.{column, expression}
+    val sh = spark.sql("SELECT array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)) AS hs")
+      .select(column(graft.functions.expressions.SimHash(
+        expression(col("hs")), 48)).as("f")).head()
+    assert(sh.isNullAt(0), s"null element hash did not null the simhash: $sh")
   }
 
   test("Tables.normalizeTs folds every fixture vintage to the same µs timestamps") {

@@ -84,9 +84,37 @@ object Bench {
     // A failing rep must NOT masquerade as a fast one (its wall time is
     // the time-to-throw, often ms): record the failure, keep the rep's
     // time out of the min, and surface failed names in the JSON.
+    //
+    // Host telemetry per query: the r12 driver artifact carried
+    // kmeans_iter at 15.9 s vs 1.9–3.0 s in four same-tree local runs
+    // on untouched code, and nothing in the JSON could attribute it.
+    // So each query now records loadavg before/after, the JVM GC-time
+    // delta across its reps, a wall-clock start timestamp, and every
+    // rep's seconds — enough to tell host contention (loadavg spike,
+    // uniform rep inflation) from a plan regression (all reps slow on
+    // a quiet host) from GC pressure (gc_ms ≈ wall) without a re-run.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    final case class QueryTelemetry(
+      startEpochMs: Long, loadBefore: Double, loadAfter: Double,
+      gcDeltaMs: Long, repSecs: Seq[Double])
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val telemetry = scala.collection.mutable.LinkedHashMap.empty[String, QueryTelemetry]
+    val benchStartMs = System.currentTimeMillis()
+    val loadStart = loadAvg()
+    val gcStart = gcMs()
     val results = timedQueries.map { case (name, fn) =>
+      val startMs = System.currentTimeMillis()
+      val loadBefore = loadAvg()
+      val gcBefore = gcMs()
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9)
@@ -96,6 +124,8 @@ object Bench {
           None
         }
       }
+      telemetry(name) = QueryTelemetry(
+        startMs, loadBefore, loadAvg(), gcMs() - gcBefore, times)
       freeLeakedState() // between queries, never between reps
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
@@ -150,8 +180,16 @@ object Bench {
       s""""$k":${com.fasterxml.jackson.databind.json.JsonMapper.builder()
         .build().writeValueAsString(v)}"""
     }.mkString("{", ",", "}")
+    val telemetryJson = telemetry.map { case (k, t) =>
+      val repsStr = t.repSecs.map(s => f"$s%.4f").mkString("[", ",", "]")
+      f""""$k":{"start_epoch_ms":${t.startEpochMs},"load_before":${t.loadBefore}%.2f,"load_after":${t.loadAfter}%.2f,"gc_ms":${t.gcDeltaMs},"rep_secs":$repsStr}"""
+    }.mkString("{", ",", "}")
+    val hostJson = {
+      val rt = Runtime.getRuntime
+      f"""{"start_epoch_ms":$benchStartMs,"end_epoch_ms":${System.currentTimeMillis()},"load_start":$loadStart%.2f,"load_end":${loadAvg()}%.2f,"gc_ms_total":${gcMs() - gcStart},"jvm_processors":${rt.availableProcessors},"jvm_max_heap_mb":${rt.maxMemory / (1024 * 1024)}}"""
+    }
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","baseline_workload":$baselineJson,"baseline_sweep":$sweepJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","host":$hostJson,"query_telemetry":$telemetryJson,"baseline_workload":$baselineJson,"baseline_sweep":$sweepJson}"""
     // Full per-query + sweep detail → file (a committable artifact the
     // round history can ingest even when the driver's capture window
     // can't hold it); path echoed on stderr.
@@ -175,7 +213,29 @@ object Bench {
     val qsTop = top.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val failedNames = failed.keys.map(k => s""""$k"""").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsTop,"queries_omitted":${bySec.size - top.size},"omitted_sec":$restSec%.3f,"failed":$failedNames,"sf":"$sfDir","baseline_workload":$baselineJson,"full_json":"$outPath"}""")
+    // Anomaly attribution on the size-budgeted stdout line: normally
+    // empty (zero bytes spent), but when a query looks contended —
+    // rep spread > 2×, GC ≥ 30% of wall, or loadavg above the JVM's
+    // core count — its host evidence rides along so a driver-window
+    // blip (r12's kmeans_iter) self-attributes without a local re-run.
+    val nCores = Runtime.getRuntime.availableProcessors.toDouble
+    val anomalies = telemetry.toSeq.flatMap { case (name, t) =>
+      if (t.repSecs.isEmpty) None else {
+        val mn = t.repSecs.min; val mx = t.repSecs.max
+        val spread = if (mn > 0.05) mx / mn else 1.0
+        val gcFrac = if (mx > 0) t.gcDeltaMs / 1e3 / t.repSecs.sum else 0.0
+        val hotLoad = math.max(t.loadBefore, t.loadAfter) > nCores
+        if (spread > 2.0 || gcFrac >= 0.30 || (hotLoad && mn > 1.0))
+          Some(name -> f""""$name":{"load":${math.max(t.loadBefore, t.loadAfter)}%.1f,"gc_ms":${t.gcDeltaMs},"rep_secs":${t.repSecs.map(s => f"$s%.2f").mkString("[", ",", "]")}}""")
+        else None
+      }
+    }.sortBy { case (name, _) => -telemetry(name).repSecs.max }
+      .take(8).map(_._2)
+    val anomaliesJson = anomalies.mkString("{", ",", "}")
+    val hostCompact = {
+      f"""{"load_start":$loadStart%.2f,"load_end":${loadAvg()}%.2f,"gc_ms_total":${gcMs() - gcStart},"cores":${nCores.toInt}}"""
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsTop,"queries_omitted":${bySec.size - top.size},"omitted_sec":$restSec%.3f,"failed":$failedNames,"sf":"$sfDir","host":$hostCompact,"anomalies":$anomaliesJson,"baseline_workload":$baselineJson,"full_json":"$outPath"}""")
     spark.stop()
   }
 }

@@ -40,20 +40,38 @@ object Multimodal {
       encode(col("text"), "utf-8").as("blob"),
       col("source").as("media_source"))
 
-  /** Declarative metadata over the binary column: true byte length and
-    * content hash, plus FAKE decoded dimensions (see [[FakeDecoder]] —
-    * derived from payload bytes so they are deterministic and
-    * oracle-checkable). */
-  def mediaMeta(s: SparkSession, d: String): DataFrame =
-    blobTable(s, d)
-      .select(
-        col("doc_id"),
-        octet_length(col("blob")).as("byte_len"),
-        sha2(col("blob"), 256).as("sha256"),
-        (expr("ascii(substr(CAST(blob AS STRING), 1, 1))") % 64 + 1).as("width"),
-        (expr("ascii(substr(CAST(blob AS STRING), 2, 1))") % 64 + 1).as("height"),
-        (octet_length(col("blob")) % 16 + 1).as("n_frames"))
+  /** The per-document media-metadata catalog, every column from a real
+    * source since round 13 (the r12 verdict's task 3 — width/height/
+    * n_frames were `ascii(substr(blob))`-style synthetic formulas
+    * before): byte length and content hash are true functions of the
+    * payload bytes; width/height are PARSED from the document's P6
+    * container ([[PpmCodec.decodeP6]] on [[ppmBlobs]]' bytes);
+    * n_frames is the frame count of a real WALK of the multi-image
+    * stream container ([[PpmCodec.decodeStream]] on
+    * [[ppmStreamBlobs]]' bytes — each frame's extent is known only
+    * after parsing its header). Both containers synthesize from
+    * doc_id alone, so one scan-stage pass encodes and decodes both
+    * and emits only the four small parsed columns; the single
+    * doc_id equi-join with the payload metadata is the only
+    * exchange (co-partitioned by the key at scale — no blob ever
+    * shuffles). */
+  def mediaMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payload = blobTable(s, d).select(
+      col("doc_id"),
+      octet_length(col("blob")).as("byte_len"),
+      sha2(col("blob"), 256).as("sha256"))
+    val parsed = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val img = PpmCodec.decodeP6(synthPpm(id))
+          val frames = PpmCodec.decodeStream(synthPpmStream(id))
+          (id, img.width, img.height, frames.length)
+        }
+      }.toDF("doc_id", "width", "height", "n_frames")
+    payload.join(parsed, Seq("doc_id"))
       .orderBy(col("doc_id"))
+  }
 
   /** TEST-ONLY batched per-partition feature extraction: blob →
     * Array[Float] through [[FakeDecoder]]. Since round 12 this serves
@@ -145,26 +163,32 @@ object Multimodal {
       }.toDF("doc_id", "band", "sum_abs")
   }
 
-  /** Frame sampling: every `stride`-th frame index of each media blob,
-    * with a deterministic per-frame content hash (the decode itself is
-    * the [[FakeDecoder]]-style stub — a real codec would emit the frame
-    * bytes here). The sampling plumbing is the real contract: frame
-    * count from metadata, `sequence`+`explode` to per-frame rows in the
-    * scan stage, blobs never shuffle — only (doc_id, frame_idx, hash)
-    * rows move. */
-  def frameSample(s: SparkSession, d: String, stride: Int = 4): DataFrame =
-    blobTable(s, d)
-      .select(
-        col("doc_id"),
-        (octet_length(col("blob")) % 16 + 1).as("n_frames"),
-        sha2(col("blob"), 256).as("content_sha"))
-      .select(col("doc_id"), col("n_frames"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"),
-        col("content_sha"))
-      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
-        md5(concat(col("content_sha"), lit("-"), col("frame_idx").cast("string")))
-          .as("frame_md5"))
+  /** Frame sampling over a REAL container walk (every column parsed
+    * since round 13 — this was the synthetic `octet_length % 16`
+    * formula before): decode the multi-image stream
+    * ([[PpmCodec.decodeStream]] — each frame's extent is known only
+    * after parsing its header, so the walk itself is the decode),
+    * keep every `stride`-th frame, and emit the parsed frame count,
+    * the sampled frame's parsed dimensions, and the exact sum of its
+    * decoded channel bytes. Decode and sample run in the scan stage;
+    * blobs never shuffle — only the small sampled rows move. The
+    * default stride 2 makes the sampling visible on the 1–4-frame
+    * fixture streams (frames {0, 2} where present). */
+  def frameSample(s: SparkSession, d: String, stride: Int = 2): DataFrame = {
+    import s.implicits._
+    ppmStreamBlobs(s, d).as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          val frames = PpmCodec.decodeStream(bytes)
+          for ((img, f) <- frames.zipWithIndex if f % stride == 0) yield {
+            var sum = 0L
+            img.rgb.foreach(b => sum += (b & 0xff))
+            (id, frames.length, f, img.width, img.height, sum)
+          }
+        }
+      }.toDF("doc_id", "n_frames", "frame_idx", "width", "height", "sum_rgb")
       .orderBy(col("doc_id"), col("frame_idx"))
+  }
 
   // ---- REAL codecs (uncompressed formats, pure JVM — see Codecs.scala).
   // The fixture carries no media files, so container bytes are
@@ -222,15 +246,20 @@ object Multimodal {
     val s = docs.sparkSession
     import s.implicits._
     docs.select(col("doc_id")).as[Long]
-      .mapPartitions { iter =>
-        iter.map { id =>
-          val w = 8 + (id % 9).toInt
-          val h = 8 + (id % 7).toInt
-          val rgb = Array.tabulate(w * h * 3)(k =>
-            ((id * 31 + k.toLong * 7) % 256).toByte)
-          (id, PpmCodec.encodeP6(w, h, rgb))
-        }
-      }.toDF("doc_id", "ppm")
+      .mapPartitions(iter => iter.map(id => (id, synthPpm(id))))
+      .toDF("doc_id", "ppm")
+  }
+
+  /** The per-id P6 synthesis rule — one definition shared by every
+    * consumer ([[ppmBlobsOf]], [[mediaMeta]]'s parse pass) so the
+    * encode→decode round trip under the hash gate is always of the
+    * same bytes. */
+  private def synthPpm(id: Long): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 8 + (id % 7).toInt
+    val rgb = Array.tabulate(w * h * 3)(k =>
+      ((id * 31 + k.toLong * 7) % 256).toByte)
+    PpmCodec.encodeP6(w, h, rgb)
   }
 
   /** Container metadata DECODED from the WAV bytes (not restated from
@@ -279,24 +308,26 @@ object Multimodal {
     * (2–4 × 2–4), frame f's channel byte k = (doc_id·17 + f·113 + k·7)
     * mod 256. The variable frame sizes force the decoder to WALK the
     * container (each frame's extent is known only after parsing its
-    * header) — the real frame-sampling shape `multimodal_frames`
-    * stubs. */
+    * header) — the container behind `multimodal_frames`' stride
+    * sampling and `multimodal_meta`'s parsed frame count. */
   def ppmStreamBlobs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions { iter =>
-        iter.map { id =>
-          val nFrames = 1 + (id % 4).toInt
-          val stream = (0 until nFrames).toArray.flatMap { f =>
-            val w = 2 + ((id + f) % 3).toInt
-            val h = 2 + ((id + 2L * f) % 3).toInt
-            val rgb = Array.tabulate(w * h * 3)(k =>
-              ((id * 17 + f * 113L + k.toLong * 7) % 256).toByte)
-            PpmCodec.encodeP6(w, h, rgb)
-          }
-          (id, stream)
-        }
-      }.toDF("doc_id", "stream")
+      .mapPartitions(iter => iter.map(id => (id, synthPpmStream(id))))
+      .toDF("doc_id", "stream")
+  }
+
+  /** The per-id multi-image stream synthesis rule, shared by
+    * [[ppmStreamBlobs]], [[mediaMeta]], and [[frameSample]]. */
+  private def synthPpmStream(id: Long): Array[Byte] = {
+    val nFrames = 1 + (id % 4).toInt
+    (0 until nFrames).toArray.flatMap { f =>
+      val w = 2 + ((id + f) % 3).toInt
+      val h = 2 + ((id + 2L * f) % 3).toInt
+      val rgb = Array.tabulate(w * h * 3)(k =>
+        ((id * 17 + f * 113L + k.toLong * 7) % 256).toByte)
+      PpmCodec.encodeP6(w, h, rgb)
+    }
   }
 
   /** Frame table DECODED from the multi-image stream: per frame its
@@ -478,13 +509,17 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // byte_len/sha256 are true payload functions; width/height restate
+    // the P6 synthesis rule the ENGINE must recover by parsing real
+    // container bytes, n_frames the stream rule it must recover by
+    // walking a real multi-image container
     "multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS byte_len,
         |  sha256(text) AS sha256,
-        |  ascii(substr(text, 1, 1)) % 64 + 1 AS width,
-        |  ascii(substr(text, 2, 1)) % 64 + 1 AS height,
-        |  octet_length(encode(text)) % 16 + 1 AS n_frames
+        |  CAST(8 + doc_id % 9 AS INT) AS width,
+        |  CAST(8 + doc_id % 7 AS INT) AS height,
+        |  CAST(1 + doc_id % 4 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the REAL 48-dim decoded-grid feature vector (image_grid's cells
     // laid out as pos = (gy*4+gx)*3 + channel) — the engine must
@@ -522,15 +557,25 @@ object Multimodal {
         |  CAST(sum((b.s - q.qs) * (b.s - q.qs)) AS BIGINT) AS dist
         |FROM b JOIN q USING (band)
         |GROUP BY b.doc_id ORDER BY dist, doc_id LIMIT 10""".stripMargin,
-    // stride-4 sampling over 1..16 frames: {0,4,8,12} ∩ [0, n_frames)
+    // stride-2 sampling over the real stream walk: the engine parses
+    // 1–4 variable-size P6 frames per container and keeps frames
+    // {0, 2}; the oracle re-derives the kept frames' parsed dims and
+    // decoded channel sums from the analytic synthesis rules
     "multimodal_frames" ->
-      """WITH b AS (SELECT doc_id,
-        |  octet_length(encode(text)) % 16 + 1 AS n_frames,
-        |  sha256(text) AS content_sha FROM documents)
-        |SELECT doc_id, n_frames, CAST(f.f AS INT) AS frame_idx,
-        |  md5(concat(content_sha, '-', CAST(f.f AS VARCHAR))) AS frame_md5
-        |FROM b CROSS JOIN (SELECT unnest(generate_series(0, 15, 4)) AS f) f
-        |WHERE f.f < n_frames
+      """WITH f AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS n_frames,
+        |    CAST(i AS BIGINT) AS fi
+        |    FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(0, doc_id % 4)) AS i) g
+        |    WHERE i % 2 = 0),
+        |dims AS (SELECT doc_id, n_frames, fi,
+        |    CAST(2 + (doc_id + fi) % 3 AS BIGINT) AS w,
+        |    CAST(2 + (doc_id + 2 * fi) % 3 AS BIGINT) AS h FROM f)
+        |SELECT doc_id, n_frames, CAST(fi AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum((doc_id * 17 + fi * 113 + k * 7) % 256) AS BIGINT) AS sum_rgb
+        |FROM dims,
+        |  LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS k) g2
+        |GROUP BY doc_id, n_frames, fi, w, h
         |ORDER BY doc_id, frame_idx""".stripMargin,
     // The WAV/PPM synthesis rules are analytic in doc_id, so the
     // oracle re-derives the DECODED values directly; the engine path

@@ -200,10 +200,14 @@ case class SquaredL2Within(left: Expression, right: Expression, eps: Double)
     var i = 0
     while (i < n) {
       // a null element NULL-PROPAGATES like the unfused form (whose
-      // fold goes null and `null < eps` is null). A pair that already
-      // exited false before reaching the null stays false — the
-      // unfused form would say null; both drop in a Filter, the one
-      // declared consumer of this predicate
+      // fold goes null and `null < eps` is null) — including PAST the
+      // early exit: an exit taken before a later null element would
+      // otherwise report false where the unfused form says null
+      // (identical under a plain Filter, divergent under NOT or when
+      // projected), so the exit path null-scans the unvisited tail.
+      // The scan costs only on nullable-element arrays that exit
+      // early; the declared vector columns are non-nullable, where
+      // elNullable is false and both probes vanish.
       if (elNullable && (xs.isNullAt(i) || ys.isNullAt(i))) return null
       val d = xs.getDouble(i) - ys.getDouble(i); acc += d * d
       // !(acc < eps), NOT acc >= eps: both are identical for finite
@@ -212,7 +216,16 @@ case class SquaredL2Within(left: Expression, right: Expression, eps: Double)
       // strict left fold, whose NaN propagates to a NaN total, and
       // `NaN < eps` is false. `NaN >= eps` is ALSO false, so the
       // >= form would keep looping and return true for NaN pairs.
-      if (!(acc < eps)) { within = false; i = n } else { within = true; i += 1 }
+      if (!(acc < eps)) {
+        if (elNullable) {
+          var j = i + 1
+          while (j < n) {
+            if (xs.isNullAt(j) || ys.isNullAt(j)) return null
+            j += 1
+          }
+        }
+        within = false; i = n
+      } else { within = true; i += 1 }
     }
     within
   }
@@ -232,6 +245,16 @@ case class SquaredL2Within(left: Expression, right: Expression, eps: Double)
     val nullProbe =
       if (elNullable)
         s"if (${leftGen.value}.isNullAt($i) || ${rightGen.value}.isNullAt($i)) { $nullEl = true; break; }"
+      else ""
+    // the early exit must not mask a null element later in the row
+    // (unfused form: the whole fold is null) — scan the unvisited
+    // tail before reporting false; compiled away on non-nullable
+    // arrays, so the declared hot path pays nothing
+    val tailNullScan =
+      if (elNullable)
+        s"""for (int ${i}t = $i + 1; ${i}t < $n; ${i}t++) {
+           |  if (${leftGen.value}.isNullAt(${i}t) || ${rightGen.value}.isNullAt(${i}t)) { $nullEl = true; break; }
+           |}""".stripMargin
       else ""
     // Double.toString round-trips every FINITE eps exactly; the
     // non-finite values stringify to Java-uncompilable literals
@@ -264,7 +287,7 @@ case class SquaredL2Within(left: Expression, right: Expression, eps: Double)
                 $acc += d * d; }
               // !(acc < eps): identical to >= for finite sums, but a
               // NaN partial must exit FALSE like the unfused NaN < eps
-              if (!($acc < $epsLit)) { $within = false; break; }
+              if (!($acc < $epsLit)) { $tailNullScan $within = false; break; }
               $within = true;
             }
             if (!$nullEl) {

@@ -740,7 +740,12 @@ object Similarity {
       else Seq.empty
     val md = java.security.MessageDigest.getInstance("MD5")
     files.foreach { f =>
-      md.update(s"${f.getName}|${f.length}|".getBytes("UTF-8"))
+      // per-part mtime folded in alongside name+length: an in-place
+      // same-size regeneration whose edits land entirely between the
+      // sampled windows (the documented residual) still moves the
+      // mtime — storePath's fingerprint tracks the table root, this
+      // closes the same channel per part file for free
+      md.update(s"${f.getName}|${f.length}|${f.lastModified}|".getBytes("UTF-8"))
       val raf = new java.io.RandomAccessFile(f, "r")
       try {
         // SAMPLED digest, not a full content hash: head + tail 8 KB

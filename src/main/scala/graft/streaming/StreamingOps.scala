@@ -144,7 +144,21 @@ object StreamingOps {
               // lands inside the current session must not REWIND
               // lastUs (a rewound frontier makes the next on-time event
               // look > gap away and falsely splits the session) nor be
-              // excluded from the duration
+              // excluded from the duration.
+              // CONTRACT (gap horizon): correctness vs the batch
+              // sessionizer is guaranteed only for out-of-order arrival
+              // WITHIN the gap of the open session's extent. An event
+              // arriving more than gap BEFORE startUs belongs to an
+              // earlier session the batch form would have closed — but
+              // per-key GroupState holds ONE open session and ids of
+              // already-emitted sessions cannot be renumbered, so it is
+              // merged here (startUs rewinds, duration inflates). The
+              // bounded AvailableNow query sorts within batch and never
+              // produces that arrival pattern; an unbounded deployment
+              // that can should bound disorder with a watermark at the
+              // gap (the event-time session-window operator is the tool
+              // past that horizon, at the cost of this operator's
+              // deterministic ordinal session ids).
               st = st.copy(lastUs = math.max(st.lastUs, us),
                 startUs = math.min(st.startUs, us), nEvents = st.nEvents + 1)
             }

@@ -226,6 +226,18 @@ class FunctionsSpec extends AnyFunSuite {
     ).head()
     assert(nr.isNullAt(0) && nr.isNullAt(1) && nr.isNullAt(2) && nr.isNullAt(3),
       s"null element did not propagate: $nr")
+    // the early exit must not MASK a later null (r12 advice): term 0
+    // already crosses eps, so the exit fires at i=0 — but the unfused
+    // fold of this row is null, and the fused verdict must agree even
+    // past the exit (divergence shows under NOT or when projected)
+    val lateNull = spark.sql(
+      """SELECT array(10.0D, CAST(NULL AS DOUBLE)) AS a,
+        |       array(0.0D, 0.0D) AS b""".stripMargin)
+    val ln = lateNull.select(
+      squaredL2Within(col("a"), col("b"), 1.0).as("w"),
+      (squaredL2(col("a"), col("b")) < 1.0).as("u")).head()
+    assert(ln.isNullAt(0) && ln.isNullAt(1),
+      s"early exit masked a later null element: $ln")
     // simhash: a null element hash nulls the fingerprint (HOF parity)
     import org.apache.spark.sql.graftbridge.SqlBridge.{column, expression}
     val sh = spark.sql("SELECT array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)) AS hs")

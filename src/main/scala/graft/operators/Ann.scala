@@ -604,6 +604,16 @@ object Ann {
   private[graft] val DefaultScoredMassCeiling: Long =
     2L * KeyDimsColliderTarget * 8
 
+  /** The approximate build's default knobs, named so tooling that
+    * re-runs the build's decision stages (ChooserReport) measures the
+    * SAME configuration the build ships — a retune of
+    * [[hnswEdgesApprox]]'s signature cannot silently diverge from the
+    * committed decision-trail records. */
+  private[graft] val DefaultNProj = 8
+  private[graft] val DefaultKeyW = 0.1
+  private[graft] val DefaultProbe = 1
+  private[graft] val DefaultCap = 1024
+
   private[graft] def chooseScoredConfig(e: DataFrame, exactPairs: DataFrame,
       cap: Int, stride: Long,
       massCeilingPerQuery: Long = DefaultScoredMassCeiling): (Seq[Seq[Int]], Double, Int) = {
@@ -1165,8 +1175,9 @@ object Ann {
   }
 
   def hnswEdgesApprox(s: SparkSession, d: String, m: Int = 16,
-      nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
-      cap: Int = 1024, refine: Int = 2,
+      nProj: Int = DefaultNProj, w: Double = DefaultKeyW,
+      probe: Int = DefaultProbe,
+      cap: Int = DefaultCap, refine: Int = 2,
       scoredMassCeiling: Long = DefaultScoredMassCeiling): DataFrame = {
     // TopMEdges plans as ObjectHashAggregate, whose sort-based
     // fallback triggers after 128 DISTINCT KEYS per task (a default

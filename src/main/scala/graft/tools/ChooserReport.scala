@@ -42,8 +42,11 @@ object ChooserReport {
     val ceiling = args.lift(2).map(_.toLong)
       .getOrElse(Ann.DefaultScoredMassCeiling)
 
-    // the build's own defaults (hnswEdgesApprox signature)
-    val (nProj, w, probe, cap) = (8, 0.1, 1, 1024)
+    // the build's own defaults — the SHARED constants behind
+    // hnswEdgesApprox's signature, so a retune there cannot silently
+    // diverge from this tool's committed decision trails
+    val (nProj, w, probe, cap) =
+      (Ann.DefaultNProj, Ann.DefaultKeyW, Ann.DefaultProbe, Ann.DefaultCap)
     val e = graft.Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))
     val cnt = e.count()

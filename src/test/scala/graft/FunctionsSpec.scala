@@ -229,7 +229,11 @@ class FunctionsSpec extends AnyFunSuite {
     // the early exit must not MASK a later null (r12 advice): term 0
     // already crosses eps, so the exit fires at i=0 — but the unfused
     // fold of this row is null, and the fused verdict must agree even
-    // past the exit (divergence shows under NOT or when projected)
+    // past the exit (divergence shows under NOT or when projected).
+    // Both execution paths pinned: the foldable-literal form is
+    // constant-folded through eval on the driver, while the
+    // col("id")-dependent form survives to WholeStageCodegen and
+    // compiles doGenCode's tail scan.
     val lateNull = spark.sql(
       """SELECT array(10.0D, CAST(NULL AS DOUBLE)) AS a,
         |       array(0.0D, 0.0D) AS b""".stripMargin)
@@ -237,7 +241,14 @@ class FunctionsSpec extends AnyFunSuite {
       squaredL2Within(col("a"), col("b"), 1.0).as("w"),
       (squaredL2(col("a"), col("b")) < 1.0).as("u")).head()
     assert(ln.isNullAt(0) && ln.isNullAt(1),
-      s"early exit masked a later null element: $ln")
+      s"early exit masked a later null element (interpreted path): $ln")
+    val lnGen = spark.range(1).select(
+      array(lit(10.0) + col("id"),
+        when(col("id") === 1, 0.0).otherwise(lit(null).cast("double"))).as("a"),
+      array(lit(0.0) + col("id"), lit(0.0) + col("id")).as("b"))
+      .select(squaredL2Within(col("a"), col("b"), 1.0).as("w")).head()
+    assert(lnGen.isNullAt(0),
+      s"early exit masked a later null element (codegen path): $lnGen")
     // simhash: a null element hash nulls the fingerprint (HOF parity)
     import org.apache.spark.sql.graftbridge.SqlBridge.{column, expression}
     val sh = spark.sql("SELECT array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)) AS hs")

@@ -89,7 +89,7 @@ object Ann {
     * query, then exact re-rank among candidates. The equi-join on
     * bucket keys is the 100 TB path: no cross join anywhere. The
     * bucket table feeds both join sides, so it is cached once. */
-  private[operators] def annLshRaw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+  private[graft] def annLshRaw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, d)
     val b = bucketsRaw(s, d, nProj = 8, w = 0.1).cache()
     val qb = b.filter(col("vec_id") < nq)
@@ -190,7 +190,7 @@ object Ann {
       .filter(col("rnk") <= k)
   }
 
-  private[operators] def annIvfRaw(s: SparkSession, d: String,
+  private[graft] def annIvfRaw(s: SparkSession, d: String,
       nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame =
     annIvfWith(Tables.embeddings(s, d), Similarity.centroids(s, d), nq, k, nprobe)
 
@@ -205,7 +205,7 @@ object Ann {
     * to [[annIvf]] (broadcast codebook, cell equi-join, exact
     * re-rank); only the codebook differs, so cells are tighter and the
     * same nprobe recovers more true neighbors. */
-  private[operators] def annIvfTrainedRaw(s: SparkSession, d: String,
+  private[graft] def annIvfTrainedRaw(s: SparkSession, d: String,
       nq: Int = 10, k: Int = 10, nprobe: Int = 3, iters: Int = 3): DataFrame =
     annIvfWith(Tables.embeddings(s, d),
       Similarity.kmeansIterCentroids(s, d, iters), nq, k, nprobe)
@@ -2629,7 +2629,7 @@ object Ann {
     * the dist is bit-deterministic and oracle-checkable); at serving
     * scale the codes table is the resident index at ¼ the footprint,
     * and the 2×64-value dim bounds ride along as a broadcast. */
-  private[operators] def annSq8Raw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+  private[graft] def annSq8Raw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, d)
     // ONE corpus aggregation derives the 64 (dmin, dmax) bounds and
     // collapses them to a 1-row broadcast of two arrays; encode AND
@@ -2701,7 +2701,7 @@ object Ann {
     * index scale the first stage becomes a multi-index banded
     * equi-join over code chunks — the [[TextOps.simhashNearDup]] plan
     * shape, pigeonhole over bands. */
-  private[operators] def annBqRaw(s: SparkSession, d: String,
+  private[graft] def annBqRaw(s: SparkSession, d: String,
             nq: Int = 10, k: Int = 10, cand: Int = 50): DataFrame = {
     val e = Tables.embeddings(s, d)
     val c = bqCodes(s, d)
@@ -2807,7 +2807,7 @@ object Ann {
     * oracle-checkable. The serving shape every PQ store uses: the
     * corpus is touched only through its 8-byte code rows, the LUT is
     * query-sized and broadcasts, and the scan is map-only + top-k. */
-  private[operators] def annPqRaw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+  private[graft] def annPqRaw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cb = pqCodebook(s, d)
     val codes = pqCodesRaw(s, d).groupBy(col("vec_id"))
@@ -2863,7 +2863,7 @@ object Ann {
     * equi-join against the query-sized probe list — |probed cells|
     * rows, not |corpus|); centroids, codebook, and the nq·nprobe·128
     * LUT rows broadcast; top-k is the usual bounded window. */
-  private[operators] def annIvfPqRaw(
+  private[graft] def annIvfPqRaw(
       s: SparkSession, d: String,
       nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, d)

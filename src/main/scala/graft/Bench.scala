@@ -110,7 +110,7 @@ object Bench {
     }
     final case class QueryTelemetry(
       startEpochMs: Long, loadBefore: Double, loadAfter: Double,
-      gcDeltaMs: Long, repSecs: Seq[Double])
+      gcDeltaMs: Long, repSecs: Seq[Double], failedRepSecs: Seq[Double])
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val telemetry = scala.collection.mutable.LinkedHashMap.empty[String, QueryTelemetry]
@@ -121,17 +121,23 @@ object Bench {
       val startMs = System.currentTimeMillis()
       val loadBefore = loadAvg()
       val gcBefore = gcMs()
+      // failed reps' time-to-throw is recorded SEPARATELY: it must
+      // stay out of the min (often ms — a fast-looking lie), but a
+      // contention-induced failure's wall time is attribution
+      // evidence exactly like a slow rep's (ADVICE r13)
+      val failedSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9)
         } catch { case t: Throwable =>
+          failedSecs += (System.nanoTime() - t0) / 1e9
           failed.getOrElseUpdate(name, t.toString.take(200))
           System.err.println(s"[bench] FAILED $name: ${t.toString.take(500)}")
           None
         }
       }
       telemetry(name) = QueryTelemetry(
-        startMs, loadBefore, loadAvg(), gcMs() - gcBefore, times)
+        startMs, loadBefore, loadAvg(), gcMs() - gcBefore, times, failedSecs.toSeq)
       freeLeakedState() // between queries, never between reps
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
@@ -188,7 +194,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val telemetryJson = telemetry.map { case (k, t) =>
       val repsStr = t.repSecs.map(s => f"$s%.4f").mkString("[", ",", "]")
-      f""""$k":{"start_epoch_ms":${t.startEpochMs},"load_before":${t.loadBefore}%.2f,"load_after":${t.loadAfter}%.2f,"gc_ms":${t.gcDeltaMs},"rep_secs":$repsStr}"""
+      val failedStr = if (t.failedRepSecs.isEmpty) ""
+        else t.failedRepSecs.map(s => f"$s%.4f")
+          .mkString(""","failed_rep_secs":[""", ",", "]")
+      f""""$k":{"start_epoch_ms":${t.startEpochMs},"load_before":${t.loadBefore}%.2f,"load_after":${t.loadAfter}%.2f,"gc_ms":${t.gcDeltaMs},"rep_secs":$repsStr$failedStr}"""
     }.mkString("{", ",", "}")
     val hostJson = {
       val rt = Runtime.getRuntime
@@ -224,6 +233,26 @@ object Bench {
     // rep spread > 2×, GC ≥ 30% of wall, or loadavg above the JVM's
     // core count — its host evidence rides along so a driver-window
     // blip (r12's kmeans_iter) self-attributes without a local re-run.
+    //
+    // Cross-artifact drift (r13 task 4): the within-run spread test is
+    // blind to a query whose EVERY rep is uniformly slow (r13's
+    // ivf_assign: 5.4 s min-of-3 in the driver window, 0.66 s
+    // isolated, spread 1.5 — invisible). So each min-of-reps is also
+    // compared against the committed isolated same-sf series
+    // (`BENCH_ref_<sfname>.json`, refreshed whenever a new isolated
+    // series point is committed; SPARK_GRAFT_BENCH_REF overrides), and
+    // >3× drift at material absolute cost becomes an anomaly entry
+    // citing BOTH numbers. Missing/unparseable ref → the check is
+    // silently absent, exactly as before it existed.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      s"BENCH_ref_${new java.io.File(sfDir).getName}.json")
+    val refQueries: Map[String, Double] = try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(refPath))
+      import scala.jdk.CollectionConverters._
+      node.get("queries").fields().asScala
+        .map(e => e.getKey -> e.getValue.asDouble).toMap
+    } catch { case _: Throwable => Map.empty }
     val nCores = Runtime.getRuntime.availableProcessors.toDouble
     val anomalies = telemetry.toSeq.flatMap { case (name, t) =>
       if (t.repSecs.isEmpty) None else {
@@ -237,9 +266,13 @@ object Bench {
         // fully-utilized run and bury a real external-contention event
         // (the r12 kmeans_iter case) in steady-state false positives
         val hotLoad = math.max(t.loadBefore, t.loadAfter) > nCores * 1.5
-        if (spread > 2.0 || gcFrac >= 0.30 || (hotLoad && mn > 1.0))
-          Some(name -> f""""$name":{"load":${math.max(t.loadBefore, t.loadAfter)}%.1f,"gc_ms":${t.gcDeltaMs},"rep_secs":${t.repSecs.map(s => f"$s%.2f").mkString("[", ",", "]")}}""")
-        else None
+        val drift = refQueries.get(name)
+          .filter(r => r > 0.05 && mn > 0.5 && mn / r > 3.0)
+        if (spread > 2.0 || gcFrac >= 0.30 || (hotLoad && mn > 1.0) ||
+            drift.isDefined) {
+          val driftStr = drift.map(r => f""","ref_sec":$r%.2f""").getOrElse("")
+          Some(name -> f""""$name":{"load":${math.max(t.loadBefore, t.loadAfter)}%.1f,"gc_ms":${t.gcDeltaMs},"rep_secs":${t.repSecs.map(s => f"$s%.2f").mkString("[", ",", "]")}$driftStr}""")
+        } else None
       }
     }.sortBy { case (name, _) => -telemetry(name).repSecs.max }
       .take(8).map(_._2)

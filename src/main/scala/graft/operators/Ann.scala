@@ -81,7 +81,8 @@ object Ann {
 
   /** Per-vector LSH bucket keys: `nProj` signed random projections,
     * bucket = floor(dot(vec, proj)/w). Returns (vec_id, proj_id, bucket). */
-  def lshBuckets(s: SparkSession, d: String, nProj: Int = 8, w: Double = 0.1): DataFrame =
+  def lshBuckets(s: SparkSession, d: String, nProj: Int = DefaultNProj,
+                 w: Double = DefaultKeyW): DataFrame =
     bucketsRaw(s, d, nProj, w).orderBy(col("vec_id"), col("proj_id"))
 
   /** LSH-accelerated approximate k-NN for queries (vec_id < nq):
@@ -91,7 +92,7 @@ object Ann {
     * bucket table feeds both join sides, so it is cached once. */
   private[graft] def annLshRaw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val b = bucketsRaw(s, d, nProj = 8, w = 0.1).cache()
+    val b = bucketsRaw(s, d, nProj = DefaultNProj, w = DefaultKeyW).cache()
     val qb = b.filter(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"), col("proj_id"), col("bucket"))
     val cand = qb.join(b, Seq("proj_id", "bucket"))
@@ -147,16 +148,19 @@ object Ann {
   }
 
   /** IVF assignment: each vector → nearest label-centroid cell
-    * (deterministic codebook from [[Similarity]]'s decimal centroids). */
-  private def ivfAssignWith(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("cdist"), col("clabel"))
+    * (deterministic codebook from [[Similarity]]'s decimal centroids).
+    * The argmin is a partial-aggregating `min(struct(cdist, clabel))`
+    * — identical (dist, label) tie order to the old row_number window,
+    * but the n×|centroids| crossed rows combine MAP-SIDE and only n
+    * partial rows reach the exchange, vs the window's full crossed
+    * shuffle (|centroids|× the volume — the r13 verdict's plan note). */
+  private def ivfAssignWith(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("clabel"),
         squaredL2(col("embedding"), col("cvec")).as("cdist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("clabel").as("cell"), col("cdist"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cdist"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("m.clabel").as("cell"), col("m.cdist").as("cdist"))
 
   private def ivfAssignRaw(s: SparkSession, d: String): DataFrame =
     ivfAssignWith(Tables.embeddings(s, d), Similarity.centroids(s, d))
@@ -361,6 +365,62 @@ object Ann {
     partial.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= m)
   }
 
+  /** Candidate-widening factor of the diversity prune: every stored /
+    * maintained edge STATE is the plain top-(DiversityWiden·m) per
+    * (level, src) — reference `shrinkConnections` semantics
+    * (`src/hnsw.zig:143-170`), just wider — and the DECLARED neighbor
+    * lists are [[graft.functions.expressions.DiversitySelect]]'s
+    * diversity-selected m of those candidates ([[diversityView]]).
+    * 4 is the measured shape from `tools.DiversePruneRecall`
+    * (SCALING_SF10.md §7.6): top-4m candidates recover recall 0.999 on
+    * the corpora whose plain top-m graph clique-traps to 0.39–0.51,
+    * while keeping the NND refinement itself at m (running the rounds
+    * at 4m is a 16× candidate blowup the experiment measured into
+    * driver heartbeat stalls). Keeping the STATE plain-wide (not
+    * diversity-pruned) is what keeps incremental maintenance exact:
+    * top-w(all) = top-w(top-w(stored) ∪ top-w(delta partials)) under
+    * the (dist, id) total order — the same associativity argument as
+    * the previous m-wide state — whereas a diversity-pruned state
+    * discards candidates a later arrival could make diverse again. */
+  private[operators] val DiversityWiden = 4
+
+  /** The DECLARED adjacency over a WIDE plain edge state: per (level,
+    * src), collect the ≤ DiversityWiden·m candidates ascending (dist,
+    * dst) with their dst vectors and apply the greedy diversity
+    * selection (keep c only while closer to src than to every kept
+    * neighbor; backfill to degree m — [[graft.functions.expressions
+    * .DiversitySelect]]). Output is (level, src, dst, dist), exactly
+    * min(m, |cands|) rows per group — the same counts as a plain top-m,
+    * only the surviving edges differ.
+    *
+    * Plan shape: the wide state arrives hash-partitioned by (level,
+    * src) (its window / TopMEdges prune put it there), the dst-vector
+    * attach is a broadcast join below [[BroadcastFetchMaxRows]] (so it
+    * stays in the same stage and the collect_list groupBy reuses the
+    * partitioning — no second exchange), and the selection itself is
+    * one expression eval per group. Beyond the broadcast bound the
+    * attach becomes a shuffle join — n·(DiversityWiden·m)·levels rows
+    * carrying one vector each, an output-×-widen-sized exchange paid
+    * once per build, which is the honest cost of grouping candidate
+    * vectors at corpus scale. */
+  private[graft] def diversityView(s: SparkSession, d: String,
+                                   wide: DataFrame, m: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cnt = e.count()
+    val ft = e.select(col("vec_id").as("dst"), col("embedding").as("dv"))
+    val attached = wide.select(col("level"), col("src"), col("dst"), col("dist"))
+      .join(if (cnt <= BroadcastFetchMaxRows) broadcast(ft) else ft, Seq("dst"))
+    val sel = SqlBridge.column(graft.functions.expressions.DiversitySelect(
+      SqlBridge.expression(
+        sort_array(collect_list(struct(col("dist"), col("dst"), col("dv"))))),
+      m))
+    attached.groupBy(col("level"), col("src"))
+      .agg(sel.as("sel"))
+      .select(col("level"), col("src"), explode(col("sel")).as("e"))
+      .select(col("level"), col("src"),
+        col("e.dst").as("dst"), col("e.dist").as("dist"))
+  }
+
   // levels above this are astronomically unlikely occupied by >1 node
   private val MaxLevel = 8
   private val EdgeBlocks = 8
@@ -368,8 +428,34 @@ object Ann {
   /** All-level HNSW edge table in ONE distributed pass — replaces the
     * r2 plan of 9 per-level broadcast joins (9 driver collects, 9 full
     * O(n²) scans, levelExpr re-evaluated per level — ~120 s at sf0.1)
-    * with one O(n²) scan and zero collects. */
-  def hnswEdges(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    * with one O(n²) scan and zero collects.
+    *
+    * As of round 14 the DECLARED lists are DIVERSITY-PRUNED
+    * ([[diversityView]] over the wide plain state — the measured fix
+    * for the reference-faithful plain prune's clustered-corpus clique
+    * trap, SCALING_SF10.md §7.5–7.6). The faithful plain-top-m form
+    * survives as [[hnswEdgesPlain]] (declared `hnsw_edges_plain`). */
+  def hnswEdges(s: SparkSession, d: String, m: Int = 16): DataFrame =
+    approxFinalRank(diversityView(s, d, hnswEdgesWide(s, d, m), m))
+
+  /** The wide (top-DiversityWiden·m) plain edge STATE of the exact
+    * build — the stored/maintained form every incremental operator
+    * folds into (see [[DiversityWiden]] for why the state stays plain
+    * and wide while the declared view is diversity-selected). */
+  private[operators] def hnswEdgesWide(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    val nodes = levelNodes(s, d)
+    val wm = DiversityWiden * m
+    pruneLevelEdges(levelEdgePartials(s, nodes, nodes, wm, MaxLevel, EdgeBlocks), wm)
+      .select(col("level"), col("src"), col("dst"), col("dist"))
+  }
+
+  /** Reference-semantics variant: the plain top-m-by-(dist, id) prune of
+    * `shrinkConnections` (`src/hnsw.zig:143-170`), exactly as shipped
+    * through round 13 — kept as a declared, gate-checked query because
+    * it IS the reference's behavior, including the measured defect the
+    * declared [[hnswEdges]] now corrects (plain pruning closes clustered
+    * corpora into cliques; recall 0.39 at 100× — SCALING_SF10.md §7.5). */
+  def hnswEdgesPlain(s: SparkSession, d: String, m: Int = 16): DataFrame = {
     val nodes = levelNodes(s, d)
     pruneLevelEdges(levelEdgePartials(s, nodes, nodes, m, MaxLevel, EdgeBlocks), m)
       .orderBy(col("level"), col("src"), col("rnk"))
@@ -1178,7 +1264,31 @@ object Ann {
       nProj: Int = DefaultNProj, w: Double = DefaultKeyW,
       probe: Int = DefaultProbe,
       cap: Int = DefaultCap, refine: Int = 2,
-      scoredMassCeiling: Long = DefaultScoredMassCeiling): DataFrame = {
+      scoredMassCeiling: Long = DefaultScoredMassCeiling): DataFrame =
+    hnswEdgesApproxWith(s, d, m, nProj, w, probe, cap, refine,
+      scoredMassCeiling, wide => diversityView(s, d, wide, m))
+
+  /** The approximate build's PLAIN top-m adjacency — the top-m slice
+    * of the same wide state the declared [[hnswEdgesApprox]] diversity-
+    * selects from. This is the k-NN-graph view: graph ANALYTICS
+    * (centrality, coreset) are defined on nearest-neighbor adjacency,
+    * where diversity pruning — a SERVING transform that trades nearest
+    * edges for escape routes — would change the measured object, not
+    * approximate it (KnnSpec's exact-vs-approx pagerank overlap reads
+    * 0.10 across the two graph kinds vs ≥0.95 within the plain kind). */
+  private[graft] def hnswEdgesApproxTopM(s: SparkSession, d: String,
+      m: Int = 16): DataFrame = {
+    val w = Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))
+    hnswEdgesApproxWith(s, d, m, DefaultNProj, DefaultKeyW, DefaultProbe,
+      DefaultCap, 2, DefaultScoredMassCeiling,
+      wide => wide.withColumn("fr", row_number().over(w))
+        .filter(col("fr") <= m).drop("fr"))
+  }
+
+  private def hnswEdgesApproxWith(s: SparkSession, d: String, m: Int,
+      nProj: Int, w: Double, probe: Int, cap: Int, refine: Int,
+      scoredMassCeiling: Long,
+      view: DataFrame => DataFrame): DataFrame = {
     // TopMEdges plans as ObjectHashAggregate, whose sort-based
     // fallback triggers after 128 DISTINCT KEYS per task (a default
     // tuned for sketch-sized buffers like percentile_approx) — this
@@ -1220,10 +1330,14 @@ object Ann {
     // it creates it, not on return.
     val track = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
-      val edges =
+      val wide =
         hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine, track,
           scoredMassCeiling = scoredMassCeiling)
-      approxFinalRank(edges.localCheckpoint(true))
+      // the view (diversity selection or plain slice) pipelines
+      // straight onto the wide final TopMEdges stage (same-keys
+      // window / collect_list — no extra exchange), so ONE eager
+      // checkpoint materializes build + view inside the threshold scope
+      approxFinalRank(view(wide).localCheckpoint(true))
     } finally {
       prevThreshold match {
         case Some(v) => s.conf.set(thresholdKey, v)
@@ -1248,11 +1362,14 @@ object Ann {
     * checkpoint — so the plan audit sees every stage a regression
     * could land in. */
   private[graft] def hnswEdgesApproxForAudit(s: SparkSession, d: String,
-      m: Int = 16, nProj: Int = 8, w: Double = 0.1, probe: Int = 1,
-      cap: Int = 1024, refine: Int = 2): DataFrame =
-    approxFinalRank(
+      m: Int = 16, nProj: Int = DefaultNProj, w: Double = DefaultKeyW,
+      probe: Int = DefaultProbe,
+      cap: Int = DefaultCap, refine: Int = 2): DataFrame =
+    approxFinalRank(diversityView(s,
+      d,
       hnswEdgesApproxPlan(s, d, m, nProj, w, probe, cap, refine,
-        scala.collection.mutable.ListBuffer.empty[DataFrame], audit = true))
+        scala.collection.mutable.ListBuffer.empty[DataFrame], audit = true),
+      m))
 
   /** Frees one piece of build state: a cached DataFrame, or the
     * block-manager blocks behind a localCheckpoint (reached through
@@ -1484,17 +1601,31 @@ object Ann {
     val exploded = seedScored.unionByName(fingerScored).select(
       explode(sequence(lit(0), col("minl"))).as("level"),
       col("src"), col("dst"), col("dist"))
-    val top = SqlBridge.column(TopMEdges(
-      SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), m)
-      .toAggregateExpression())
     // (level, src, dst, dist) — exactly what both consumers read;
     // ranks are recomputed by approxFinalRank's window, so a
-    // posexplode rank here would be dead weight in every build plan
-    def topM(cands: DataFrame): DataFrame =
+    // posexplode rank here would be dead weight in every build plan.
+    // `keep` parameterizes the heap width. The STATE every prune
+    // maintains is WIDE (top-DiversityWiden·m — the candidate list the
+    // declared diversity view selects m from), while NND PROPOSES only
+    // from the top-m slice of that state (see nndRound): the measured
+    // 16× blowup of SCALING_SF10.md §7.6 came from proposing co-
+    // neighbor pairs among 4m neighbors (pair count scales with
+    // degree²), not from heap width — a wm-wide heap with m-wide
+    // proposals keeps the candidate stream at n·(2m)² while letting
+    // every round's exactly-scored survivors accumulate in the wide
+    // tail the diversity selection draws from (keeping only the final
+    // round wide was measured at sf0.001 to leave the tail too
+    // LSH-shaped: approx-vs-exact diverse-edge overlap 0.867 vs 0.986
+    // with the accumulated tail).
+    def topM(cands: DataFrame, keep: Int = m): DataFrame = {
+      val top = SqlBridge.column(TopMEdges(
+        SqlBridge.expression(col("dst")), SqlBridge.expression(col("dist")), keep)
+        .toAggregateExpression())
       cands.groupBy(col("level"), col("src")).agg(top.as("top"))
         .select(col("level"), col("src"), explode(col("top")).as("e"))
         .select(col("level"), col("src"), col("e.dst").as("dst"),
           col("e.dist").as("dist"))
+    }
     // NN-descent refinement (Dong, Moses & Li, WWW'11 — the standard
     // k-NN-graph convergence loop): each round proposes every pair of
     // co-neighbors (u, v both adjacent to some node, in either edge
@@ -1520,9 +1651,17 @@ object Ann {
     // candidate multiset. Checkpointing round INPUTS (not outputs)
     // leaves the final round's stages visible to the PlanSpec audit
     // and lets them pipeline straight into the output action.
-    var edges = topM(exploded)
+    // every prune maintains the WIDE state (see topM's keep doc)
+    val wm = DiversityWiden * m
+    var edges = topM(exploded, wm)
     def nndRound(base: DataFrame): DataFrame = {
-      val rev = base.select(col("level"), col("dst").as("src"),
+      // base is the wm-wide state; proposals read only its top-m
+      // slice — the graph NND refines is the declared-degree graph,
+      // and the slice keeps the co-neighbor pair count at n·(2m)²
+      val wb = Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))
+      val baseM = base.withColumn("fr", row_number().over(wb))
+        .filter(col("fr") <= m).drop("fr")
+      val rev = baseM.select(col("level"), col("dst").as("src"),
         col("src").as("dst"), col("dist"))
       val wrev = Window.partitionBy("level", "src").orderBy(col("dist"), col("dst"))
       val revCapped = rev.withColumn("rr", row_number().over(wrev))
@@ -1533,7 +1672,7 @@ object Ann {
       // shuffle sides, ~76 GB at the 2M-vector fixture. The n·(2m)²
       // candidate stream never shuffles at all: self-join → attach ×2
       // → score → partial TopMEdges heap is one map stage.
-      val nb = base.select(col("level"), col("src"), col("dst"))
+      val nb = baseM.select(col("level"), col("src"), col("dst"))
         .unionByName(revCapped.select(col("level"), col("src"), col("dst")))
       // co-neighbor proposals are symmetric (u,v share a hub s in
       // either order), so score each unordered pair once (join on <)
@@ -1556,8 +1695,10 @@ object Ann {
           col("dist"))
         .select(col("level"), col("e.src").as("src"),
           col("e.dst").as("dst"), col("dist"))
+      // the union floor is the FULL wide base: survivors accumulate
+      // across rounds in the wide tail whatever round scored them
       topM(cand.unionByName(
-        base.select(col("level"), col("src"), col("dst"), col("dist"))))
+        base.select(col("level"), col("src"), col("dst"), col("dist"))), wm)
     }
     for (_ <- 1 to refine) {
       val base = edges.localCheckpoint(false)
@@ -1583,6 +1724,9 @@ object Ann {
     var roundsRun = refine
     var finalRecall: Option[Double] = None
     if (capture < CaptureFloor) {
+      // the probe grades the WIDE graph — the right metric for the
+      // diversity build: a true neighbor anywhere in the wm-wide list
+      // is available to the declared selection (and to backfill)
       val exactCnt = math.max(1L, exact.count())
       def sampledRecall(ed: DataFrame): Double =
         ed.filter(col("level") === 0)
@@ -1639,7 +1783,8 @@ object Ann {
   }
   private def indexPath(d: String, m: Int, variant: String): String =
     storePath(d, s"m$m-$variant")
-  private def baseIndexPath(d: String, m: Int): String = indexPath(d, m, "base")
+  private def baseIndexPath(d: String, m: Int): String =
+    indexPath(d, m, s"base-w$DiversityWiden")
 
   /** Setup step of the incremental-insert lifecycle: build the base
     * (90%) index ONCE per fixture dir and persist it as a parquet edge
@@ -1650,10 +1795,14 @@ object Ann {
     * math, not a rebuild. DOUBLE distances round-trip parquet
     * bitwise, so reading back is hash-identical to rebuilding. */
   def ensureBaseIndex(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    // the stored maintenance state is WIDE (top-DiversityWiden·m plain
+    // — see [[DiversityWiden]]); the w4 tag keeps any pre-diversity
+    // m-wide artifact from silently serving this path
     val path = baseIndexPath(d, m)
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val base = levelNodes(s, d).filter(n => n._1 % 10 != 0)
-      pruneLevelEdges(levelEdgePartials(s, base, base, m, MaxLevel, EdgeBlocks), m)
+      val wm = DiversityWiden * m
+      pruneLevelEdges(levelEdgePartials(s, base, base, wm, MaxLevel, EdgeBlocks), wm)
         .select(col("level"), col("src"), col("dst"), col("dist"))
         .write.mode("overwrite").parquet(path)
     }
@@ -1671,11 +1820,25 @@ object Ann {
     * serving from storage is hash-identical to searching a freshly
     * built graph. */
   def ensureFullIndex(s: SparkSession, d: String, m: Int = 16): DataFrame = {
-    val path = indexPath(d, m, "full")
+    // dp = diversity-pruned: the SERVING graph is the declared
+    // [[hnswEdges]] adjacency; maintenance composes on the wide plain
+    // state ([[ensureFullIndexWide]]) this view derives from
+    val path = indexPath(d, m, "full-dp")
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      val nodes = levelNodes(s, d)
-      pruneLevelEdges(levelEdgePartials(s, nodes, nodes, m, MaxLevel, EdgeBlocks), m)
-        .select(col("level"), col("src"), col("dst"), col("dist"))
+      diversityView(s, d, ensureFullIndexWide(s, d, m), m)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** The persisted WIDE plain state of the full exact index — the form
+    * the incremental delete path repairs against (its "affected srcs"
+    * are srcs whose WIDE list lost a member; repairing the declared
+    * m-list alone would discard candidates the diversity view needs). */
+  private[operators] def ensureFullIndexWide(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+    val path = indexPath(d, m, s"fullw$DiversityWiden")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      hnswEdgesWide(s, d, m)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -1693,7 +1856,7 @@ object Ann {
     * round-trip parquet bitwise, so serving from this layout is
     * hash-identical. */
   def ensureFullIndexVec(s: SparkSession, d: String, m: Int = 16): DataFrame = {
-    val path = indexPath(d, m, "fullv")
+    val path = indexPath(d, m, "fullv-dp")
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       ensureFullIndex(s, d, m)
         .join(Tables.embeddings(s, d)
@@ -1713,7 +1876,7 @@ object Ann {
     // tag carries the build generation: nnd2 = NN-descent-refined
     // (refine = 2) build — a store persisted by the pre-refinement
     // builder must not serve this path
-    val path = indexPath(d, m, "full-approx-nnd2")
+    val path = indexPath(d, m, "full-approx-nnd2-dp")
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       hnswEdgesApprox(s, d, m)
         .select(col("level"), col("src"), col("dst"), col("dist"))
@@ -1725,7 +1888,7 @@ object Ann {
   /** Vector-resident serving layout of the approximate index (the
     * [[ensureFullIndexVec]] trade applied to [[ensureFullIndexApprox]]). */
   def ensureFullIndexVecApprox(s: SparkSession, d: String, m: Int = 16): DataFrame = {
-    val path = indexPath(d, m, "fullv-approx-nnd2")
+    val path = indexPath(d, m, "fullv-approx-nnd2-dp")
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       ensureFullIndexApprox(s, d, m)
         .join(Tables.embeddings(s, d)
@@ -1761,10 +1924,16 @@ object Ann {
     // base-side heaps → repair candidates. Base and delta sources are
     // disjoint, so ONE window prune over (stored ∪ partials) both
     // repairs the base lists and finalizes the delta lists.
+    // all state math happens at the WIDE degree (top-w, w = 4m): the
+    // associativity argument is unchanged — top-w(all) =
+    // top-w(top-w(base) ∪ top-w(delta partials)) under (dist, id) —
+    // and the declared output is the diversity view of that state,
+    // so insert-then-repair still hash-equals the full diverse rebuild
+    val wm = DiversityWiden * m
     val sym = levelEdgePartialsSym(
-      s, all, delta, id => id % 10 != 0, m, MaxLevel, EdgeBlocks, dBlocks = 2)
-    pruneLevelEdges(oldEdges.unionByName(sym), m)
-      .orderBy(col("level"), col("src"), col("rnk"))
+      s, all, delta, id => id % 10 != 0, wm, MaxLevel, EdgeBlocks, dBlocks = 2)
+    val wide = pruneLevelEdges(oldEdges.unionByName(sym), wm)
+    approxFinalRank(diversityView(s, d, wide, m))
   }
 
   /** Index observability — the stats panel every vector store ships
@@ -1858,9 +2027,19 @@ object Ann {
     *
     * The declared oracle is the FULL-REBUILD SQL over the surviving
     * corpus — the hash gate proves delete-then-repair ≡ rebuild. */
-  def hnswDeleteDelta(s: SparkSession, d: String, m: Int = 16): DataFrame = {
+  def hnswDeleteDelta(s: SparkSession, d: String, m: Int = 16): DataFrame =
+    approxFinalRank(diversityView(s, d, hnswDeleteDeltaWide(s, d, m), m))
+
+  /** The delete repair on the WIDE stored state — the composable form
+    * [[hnswUpsertRoundtrip]] folds an insert back into. "Affected"
+    * means a src whose WIDE list lost a member: the wide list is the
+    * state the diversity view selects from, so a src whose declared m
+    * neighbors all survived can still need repair (a deleted wide
+    * candidate could have been the diversity pick after the delete). */
+  private def hnswDeleteDeltaWide(s: SparkSession, d: String, m: Int): DataFrame = {
     import s.implicits._
-    val full = ensureFullIndex(s, d, m)
+    val wm = DiversityWiden * m
+    val full = ensureFullIndexWide(s, d, m)
     val surviving = full.filter(col("src") % 10 =!= 0)
     val clean = surviving.filter(col("dst") % 10 =!= 0)
       .select(col("level"), col("src"), col("dst"), col("dist"))
@@ -1875,9 +2054,9 @@ object Ann {
     // are complete candidate sets, and keeping their stored rows would
     // duplicate (level, src, dst) pairs under the prune window)
     val cleanUnaffected = clean.join(affected, Seq("src"), "left_anti")
-    val partials = levelEdgePartials(s, affNodes, remaining, m, MaxLevel, EdgeBlocks)
-    pruneLevelEdges(cleanUnaffected.unionByName(partials), m)
-      .orderBy(col("level"), col("src"), col("rnk"))
+    val partials = levelEdgePartials(s, affNodes, remaining, wm, MaxLevel, EdgeBlocks)
+    pruneLevelEdges(cleanUnaffected.unionByName(partials), wm)
+      .select(col("level"), col("src"), col("dst"), col("dist"))
   }
 
   /** Fold ONE arrival batch into a maintained index — the micro-batch
@@ -1916,11 +2095,23 @@ object Ann {
       .join(coveredIds, "id")
       .as[(Long, Array[Double], Int)]
     val delta = nodes.filter(n => bset(n._1))
+    // the maintained state is WIDE (top-DiversityWiden·m plain — the
+    // [[ensureBaseIndex]] storage form); readers present it through
+    // [[hnswIndexView]], exactly like the batch delta operators
+    val wm = DiversityWiden * m
     val sym = levelEdgePartialsSym(
-      s, all, delta, id => !bset(id), m, MaxLevel, EdgeBlocks, dBlocks = 1)
-    pruneLevelEdges(stored.unionByName(sym), m)
+      s, all, delta, id => !bset(id), wm, MaxLevel, EdgeBlocks, dBlocks = 1)
+    pruneLevelEdges(stored.unionByName(sym), wm)
       .select(col("level"), col("src"), col("dst"), col("dist"))
   }
+
+  /** The declared adjacency of a maintained WIDE index state — what a
+    * reader of [[graft.streaming.StreamingOps.IndexMaintainer]]'s
+    * `current` serves from ((level, src, dst, dist), diversity-selected
+    * m per group; ≡ [[hnswEdges]] minus the presentation rank). */
+  def hnswIndexView(s: SparkSession, d: String, state: DataFrame,
+                    m: Int = 16): DataFrame =
+    diversityView(s, d, state, m)
 
   /** The CRUD cycle composed — delete a slice, then insert it back,
     * against the same persisted index: [[hnswDeleteDelta]]'s repaired
@@ -1934,12 +2125,16 @@ object Ann {
   def hnswUpsertRoundtrip(s: SparkSession, d: String, m: Int = 16): DataFrame = {
     val all = levelNodes(s, d)
     val delta = all.filter(n => n._1 % 10 == 0)
-    val afterDelete = hnswDeleteDelta(s, d, m)
-      .select(col("level"), col("src"), col("dst"), col("dist"))
+    // compose on the WIDE states: delete's repaired wide survivors are
+    // the stored structure the insert folds into; the declared output
+    // is the diversity view of the round-tripped wide state, so the
+    // gate proves diverse(delete∘insert) ≡ diverse(rebuild) ≡ identity
+    val wm = DiversityWiden * m
+    val afterDelete = hnswDeleteDeltaWide(s, d, m)
     val sym = levelEdgePartialsSym(
-      s, all, delta, id => id % 10 != 0, m, MaxLevel, EdgeBlocks, dBlocks = 2)
-    pruneLevelEdges(afterDelete.unionByName(sym), m)
-      .orderBy(col("level"), col("src"), col("rnk"))
+      s, all, delta, id => id % 10 != 0, wm, MaxLevel, EdgeBlocks, dBlocks = 2)
+    val wide = pruneLevelEdges(afterDelete.unionByName(sym), wm)
+    approxFinalRank(diversityView(s, d, wide, m))
   }
 
   /** Deterministic beam search over the exact level-0 m-NN graph — the
@@ -2070,8 +2265,11 @@ object Ann {
     require(n <= maxReplicaRows,
       s"corpus has $n rows > maxReplicaRows=$maxReplicaRows: a replica " +
         "would not fit one heap — use annGraphSearch (frontier joins)")
-    val edges = BlockKnnJoin.knnGraph(s, e, 16)
-      .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect()
+    // the SAME persisted diversity-pruned level-0 adjacency the join
+    // form serves from ('identical results, different physics' — a
+    // replica over the old plain knn graph would answer differently)
+    val edges = ensureFullIndex(s, d, 16).filter(col("level") === 0)
+      .select(col("src"), col("dst")).as[(Long, Long)].collect()
     val adj: Map[Long, Array[Long]] =
       edges.groupBy(_._1).map { case (src, a) => (src, a.map(_._2)) }
     val vecs: Map[Long, Array[Double]] =
@@ -2194,7 +2392,7 @@ object Ann {
   private def upperGraph(
       s: SparkSession, d: String, m: Int, topLevel: Int,
       idxAll: DataFrame, lvlCounts: Map[Int, Long],
-      variant: String = "fullv"): Option[UpperGraph] = {
+      variant: String = "fullv-dp"): Option[UpperGraph] = {
     if (topLevel < 1) return None
     // ~2× slack: a node of level L is an adjacency src in every layer
     // l0..min(L, topLevel), and node counts halve per level, so the
@@ -2318,7 +2516,7 @@ object Ann {
     // set — the driver hash gate and the in-test hierarchical
     // reference pin bitwise equality.
     val upper = upperGraph(s, d, m, topLevel, idxAll, lvlCounts,
-      if (approxIndex) "fullv-approx" else "fullv")
+      if (approxIndex) "fullv-approx-nnd2-dp" else "fullv-dp")
     val joinTop = upper.map(_.l0 - 1).getOrElse(topLevel)
     // vector-resident adjacency: one table per round, no dst-vector
     // lookup join — see [[ensureFullIndexVec]]. Cached as PER-LEVEL
@@ -2800,14 +2998,55 @@ object Ann {
   def pqCodes(s: SparkSession, d: String): DataFrame =
     pqCodesRaw(s, d).orderBy(col("vec_id"), col("sub"))
 
-  /** PQ approximate k-NN via asymmetric distance computation (ADC):
-    * per query, a 8×16 lookup table of exact subspace distances to
-    * every codeword; per corpus vector, dist ≈ Σ_s LUT[s][code_s] — a
-    * strict left fold over the flattened LUT, so bit-deterministic and
-    * oracle-checkable. The serving shape every PQ store uses: the
-    * corpus is touched only through its 8-byte code rows, the LUT is
-    * query-sized and broadcasts, and the scan is map-only + top-k. */
-  private[graft] def annPqRaw(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame = {
+  /** Candidate-pool factor of the PQ arms' exact re-rank stage: ADC
+    * ranks top-(PqRerankWiden·k) candidates, exact squared-L2 re-ranks
+    * them to k. 4 mirrors [[DiversityWiden]]'s measured shape: the r13
+    * `ServingRecall` table graded re-rank-free ADC at 0.20/0.19 recall
+    * at sf10 (uniformly poor — VERDICT r13 "What's wrong" #2), and the
+    * standard two-stage PQ serving shape (Jégou, Douze & Schmid, TPAMI
+    * 2011 §V — ADC shortlist, exact verification) is the fix: the
+    * re-rank touches PqRerankWiden·k·nq full vectors per batch, a
+    * fetch-by-id the engine states as a broadcast semi-scan, never a
+    * second corpus-wide distance pass. */
+  private[operators] val PqRerankWiden = 4
+
+  /** Exact re-rank stage shared by [[annPqRaw]] and [[annIvfPqRaw]]:
+    * `cands(query_id, vec_id)` is the ADC shortlist (≤ widen·k rows per
+    * query); attach the TRUE corpus vectors (broadcast the query-sized
+    * shortlist against the corpus scan — map-only, only shortlist rows
+    * survive), attach the broadcast query vectors, score exact
+    * squared-L2, keep the bounded top-k window. The returned `dist` is
+    * the EXACT distance — what a PQ store's user actually receives
+    * after verification, and what makes the arm's recall a property of
+    * shortlist coverage rather than code resolution. */
+  private def pqExactRerank(e: DataFrame, cands: DataFrame,
+                            nq: Int, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cands.select(col("query_id"), col("vec_id"))), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        squaredL2(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** PQ approximate k-NN via asymmetric distance computation (ADC)
+    * with exact re-rank: per query, a 8×16 lookup table of exact
+    * subspace distances to every codeword; per corpus vector, adc ≈
+    * Σ_s LUT[s][code_s] — a strict left fold over the flattened LUT,
+    * so bit-deterministic and oracle-checkable. The ADC scan keeps a
+    * top-([[PqRerankWiden]]·k) shortlist per query, and
+    * [[pqExactRerank]] verifies it with true distances — the standard
+    * two-stage PQ serving shape. The corpus is touched only through
+    * its 8-byte code rows plus the shortlist fetch; the LUT is
+    * query-sized and broadcasts; both stages are map-only + bounded
+    * top-k. */
+  private[graft] def annPqRaw(s: SparkSession, d: String, nq: Int = 10,
+                              k: Int = 10, cand: Int = 0): DataFrame = {
+    val shortlistK = if (cand > 0) cand else PqRerankWiden * k
     val e = Tables.embeddings(s, d)
     val cb = pqCodebook(s, d)
     val codes = pqCodesRaw(s, d).groupBy(col("vec_id"))
@@ -2830,14 +3069,15 @@ object Ann {
         array_sort(collect_list(struct(col("sub"), col("code"), col("ld")))),
         x => x.getField("ld")).as("lut"))
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    codes.crossJoin(broadcast(lut))
+    val shortlist = codes.crossJoin(broadcast(lut))
       .withColumn("dist", expr(
         s"""aggregate(sequence(1, $PqSubs), 0D, (acc, s) ->
            |  acc + element_at(lut,
            |    (CAST(s AS INT) - 1) * $PqK + element_at(codes, CAST(s AS INT)) + 1))""".stripMargin))
       .select(col("query_id"), col("vec_id"), col("dist"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .filter(col("rnk") <= shortlistK)
+    pqExactRerank(e, shortlist, nq, k)
   }
 
   def annPq(s: SparkSession, d: String, nq: Int = 10, k: Int = 10): DataFrame =
@@ -2865,7 +3105,8 @@ object Ann {
     * LUT rows broadcast; top-k is the usual bounded window. */
   private[graft] def annIvfPqRaw(
       s: SparkSession, d: String,
-      nq: Int = 10, k: Int = 10, nprobe: Int = 3): DataFrame = {
+      nq: Int = 10, k: Int = 10, nprobe: Int = 3, cand: Int = 0): DataFrame = {
+    val shortlistK = if (cand > 0) cand else PqRerankWiden * k
     val e = Tables.embeddings(s, d)
     val cent = Similarity.centroids(s, d)
     val cellVec = cent.select(col("clabel").as("cell"), col("cvec"))
@@ -2923,16 +3164,19 @@ object Ann {
         array_sort(collect_list(struct(col("sub"), col("code"), col("ld")))),
         x => x.getField("ld")).as("lut"))
     // ADC scan restricted to probed cells: cell equi-join, then the
-    // strict-left-fold LUT sum — map-only over the candidate rows
+    // strict-left-fold LUT sum — map-only over the candidate rows;
+    // the top-(PqRerankWiden·k) shortlist is then verified with exact
+    // distances (the faiss IVFPQ re-rank stage — see [[pqExactRerank]])
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    codes.join(broadcast(lut), Seq("cell"))
+    val shortlist = codes.join(broadcast(lut), Seq("cell"))
       .withColumn("dist", expr(
         s"""aggregate(sequence(1, $PqSubs), 0D, (acc, s) ->
            |  acc + element_at(lut,
            |    (CAST(s AS INT) - 1) * $PqK + element_at(codes, CAST(s AS INT)) + 1))""".stripMargin))
       .select(col("query_id"), col("vec_id"), col("dist"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .filter(col("rnk") <= shortlistK)
+    pqExactRerank(e, shortlist, nq, k)
   }
 
   def annIvfPq(s: SparkSession, d: String,
@@ -3055,6 +3299,7 @@ object Ann {
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "hnsw_levels" -> ((s, d) => hnswLevels(s, d)),
     "hnsw_edges"  -> ((s, d) => hnswEdges(s, d)),
+    "hnsw_edges_plain" -> ((s, d) => hnswEdgesPlain(s, d)),
     "hnsw_edges_approx" -> ((s, d) => hnswEdgesApprox(s, d)),
     "hnsw_insert_delta" -> ((s, d) => hnswInsertDelta(s, d)),
     "hnsw_delete_delta" -> ((s, d) => hnswDeleteDelta(s, d)),
@@ -3079,12 +3324,100 @@ object Ann {
     s"((${duckHash60.format(key)} % 1000001) / 1000000.0 - 0.5)"
   private val duckSq = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
 
+  /** The diversity selection as a CTE chain — the oracle restatement
+    * of [[graft.functions.expressions.DiversitySelect]]'s greedy scan,
+    * referencing an enclosing wide candidate CTE `$wc(level, src, dst,
+    * dist)` (the plain top-DiversityWiden·m state) and a corpus CTE
+    * `$eSrc(vec_id, v, …)` for the candidate vectors. The scan is
+    * inherently sequential per (level, src), so it is a RECURSIVE CTE
+    * stepping through the candidates in (dist, dst) rank order,
+    * carrying the kept list (ids + vectors) as state: at step r,
+    * candidate r is kept iff fewer than m are kept and its distance to
+    * every kept neighbor exceeds its distance to the source (the same
+    * `list_sum`-fold squared-L2 as every other oracle distance, so the
+    * comparison sees bit-identical doubles). `dout` then backfills the
+    * nearest skipped candidates in rank order to degree m — kept ∪
+    * first (m − |kept|) non-kept, exactly the expression's output set.
+    *
+    * NOTE: every oracle embedding this chain must open with
+    * `WITH RECURSIVE` (mixing recursive and plain CTEs is fine).
+    * DuckDB 1.0.0's `list_reduce` cannot express the fold — its
+    * accumulator threading breaks under a conditional lambda (a CASE
+    * whose ELSE returns the accumulator resets it; measured on this
+    * host), hence recursion rather than a lambda fold. */
+  private def diversityCtes(m: Int, wc: String, eSrc: String = "e"): String =
+    s"""dcand AS MATERIALIZED (
+       |  SELECT w.level, w.src, w.dst, w.dist, ev.v,
+       |    row_number() OVER (PARTITION BY w.level, w.src ORDER BY w.dist, w.dst) AS crnk
+       |  FROM $wc w JOIN $eSrc ev ON ev.vec_id = w.dst),
+       |dstep AS (
+       |  SELECT level, src, 1 AS step, [struct_pack(dst := dst, v := v)] AS kept
+       |  FROM dcand WHERE crnk = 1
+       |  UNION ALL
+       |  SELECT c.level, c.src, p.step + 1,
+       |    CASE WHEN len(p.kept) < $m AND coalesce(list_sum(list_transform(p.kept,
+       |            kk -> CASE WHEN ${duckSq.format("kk.v", "c.v")} <= c.dist THEN 1 ELSE 0 END)), 0) = 0
+       |         THEN list_append(p.kept, struct_pack(dst := c.dst, v := c.v))
+       |         ELSE p.kept END
+       |  FROM dstep p JOIN dcand c
+       |    ON c.level = p.level AND c.src = p.src AND c.crnk = p.step + 1),
+       |dkept AS (
+       |  SELECT level, src, list_transform(kept, x -> x.dst) AS kd
+       |  FROM (SELECT level, src, kept,
+       |          row_number() OVER (PARTITION BY level, src ORDER BY step DESC) AS rl
+       |        FROM dstep) WHERE rl = 1),
+       |dout AS MATERIALIZED (
+       |  SELECT level, src, dst, dist FROM (
+       |    SELECT c.level, c.src, c.dst, c.dist,
+       |      CASE WHEN list_contains(k.kd, c.dst) THEN 0 ELSE 1 END AS fill,
+       |      row_number() OVER (PARTITION BY c.level, c.src,
+       |        CASE WHEN list_contains(k.kd, c.dst) THEN 0 ELSE 1 END
+       |        ORDER BY c.crnk) AS fr,
+       |      len(k.kd) AS nk
+       |    FROM dcand c JOIN dkept k ON k.level = c.level AND k.src = c.src)
+       |  WHERE fill = 0 OR fr <= $m - nk)""".stripMargin
+
   /** Per-level oracle for [[hnswEdges]], generated mechanically: the
     * level assignment is the (already hash-green) [[hnswLevels]] SQL,
-    * and each level l is the same windowed top-m self-join as
-    * `knn_graph`'s oracle restricted to nodes with level ≥ l. */
+    * each level l is the windowed top-(DiversityWiden·m) self-join
+    * restricted to nodes with level ≥ l (the wide plain state), and
+    * the declared lists are [[diversityCtes]]' selection over it. */
   private def hnswEdgesOracle(m: Int, maxLevel: Int,
                               corpusWhere: String = "TRUE"): String = {
+    val wm = DiversityWiden * m
+    val header =
+      s"""WITH RECURSIVE h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
+         |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
+         |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h),
+         |e AS MATERIALIZED (SELECT em.vec_id, list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v, lv.level
+         |      FROM embeddings em JOIN lv ON lv.vec_id = em.vec_id
+         |      WHERE $corpusWhere)""".stripMargin
+    val perLevel = (0 to maxLevel).map { l =>
+      s"""d$l AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${duckSq.format("a.v", "b.v")} AS dist
+         |        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+         |        WHERE a.level >= $l AND b.level >= $l),
+         |gw$l AS (SELECT $l AS level, src, dst, dist FROM (
+         |        SELECT src, dst, dist,
+         |          row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+         |        FROM d$l) WHERE rnk <= $wm)""".stripMargin
+    }
+    val union = (0 to maxLevel).map(l => s"SELECT * FROM gw$l").mkString(" UNION ALL ")
+    s"""$header,
+       |${perLevel.mkString(",\n")},
+       |wcw AS MATERIALIZED ($union),
+       |${diversityCtes(m, "wcw")}
+       |SELECT level, src, dst, dist,
+       |  row_number() OVER (PARTITION BY level, src ORDER BY dist, dst) AS rnk
+       |FROM dout ORDER BY level, src, rnk""".stripMargin
+  }
+
+  /** The round-13 plain-top-m oracle, verbatim — the declared
+    * reference-semantics variant ([[hnswEdgesPlain]]), and the edge
+    * COUNTER the index_stats oracle embeds (diversity selection keeps
+    * exactly min(m, |candidates|) edges per (level, src), so per-layer
+    * counts are identical and the cheaper plain chain counts them). */
+  private def hnswEdgesPlainOracle(m: Int, maxLevel: Int,
+                                   corpusWhere: String = "TRUE"): String = {
     val header =
       s"""WITH h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
          |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
@@ -3176,26 +3509,45 @@ object Ann {
   private def approxEdgeChain(m: Int, maxLevel: Int, nProj: Int,
                               probe: Int, cap: Int, refine: Int): String = {
     // NN-descent rounds unrolled as CTE chains (the ann_graph_search
-    // oracle pattern): aeK-1 → forward ∪ capped-reverse neighborhood →
-    // co-neighbor candidate pairs → re-score → top-m window
+    // oracle pattern): aeK-1 → top-m slice → forward ∪ capped-reverse
+    // neighborhood → co-neighbor candidate pairs → re-score → window.
+    // Every round's STATE window keeps DiversityWiden·m (the wide
+    // state the diversity view selects from); proposals read only the
+    // top-m slice (anbm) — the engine's baseM/topM(wm) split.
+    //
+    // NO bare set-`UNION` anywhere in this chain: every embedding of
+    // it now sits under `WITH RECURSIVE` (the diversity scan's dstep),
+    // and DuckDB 1.0.0 silently DROPS the set-dedup of a UNION inside
+    // a non-self-referencing CTE of a RECURSIVE clause (minimal repro
+    // measured on this host: `WITH RECURSIVE t AS (SELECT 1 UNION
+    // SELECT 1) SELECT count(*) FROM t` → 2). The r14 migration hit
+    // this live — duplicate survivor rows tripled dout groups (27,708
+    // vs 15,714) — so the merge is stated DISTINCT-over-UNION-ALL,
+    // which the recursive rewriter leaves alone.
+    val wm = DiversityWiden * m
     val rounds = (1 to refine).map { r =>
-      s"""anb$r AS (SELECT level, src, dst FROM ae${r - 1}
+      s"""anbm$r AS (SELECT level, src, dst, dist FROM (
+         |       SELECT level, src, dst, dist,
+         |         row_number() OVER (PARTITION BY level, src ORDER BY dist, dst) AS fr
+         |       FROM ae${r - 1}) WHERE fr <= $m),
+         |anb$r AS (SELECT level, src, dst FROM anbm$r
          |       UNION ALL
          |       SELECT level, dst AS src, src AS dst FROM (
          |         SELECT level, src, dst, dist,
          |           row_number() OVER (PARTITION BY level, dst ORDER BY dist, src) AS rr
-         |         FROM ae${r - 1}) WHERE rr <= $m),
+         |         FROM anbm$r) WHERE rr <= $m),
          |acn$r AS (SELECT DISTINCT a.level, a.dst AS src, b.dst AS dst
          |       FROM anb$r a JOIN anb$r b
          |         ON a.level = b.level AND a.src = b.src AND a.dst <> b.dst),
-         |au$r AS (SELECT c.level, c.src, c.dst, ${duckSq.format("a.v", "b.v")} AS dist
+         |au$r AS (SELECT DISTINCT level, src, dst, dist FROM (
+         |       SELECT c.level, c.src, c.dst, ${duckSq.format("a.v", "b.v")} AS dist
          |       FROM acn$r c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
-         |       UNION
-         |       SELECT level, src, dst, dist FROM ae${r - 1}),
+         |       UNION ALL
+         |       SELECT level, src, dst, dist FROM ae${r - 1})),
          |ae$r AS MATERIALIZED (SELECT level, src, dst, dist FROM (
          |       SELECT level, src, dst, dist,
          |         row_number() OVER (PARTITION BY level, src ORDER BY dist, dst) AS rnk
-         |       FROM au$r) WHERE rnk <= $m)""".stripMargin
+         |       FROM au$r) WHERE rnk <= $wm)""".stripMargin
     }
     val roundsSql = if (rounds.isEmpty) "" else ",\n" + rounds.mkString(",\n")
     s"""${approxCaptureCtes(m, nProj, probe)},
@@ -3240,21 +3592,22 @@ object Ann {
        |ae0 AS MATERIALIZED (SELECT level, src, dst, dist FROM (
        |  SELECT level, src, dst, dist,
        |    row_number() OVER (PARTITION BY level, src ORDER BY dist, dst) AS rnk
-       |  FROM ax) CROSS JOIN acapok WHERE rnk <= $m AND acapok.ok = 1)$roundsSql""".stripMargin
+       |  FROM ax) CROSS JOIN acapok WHERE rnk <= $wm AND acapok.ok = 1)$roundsSql""".stripMargin
   }
 
   private def hnswEdgesApproxOracle(m: Int, maxLevel: Int,
                                     nProj: Int, probe: Int,
                                     cap: Int = 1024, refine: Int = 2): String =
-    s"""WITH h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
+    s"""WITH RECURSIVE h AS (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
        |lv AS (SELECT vec_id, least(31, CAST(len(regexp_extract(
        |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h),
        |e AS MATERIALIZED (SELECT em.vec_id, list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v, lv.level
        |      FROM embeddings em JOIN lv ON lv.vec_id = em.vec_id),
-       |${approxEdgeChain(m, maxLevel, nProj, probe, cap, refine)}
+       |${approxEdgeChain(m, maxLevel, nProj, probe, cap, refine)},
+       |${diversityCtes(m, s"ae$refine")}
        |SELECT level, src, dst, dist,
        |  row_number() OVER (PARTITION BY level, src ORDER BY dist, dst) AS rnk
-       |FROM ae$refine
+       |FROM dout
        |ORDER BY level, src, rnk""".stripMargin
 
   /** Unrolled oracle for [[annGraphSearch]] — the graph build is
@@ -3262,13 +3615,20 @@ object Ann {
     * union + group-by-min + window-prune CTE, mirroring the operator's
     * pool recurrence statement for statement. */
   private def graphSearchOracle(nq: Int, k: Int, beam: Int, rounds: Int, m: Int): String = {
+    // the served adjacency is level 0 of the persisted diversity index
+    // ([[annGraphSearchRaw]] reads ensureFullIndexVec level 0), so the
+    // oracle's g is the diversity selection over the wide all-pairs
+    // top-(DiversityWiden·m) — one level, tagged 0 for the shared chain
+    val wm = DiversityWiden * m
     val header =
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |dp AS (SELECT l.vec_id AS src, r.vec_id AS dst, ${duckSq.format("l.v", "r.v")} AS dist
          |       FROM e l, e r WHERE l.vec_id <> r.vec_id),
-         |g AS (SELECT src, dst FROM (
-         |        SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
-         |        FROM dp) WHERE rnk <= $m),
+         |wcw AS MATERIALIZED (SELECT 0 AS level, src, dst, dist FROM (
+         |        SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+         |        FROM dp) WHERE rnk <= $wm),
+         |${diversityCtes(m, "wcw")},
+         |g AS MATERIALIZED (SELECT src, dst FROM dout),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nq),
          |p0 AS (SELECT q.query_id, CAST(0 AS BIGINT) AS vec_id, ${duckSq.format("e0.v", "q.qv")} AS dist
          |       FROM q CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) e0)""".stripMargin
@@ -3309,32 +3669,42 @@ object Ann {
     // recomputes every O(n²) d_l join per reference). MATERIALIZED
     // evaluates each hot CTE once.
     val header =
-      s"""WITH h AS MATERIALIZED (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
+      s"""WITH RECURSIVE h AS MATERIALIZED (SELECT vec_id, ${duckHash60.format("CAST(vec_id AS STRING)")} AS hv FROM embeddings),
          |lv AS MATERIALIZED (SELECT vec_id, least(31, CAST(len(regexp_extract(
          |         reverse(bin(hv)), '^0*')) AS INT)) AS level FROM h),
          |e AS MATERIALIZED (SELECT em.vec_id, em.label, list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v, lv.level
          |      FROM embeddings em JOIN lv ON lv.vec_id = em.vec_id)""".stripMargin
-    // g_l: per-level top-m adjacency — from the exact O(n²) per-level
+    // g_l: per-level DIVERSITY-SELECTED adjacency (the declared serving
+    // graph) — wide candidates from the exact O(n²) per-level
     // self-joins, or (approxGraph) from the SAME capped multiprobe
-    // LSH candidate set as the hash-green `hnsw_edges_approx` oracle,
-    // so the served graph is the persisted approximate index
+    // LSH candidate chain as the hash-green `hnsw_edges_approx`
+    // oracle, one diversity recursion over all levels, then per-level
+    // slices — so the served graph IS the persisted index
+    val wm = DiversityWiden * m
     val perLevel =
-      if (!approxGraph) (0 to maxLevel).map { l =>
-        s"""d$l AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${duckSq.format("a.v", "b.v")} AS dist
-           |        FROM e a JOIN e b ON a.vec_id <> b.vec_id
-           |        WHERE a.level >= $l AND b.level >= $l),
-           |g$l AS MATERIALIZED (SELECT src, dst FROM (
-           |        SELECT src, dst,
-           |          row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
-           |        FROM d$l) WHERE rnk <= $m)""".stripMargin
+      if (!approxGraph) {
+        (0 to maxLevel).map { l =>
+          s"""d$l AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${duckSq.format("a.v", "b.v")} AS dist
+             |        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+             |        WHERE a.level >= $l AND b.level >= $l),
+             |gw$l AS (SELECT $l AS level, src, dst, dist FROM (
+             |        SELECT src, dst, dist,
+             |          row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+             |        FROM d$l) WHERE rnk <= $wm)""".stripMargin
+        } ++ Seq(
+          s"""wcw AS MATERIALIZED (${(0 to maxLevel)
+               .map(l => s"SELECT * FROM gw$l").mkString(" UNION ALL ")}),
+             |${diversityCtes(m, "wcw")}""".stripMargin) ++
+          (0 to maxLevel).map { l =>
+            s"""g$l AS MATERIALIZED (SELECT src, dst FROM dout
+               |        WHERE level = $l)""".stripMargin
+          }
       }
       else {
-        // the served graph is the persisted REFINED approximate index:
-        // state its build with the same CTE chain as the hash-green
-        // hnsw_edges_approx oracle, then slice per level
-        Seq(approxEdgeChain(m, maxLevel, nProj, probe, cap, refine)) ++
+        Seq(approxEdgeChain(m, maxLevel, nProj, probe, cap, refine),
+            diversityCtes(m, s"ae$refine")) ++
           (0 to maxLevel).map { l =>
-            s"""g$l AS MATERIALIZED (SELECT src, dst FROM ae$refine
+            s"""g$l AS MATERIALIZED (SELECT src, dst FROM dout
                |        WHERE level = $l)""".stripMargin
           }
       }
@@ -3395,6 +3765,7 @@ object Ann {
 
   private lazy val baseOracles: Map[String, String] = Map(
     "hnsw_edges" -> hnswEdgesOracle(m = 16, maxLevel = 8),
+    "hnsw_edges_plain" -> hnswEdgesPlainOracle(m = 16, maxLevel = 8),
     "hnsw_edges_approx" ->
       hnswEdgesApproxOracle(m = 16, maxLevel = 8, nProj = 8, probe = 1),
     "hnsw_search" -> hnswSearchOracle(
@@ -3421,7 +3792,7 @@ object Ann {
          |part AS (SELECT unnest(generate_series(0, least(level, 8))) AS layer FROM lv),
          |pn AS (SELECT layer, count(*) AS n_nodes FROM part GROUP BY layer),
          |eg AS (SELECT level AS layer, count(*) AS n_edges
-         |       FROM (${hnswEdgesOracle(m = 16, maxLevel = 8)}) GROUP BY level),
+         |       FROM (${hnswEdgesPlainOracle(m = 16, maxLevel = 8)}) GROUP BY level),
          |raw AS (SELECT count(*) * 512 AS raw_bytes FROM embeddings),
          |ecap AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |${approxCaptureCtes(m = 16, nProj = 8, probe = 1, src = "ecap")}
@@ -3635,14 +4006,22 @@ object Ann {
          |ad AS (SELECT l.query_id, c.vec_id,
          |         list_sum(list_transform(range(1, 9),
          |           s -> l.lut[(s-1)*16 + c.codes[s] + 1])) AS dist
-         |       FROM codes c, lut l)
+         |       FROM codes c, lut l),
+         |sl AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM ad)
+         |WHERE rnk <= 40),
+         |rr AS (SELECT s.query_id, s.vec_id, ${duckSq.format("ev.v", "q.v")} AS dist
+         |       FROM sl s JOIN e ev ON ev.vec_id = s.vec_id
+         |       JOIN q ON q.query_id = s.query_id)
          |SELECT query_id, vec_id, dist, rnk FROM (
          |  SELECT query_id, vec_id, dist,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM ad)
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM rr)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     // IVF-PQ: the ivf_assign centroid/assign CTEs, residuals, the
     // ann_pq machinery re-pointed at residual slices, per-(query,
-    // probed cell) residual LUTs, cell-restricted ADC scan
+    // probed cell) residual LUTs, cell-restricted ADC scan, exact
+    // re-rank of the top-40 ADC shortlist (the engine's pqExactRerank)
     "ann_ivfpq" ->
       s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
          |                   CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
@@ -3683,10 +4062,17 @@ object Ann {
          |ad AS (SELECT l.query_id, c.vec_id,
          |         list_sum(list_transform(range(1, 9),
          |           s -> l.lut[(s-1)*16 + c.codes[s] + 1])) AS dist
-         |       FROM codes c JOIN lut l ON l.cell = c.cell)
+         |       FROM codes c JOIN lut l ON l.cell = c.cell),
+         |sl AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM ad)
+         |WHERE rnk <= 40),
+         |rr AS (SELECT s.query_id, s.vec_id, ${duckSq.format("ev.v", "q.v")} AS dist
+         |       FROM sl s JOIN e ev ON ev.vec_id = s.vec_id
+         |       JOIN q ON q.query_id = s.query_id)
          |SELECT query_id, vec_id, dist, rnk FROM (
          |  SELECT query_id, vec_id, dist,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM ad)
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk FROM rr)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
   )
 

@@ -259,7 +259,11 @@ object Knn {
                         iters: Int = 3, k: Int = 20): DataFrame = {
     val e = corpus(s, d)
     val n = e.count()
-    val edges = Ann.hnswEdgesApprox(s, d, m)
+    // the PLAIN top-m slice of the approximate build's wide state —
+    // centrality is a k-NN-graph measure, so it reads the k-NN view,
+    // not the diversity-pruned SERVING adjacency (see
+    // [[graft.operators.Ann.hnswEdgesApproxTopM]])
+    val edges = Ann.hnswEdgesApproxTopM(s, d, m)
       .filter(col("level") === 0)
       .select(col("src"), col("dst"))
     pagerankRanksFrom(edges, e.select(col("vec_id").as("id")), n, iters)

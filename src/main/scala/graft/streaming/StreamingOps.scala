@@ -372,6 +372,14 @@ object StreamingOps {
     *   ...; maint.current             // the maintained index
     * }}}
     *
+    * The folded STATE is the wide plain top-(DiversityWiden·m) form
+    * every incremental operator maintains (see
+    * [[graft.operators.Ann.DiversityWiden]] — a diversity-pruned state
+    * would discard candidates a later arrival could make diverse
+    * again); `current` presents it through the declared
+    * diversity-selected adjacency ([[graft.operators.Ann.hnswIndexView]]),
+    * and `currentState` exposes the raw wide state for composition.
+    *
     * Each fold eagerly checkpoints the new index state, truncating
     * lineage so batch N+1 plans against a materialized table, not the
     * whole fold history — the same bounded-plan discipline as the
@@ -391,7 +399,8 @@ object StreamingOps {
         state = graft.operators.Ann.hnswFoldBatch(s, d, state, ids, m)
           .localCheckpoint()
     }
-    def current: DataFrame = state
+    def current: DataFrame = graft.operators.Ann.hnswIndexView(s, d, state, m)
+    def currentState: DataFrame = state
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

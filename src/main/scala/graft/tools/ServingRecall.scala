@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
   * Exact ground truth is one broadcast-queries × corpus scan (nq·n
   * pairs), the same shape as annRecallReport's exact arm.
   *
-  * Usage: runMain graft.tools.ServingRecall [sfDir] [nq] [k] [beam] [arms]
-  * `arms`: comma list of exact,approx (default both — note the exact
-  * arm needs the exact m-NN index, whose block build is ~50 min at
-  * sf10; pass `approx` alone at scales where only the approximate
-  * build is affordable, which is the whole point of that path).
+  * Usage: runMain graft.tools.ServingRecall [sfDir] [nq] [k] [beam]
+  * [arms] [rounds]
+  * `arms`: comma list of exact,approx,ivf,ivfk,sq8,bq,pq,ivfpq,lsh
+  * (default exact,approx — note the exact arm needs the exact m-NN
+  * index, whose block build is ~50 min at sf10; pass `approx` alone
+  * at scales where only the approximate build is affordable, which is
+  * the whole point of that path). `rounds` is the walk's frontier
+  * round budget (default 3; only the exact/approx graph arms read it).
+  * Budget sweeps: `bq=N` grades bq with re-rank budget cand=N, and
+  * `pq=N` / `ivfpq=N` grade those arms with an ADC shortlist of N
+  * (e.g. `bq=50,bq=200,bq=1000` is the r13 task-6 sweep).
   */
 object ServingRecall {
   def main(args: Array[String]): Unit = {
@@ -87,6 +93,19 @@ object ServingRecall {
     if (arms("pq")) grade("pq")(Ann.annPqRaw(spark, d, nq, k))
     if (arms("ivfpq")) grade("ivfpq")(Ann.annIvfPqRaw(spark, d, nq, k))
     if (arms("lsh")) grade("lsh")(Ann.annLshRaw(spark, d, nq, k))
+    // budget sweeps: arm=N grades one arm at one candidate budget
+    arms.toSeq.sorted.foreach { a =>
+      if (a.startsWith("bq=")) {
+        val c = a.drop(3).toInt
+        grade(s"bq_cand$c")(Ann.annBqRaw(spark, d, nq, k, cand = c))
+      } else if (a.startsWith("pq=")) {
+        val c = a.drop(3).toInt
+        grade(s"pq_cand$c")(Ann.annPqRaw(spark, d, nq, k, cand = c))
+      } else if (a.startsWith("ivfpq=")) {
+        val c = a.drop(6).toInt
+        grade(s"ivfpq_cand$c")(Ann.annIvfPqRaw(spark, d, nq, k, cand = c))
+      }
+    }
     spark.stop()
   }
 }

@@ -58,6 +58,15 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
 
+  /** Per-row argmin over a small codebook column — `cents` is
+    * ARRAY<STRUCT<label INT|BIGINT, cvec ARRAY<DOUBLE>>>, result
+    * STRUCT<dist DOUBLE, label>. The map-only replacement for the
+    * `crossJoin(broadcast(cent)) → groupBy(vec_id).agg(min(struct))`
+    * assignment shape (bit-identical — see
+    * [[graft.functions.expressions.NearestCentroid]]). */
+  def argminCentroid(vec: Column, cents: Column): Column =
+    column(expressions.NearestCentroid(expression(vec), expression(cents)))
+
   /** L2 norm of an ARRAY<DOUBLE> column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -149,18 +149,21 @@ object Ann {
 
   /** IVF assignment: each vector → nearest label-centroid cell
     * (deterministic codebook from [[Similarity]]'s decimal centroids).
-    * The argmin is a partial-aggregating `min(struct(cdist, clabel))`
-    * — identical (dist, label) tie order to the old row_number window,
-    * but the n×|centroids| crossed rows combine MAP-SIDE and only n
-    * partial rows reach the exchange, vs the window's full crossed
-    * shuffle (|centroids|× the volume — the r13 verdict's plan note). */
+    * The argmin is the PER-ROW codegen'd
+    * [[graft.functions.expressions.NearestCentroid]] over the codebook
+    * folded into one broadcast array row — MAP-ONLY: zero exchanges,
+    * where the r13 `groupBy(vec_id).agg(min(struct))` form (itself the
+    * fix for the r12 window's |centroids|× crossed shuffle) still
+    * hash-partitioned the full corpus by vec_id. Identical (dist,
+    * label) values and tie order — see the expression's doc. */
   private def ivfAssignWith(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("clabel"),
-        squaredL2(col("embedding"), col("cvec")).as("cdist"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("cdist"), col("clabel"))).as("m"))
-      .select(col("vec_id"), col("m.clabel").as("cell"), col("m.cdist").as("cdist"))
+    e.crossJoin(broadcast(cent.agg(
+        sort_array(collect_list(struct(col("clabel"), col("cvec"))))
+          .as("cents"))))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.argminCentroid(
+          col("embedding"), col("cents")).as("m"))
+      .select(col("vec_id"), col("m.label").as("cell"), col("m.dist").as("cdist"))
 
   private def ivfAssignRaw(s: SparkSession, d: String): DataFrame =
     ivfAssignWith(Tables.embeddings(s, d), Similarity.centroids(s, d))

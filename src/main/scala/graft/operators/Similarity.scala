@@ -138,19 +138,29 @@ object Similarity {
     updateStats(assignTo(Tables.embeddings(s, d), centroids(s, d)))
       .orderBy(col("cluster"), col("pos"))
 
+  /** The codebook folded into ONE array-typed row for the per-row
+    * argmin expression — `collect_list` of the k (clabel, cvec) rows,
+    * sorted for a deterministic plan (ties resolve by label inside the
+    * expression, so the order is cosmetic). Broadcast by every caller:
+    * one k-row reduction, never corpus-scale. */
+  private def centArray(cent: DataFrame): DataFrame =
+    cent.agg(sort_array(collect_list(struct(col("clabel"), col("cvec"))))
+      .as("cents"))
+
   /** One Lloyd assignment step: each vector → argmin (dist, clabel)
-    * over the broadcast `cent` codebook, as a map-side partial
-    * `min(struct(...))` aggregate (the corpus shuffles once as
-    * 1-row-per-vec partials, never the ×k crossed rows). */
+    * over the broadcast codebook — evaluated PER ROW by the codegen'd
+    * [[graft.functions.expressions.NearestCentroid]], so the
+    * assignment is MAP-ONLY: no corpus-sized exchange at all, where
+    * the previous `groupBy(vec_id).agg(min(struct))` form shuffled the
+    * full corpus (embedding payload included) once per assignment.
+    * Bit-identical results (same strict-fold distance, same
+    * (dist, label) tie order — see the expression's doc). */
   private def assignTo(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("clabel"),
-        squaredL2(col("embedding"), col("cvec")).as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(
-        min(struct(col("dist"), col("clabel"))).as("m"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("m.clabel").as("cluster"),
+    e.crossJoin(broadcast(centArray(cent)))
+      .select(col("vec_id"),
+        argminCentroid(col("embedding"), col("cents")).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m.label").as("cluster"),
         col("m.dist").as("dist"), col("embedding"))
 
   /** Lloyd update step as exploded per-(cluster, pos) stats — the
@@ -257,16 +267,17 @@ object Similarity {
   }
 
   def nearestCentroid(s: SparkSession, d: String): DataFrame = {
+    // per-row codegen'd argmin over the broadcast codebook (the
+    // [[assignTo]] map-only shape) — this query previously shuffled
+    // the FULL n×k crossed rows through a row_number window, the last
+    // assignment site still paying a corpus-sized exchange; the
+    // argmin value and (dist, clabel) tie order are bit-identical
     val e = Tables.embeddings(s, d)
-    val cent = centroids(s, d)
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))
-    e.crossJoin(broadcast(cent))
-      .select(
-        col("vec_id"), col("label"), col("clabel"),
-        squaredL2(col("embedding"), col("cvec")).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("clabel").as("pred_label"), col("dist"))
+    e.crossJoin(broadcast(centArray(centroids(s, d))))
+      .select(col("vec_id"), col("label"),
+        argminCentroid(col("embedding"), col("cents")).as("m"))
+      .select(col("vec_id"), col("label"),
+        col("m.label").as("pred_label"), col("m.dist").as("dist"))
       .orderBy(col("vec_id"))
   }
 
@@ -379,14 +390,16 @@ object Similarity {
     val topStride = BigInt(c).pow(levels)
     val coarse = e.filter(col("vec_id") % lit(topStride.toLong) === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // level 0: corpus → coarsest cell (≤ cellSize-row broadcast)
-    var cur = e.crossJoin(broadcast(coarse))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        squaredL2(col("embedding"), col("cv")).as("cd"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("cd"), col("cid"))).as("m"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("m.cid").as("cell"))
+    // level 0: corpus → coarsest cell (≤ cellSize-row broadcast),
+    // per-row codegen'd argmin over the folded seed array — MAP-ONLY
+    // (the [[assignTo]] treatment: the previous groupBy(vec_id) argmin
+    // shuffled the corpus, embedding payload included, once per level)
+    var cur = e.crossJoin(broadcast(coarse
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+          .as("cents"))))
+      .select(col("vec_id"), col("embedding"),
+        argminCentroid(col("embedding"), col("cents")).as("m"))
+      .select(col("vec_id"), col("embedding"), col("m.label").as("cell"))
     // levels > 2 only (beyond every gated scale): per-level
     // checkpoints are freed after the FINAL assignment materializes —
     // the Ann build's track/freeBuildState treatment — so repeated
@@ -399,17 +412,24 @@ object Similarity {
       val stride = BigInt(c).pow(levels - l).toLong
       val base = if (levels > 2) { val b = cur.localCheckpoint(false)
         bases += b; b } else cur
-      val seeds = base.filter(col("vec_id") % stride === 0)
+      // the cell's seed list folded to ONE array row per pcell (a
+      // seed-table-sized aggregate, ≤ ~cellSize entries per cell by the
+      // stride construction), then the per-row codegen'd argmin: the
+      // refine level keeps its pcell equi-join (broadcast when the seed
+      // table is small, shuffle when not — as before) but no longer
+      // pays the corpus-sized groupBy(vec_id) exchange afterwards.
+      // Bit-identical: same strict-fold distances, same (fd, fid) ties.
+      val seedArr = base.filter(col("vec_id") % stride === 0)
         .select(col("cell").as("pcell"), col("vec_id").as("fid"),
           col("embedding").as("fv"))
+        .groupBy(col("pcell"))
+        .agg(sort_array(collect_list(struct(col("fid"), col("fv"))))
+          .as("cents"))
       cur = base.withColumnRenamed("cell", "pcell")
-        .join(seeds, "pcell")
-        .select(col("vec_id"), col("embedding"), col("fid"),
-          squaredL2(col("embedding"), col("fv")).as("fd"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("fd"), col("fid"))).as("m"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("embedding"), col("m.fid").as("cell"))
+        .join(seedArr, "pcell")
+        .select(col("vec_id"), col("embedding"),
+          argminCentroid(col("embedding"), col("cents")).as("m"))
+        .select(col("vec_id"), col("embedding"), col("m.label").as("cell"))
     }
     if (bases.nonEmpty) {
       // materialize the final assignment BEFORE freeing its lineage

@@ -79,7 +79,8 @@ object StreamingOps {
     * memory sink; returns the final table. Decimal accumulation makes
     * the result identical to the batch oracle regardless of batch
     * boundaries or arrival order. */
-  def streamingHourly(s: SparkSession, d: String): DataFrame = {
+  def streamingHourly(s: SparkSession, d: String): DataFrame =
+      withFeedShards(s, d, "events") {
     val src = tableStream(s, d, "events")
       .transform(graft.Tables.normalizeTs)
     val agg = src
@@ -175,7 +176,8 @@ object StreamingOps {
     * each user's final (still-open) session. That subset is exactly
     * expressible in batch SQL, which makes the stateful
     * `flatMapGroupsWithState` path hash-oracle-checkable. */
-  def streamingSessionizeQuery(s: SparkSession, d: String): DataFrame = {
+  def streamingSessionizeQuery(s: SparkSession, d: String): DataFrame =
+      withFeedShards(s, d, "events") {
     val src = tableStream(s, d, "events")
       .transform(graft.Tables.normalizeTs)
     val name = freshSink(s, "stream_sess")
@@ -209,7 +211,8 @@ object StreamingOps {
     * watermark (max event time − delay) has passed — are emitted.
     * That subset is exactly expressible in batch SQL, which puts the
     * watermark semantics themselves under the hash gate. */
-  def streamingLateHourlyQuery(s: SparkSession, d: String): DataFrame = {
+  def streamingLateHourlyQuery(s: SparkSession, d: String): DataFrame =
+      withFeedShards(s, d, "events") {
     val src = tableStream(s, d, "events")
       .transform(graft.Tables.normalizeTs)
     val name = freshSink(s, "stream_late")
@@ -233,7 +236,8 @@ object StreamingOps {
     * event type. Stateless join + low-cardinality aggregate; decimal
     * accumulation makes the final table batch-identical regardless of
     * batch boundaries. */
-  def streamingEnrichQuery(s: SparkSession, d: String): DataFrame = {
+  def streamingEnrichQuery(s: SparkSession, d: String): DataFrame =
+      withFeedShards(s, d, "events") {
     val src = tableStream(s, d, "events")
     val dim = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("user_id"))
@@ -291,17 +295,28 @@ object StreamingOps {
     math.min(bySize, cap.toLong).toInt
   }
 
-  def streamingJoinQuery(s: SparkSession, d: String): DataFrame = {
-    // scoped: state partitioning is fixed at the first batch from
-    // spark.sql.shuffle.partitions, so set it for THIS query's fresh
-    // checkpoint and restore after — results are shard-count invariant
-    // (the oracle pins them), only the per-shard commit tax changes
+  /** Scoped feed-sized state sharding: state partitioning is fixed at
+    * the first batch from `spark.sql.shuffle.partitions`, so set it
+    * for THIS query's fresh checkpoint and restore after — results are
+    * shard-count invariant (the oracle pins them), only the per-shard
+    * commit tax changes. r14: generalized from `streaming_join` to
+    * EVERY stateful streaming query — each state shard costs store
+    * commits per micro-batch (file IO) regardless of how little state
+    * it holds, so a session-parallelism shard count (32 here) taxes a
+    * small feed ~4× the work the query itself does; the feed-derived
+    * count keeps the cap authoritative at cluster scale (guide §2:
+    * scale-adaptive partitioning, not a local-mode constant). */
+  private def withFeedShards[T](s: SparkSession, d: String,
+                                table: String)(body: => T): T = {
     val shuffleKey = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(shuffleKey)
-    s.conf.set(shuffleKey, stateShards(s, d, "events").toString)
-    try streamingJoinQueryInner(s, d)
+    s.conf.set(shuffleKey, stateShards(s, d, table).toString)
+    try body
     finally s.conf.set(shuffleKey, prev)
   }
+
+  def streamingJoinQuery(s: SparkSession, d: String): DataFrame =
+    withFeedShards(s, d, "events") { streamingJoinQueryInner(s, d) }
 
   private def streamingJoinQueryInner(s: SparkSession, d: String): DataFrame = {
     val src = tableStream(s, d, "events")
@@ -340,7 +355,8 @@ object StreamingOps {
     * keys); an unbounded production feed bounds it with
     * `dropDuplicatesWithinWatermark` (same plan + a ts watermark,
     * dedup guaranteed only within the lateness horizon). */
-  def streamingDedupQuery(s: SparkSession, d: String): DataFrame = {
+  def streamingDedupQuery(s: SparkSession, d: String): DataFrame =
+      withFeedShards(s, d, "documents") {
     val src = tableStream(s, d, "documents")
     val name = freshSink(s, "stream_dedup")
     val q = src

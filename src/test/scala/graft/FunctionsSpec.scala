@@ -257,6 +257,67 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sh.isNullAt(0), s"null element hash did not null the simhash: $sh")
   }
 
+  test("nearest_centroid ≡ crossJoin+min(struct) aggregate, both execution paths") {
+    import graft.functions.VectorFunctions.{argminCentroid, squaredL2}
+    val d = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, d)
+    val cent = graft.operators.Similarity.centroids(spark, d)
+    // the retired aggregate form — the semantics the expression must
+    // reproduce bitwise (same strict-fold distance, same (dist, label)
+    // lexicographic tie order)
+    val agg = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("clabel"),
+        squaredL2(col("embedding"), col("cvec")).as("cdist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cdist"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("m.clabel").as("cell"), col("m.cdist").as("cdist"))
+    val expr = e.crossJoin(broadcast(cent.agg(
+        sort_array(collect_list(struct(col("clabel"), col("cvec")))).as("cents"))))
+      .select(col("vec_id"),
+        argminCentroid(col("embedding"), col("cents")).as("m"))
+      .select(col("vec_id"), col("m.label").as("cell"), col("m.dist").as("cdist"))
+    // bitwise: join on vec_id and require identical (cell, dist) — a
+    // plain exceptAll would mask a double that differs in the last ulp
+    val diff = agg.as("a").join(expr.as("b"), "vec_id")
+      .filter(col("a.cell") =!= col("b.cell") ||
+        col("a.cdist") =!= col("b.cdist")).count()
+    assert(diff == 0L, s"$diff vec_ids diverge from the aggregate form")
+    assert(expr.count() == e.count())
+    // tie-break: two centroids at identical distance -> smaller label
+    // wins, exactly min(struct)'s order. INT labels (the fixture type).
+    val tie = spark.sql(
+      """SELECT array(0.0D, 0.0D) AS v,
+        |  array(named_struct('l', 7, 'c', array(1.0D, 0.0D)),
+        |        named_struct('l', 3, 'c', array(0.0D, 1.0D)),
+        |        named_struct('l', 5, 'c', array(3.0D, 4.0D))) AS cents""".stripMargin)
+      .select(argminCentroid(col("v"), col("cents")).as("m")).head()
+    assert(tie.getStruct(0).getDouble(0) == 1.0 &&
+      tie.getStruct(0).getInt(1) == 3, s"tie-break diverged: $tie")
+    // BIGINT labels (the semantic-cells seed ids)
+    val lt = spark.sql(
+      """SELECT array(0.0D) AS v,
+        |  array(named_struct('l', CAST(9 AS BIGINT), 'c', array(2.0D)),
+        |        named_struct('l', CAST(4 AS BIGINT), 'c', array(5.0D))) AS cents""".stripMargin)
+      .select(argminCentroid(col("v"), col("cents")).as("m")).head()
+    assert(lt.getStruct(0).getDouble(0) == 4.0 && lt.getStruct(0).getLong(1) == 9L)
+    // null vector / empty codebook / length mismatch -> null result
+    val edge = spark.sql(
+      """SELECT CAST(NULL AS ARRAY<DOUBLE>) AS nv, array(1.0D) AS v,
+        |  array(named_struct('l', 1, 'c', array(1.0D))) AS ok,
+        |  array(named_struct('l', 1, 'c', array(1.0D, 2.0D))) AS mismatch,
+        |  CAST(array() AS ARRAY<STRUCT<l: INT, c: ARRAY<DOUBLE>>>) AS empty""".stripMargin)
+      .select(argminCentroid(col("nv"), col("ok")).as("a"),
+        argminCentroid(col("v"), col("mismatch")).as("b"),
+        argminCentroid(col("v"), col("empty")).as("c")).head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2), s"$edge")
+    // interpreted path (constant folding runs eval on the driver)
+    val lit1 = spark.range(1).select(argminCentroid(
+      array(lit(0.0)),
+      array(struct(lit(2).as("l"), array(lit(3.0)).as("c")),
+        struct(lit(1).as("l"), array(lit(10.0)).as("c")))).as("m")).head()
+    assert(lit1.getStruct(0).getDouble(0) == 9.0 && lit1.getStruct(0).getInt(1) == 2)
+  }
+
   test("Tables.normalizeTs folds every fixture vintage to the same µs timestamps") {
     // every events consumer (batch + streaming) routes through this
     // helper; the driver fixtures have switched physical type once

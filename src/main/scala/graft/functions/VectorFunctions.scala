@@ -67,6 +67,23 @@ object VectorFunctions {
   def argminCentroid(vec: Column, cents: Column): Column =
     column(expressions.NearestCentroid(expression(vec), expression(cents)))
 
+  /** All PQ sub-codes of one vector in one map-only pass — `cb` is the
+    * flattened (sub, code, cw) codebook sorted by (sub, code); see
+    * [[graft.functions.expressions.PqEncode]]. */
+  def pqEncode(vec: Column, cb: Column, subs: Int, subDim: Int): Column =
+    column(expressions.PqEncode(expression(vec), expression(cb), subs, subDim))
+
+  /** ADC lookup sum Σ_s lut[s·k + codes[s]] — the codegen'd form of the
+    * interpreted `aggregate(sequence(...))` fold; see
+    * [[graft.functions.expressions.AdcDist]]. */
+  def adcDist(codes: Column, lut: Column, k: Int): Column =
+    column(expressions.AdcDist(expression(codes), expression(lut), k))
+
+  /** Packed sign bits of elements lo..hi (1-based, inclusive); see
+    * [[graft.functions.expressions.SignBits]]. */
+  def signBits(vec: Column, lo: Int, hi: Int): Column =
+    column(expressions.SignBits(expression(vec), lo, hi))
+
   /** L2 norm of an ARRAY<DOUBLE> column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -2884,12 +2884,15 @@ object Ann {
     * whose Hamming distance approximates angular distance on
     * centered data. Map-only. */
   def bqCodes(s: SparkSession, d: String): DataFrame = {
-    def half(lo: Int, hi: Int) = expr(
-      s"""aggregate(sequence($lo, $hi), 0L,
-         |  (acc, i) -> acc * 2L + CASE WHEN element_at(embedding, i) > 0D
-         |                              THEN 1L ELSE 0L END)""".stripMargin)
+    // codegen'd sign-bit packing (bit-identical to the retired
+    // `aggregate(sequence(...))` HOF, whose interpreted per-element
+    // lambda ran over every corpus row — guide step 4: no non-codegen
+    // expressions in per-row hot paths; [[SignBits]] states the exact
+    // HOF it replaces, null semantics included)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), half(1, 32).as("b0"), half(33, 64).as("b1"))
+      .select(col("vec_id"),
+        signBits(col("embedding"), 1, 32).as("b0"),
+        signBits(col("embedding"), 33, 64).as("b1"))
       .orderBy(col("vec_id"))
   }
 
@@ -2981,21 +2984,24 @@ object Ann {
     * per-row (map-only), the codebook broadcasts, and the argmin is a
     * map-side partial `min(struct(cd, code))` — the corpus shuffles
     * once as (vec_id, sub) partials, never the crossed ×16 rows. */
+  /** The flattened PQ codebook as ONE broadcastable array row, sorted
+    * (sub, code) — the input shape [[graft.functions.expressions
+    * .PqEncode]] requires. subs·k rows reduced once; never corpus-scale. */
+  private def pqCodebookArray(cb: DataFrame): DataFrame =
+    cb.agg(sort_array(collect_list(
+      struct(col("sub"), col("code"), col("cw")))).as("cbarr"))
+
   private def pqCodesRaw(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val cb = pqCodebook(s, d)
-    val subs = (0 until PqSubs).map { sub =>
-      struct(lit(sub).as("sub"),
-        slice(col("embedding"), sub * PqSubDim + 1, PqSubDim).as("sv"))
-    }
-    val sv = e.select(col("vec_id"), explode(array(subs: _*)).as("sc"))
-      .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.sv").as("sv"))
-    sv.join(broadcast(cb), "sub")
-      .select(col("vec_id"), col("sub"), col("code"),
-        squaredL2(col("sv"), col("cw")).as("cd"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("cd"), col("code"))).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+    // all 8 sub-codes per row in one codegen'd pass over the broadcast
+    // codebook ([[PqEncode]]) — MAP-ONLY, where the explode ⨯ cb join →
+    // groupBy(vec_id, sub) argmin shuffled the corpus (×8 sub rows)
+    // once; bit-identical codes (same strict-fold subdistances, same
+    // (cd, code) tie order), so the oracle SQL is untouched
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(pqCodebookArray(pqCodebook(s, d))))
+      .select(col("vec_id"),
+        posexplode(pqEncode(col("embedding"), col("cbarr"), PqSubs, PqSubDim))
+          .as(Seq("sub", "code")))
   }
 
   def pqCodes(s: SparkSession, d: String): DataFrame =
@@ -3052,10 +3058,13 @@ object Ann {
     val shortlistK = if (cand > 0) cand else PqRerankWiden * k
     val e = Tables.embeddings(s, d)
     val cb = pqCodebook(s, d)
-    val codes = pqCodesRaw(s, d).groupBy(col("vec_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code")))),
-        x => x.getField("code")).as("codes"))
+    // codes array straight from the codegen'd per-row encoder — the
+    // previous shape re-aggregated pqCodesRaw's exploded rows with a
+    // SECOND corpus exchange (collect_list by vec_id) just to get the
+    // array back; [[PqEncode]] emits it map-only and bit-identically
+    val codes = e.crossJoin(broadcast(pqCodebookArray(cb)))
+      .select(col("vec_id"),
+        pqEncode(col("embedding"), col("cbarr"), PqSubs, PqSubDim).as("codes"))
     val qsubs = (0 until PqSubs).map { sub =>
       struct(lit(sub).as("sub"),
         slice(col("embedding"), sub * PqSubDim + 1, PqSubDim).as("qsv"))
@@ -3072,11 +3081,11 @@ object Ann {
         array_sort(collect_list(struct(col("sub"), col("code"), col("ld")))),
         x => x.getField("ld")).as("lut"))
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    // codegen'd ADC fold ([[AdcDist]]) — this is the per-(corpus row ×
+    // query) hot loop of the scan, previously an interpreted
+    // `aggregate(sequence(...))` lambda with boxed element_at reads
     val shortlist = codes.crossJoin(broadcast(lut))
-      .withColumn("dist", expr(
-        s"""aggregate(sequence(1, $PqSubs), 0D, (acc, s) ->
-           |  acc + element_at(lut,
-           |    (CAST(s AS INT) - 1) * $PqK + element_at(codes, CAST(s AS INT)) + 1))""".stripMargin))
+      .withColumn("dist", adcDist(col("codes"), col("lut"), PqK))
       .select(col("query_id"), col("vec_id"), col("dist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= shortlistK)
@@ -3125,23 +3134,15 @@ object Ann {
     val cb = resid.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast("int").as("code"), explode(array(cbSubs: _*)).as("sc"))
       .select(col("sc.sub").as("sub"), col("code"), col("sc.cw").as("cw"))
-    // per-vector residual codes: argmin (subdist, code) per subspace,
-    // map-side partial min — the corpus shuffles once as (vec, sub)
-    val svSubs = (0 until PqSubs).map { sub =>
-      struct(lit(sub).as("sub"), slice(col("rv"), sub * PqSubDim + 1, PqSubDim).as("sv"))
-    }
+    // per-vector residual codes in one codegen'd map pass
+    // ([[PqEncode]] over the broadcast residual codebook) — the
+    // previous shape shuffled the corpus TWICE (argmin groupBy per
+    // (vec, cell, sub), then a collect_list groupBy to re-assemble the
+    // codes array); bit-identical codes, so the oracle is untouched
     val codes = resid
-      .select(col("vec_id"), col("cell"), explode(array(svSubs: _*)).as("sc"))
-      .select(col("vec_id"), col("cell"), col("sc.sub").as("sub"), col("sc.sv").as("sv"))
-      .join(broadcast(cb), "sub")
-      .select(col("vec_id"), col("cell"), col("sub"), col("code"),
-        squaredL2(col("sv"), col("cw")).as("cd"))
-      .groupBy(col("vec_id"), col("cell"), col("sub"))
-      .agg(min(struct(col("cd"), col("code"))).as("m"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("m.code").as("code")))),
-        x => x.getField("code")).as("codes"))
+      .crossJoin(broadcast(pqCodebookArray(cb)))
+      .select(col("vec_id"), col("cell"),
+        pqEncode(col("rv"), col("cbarr"), PqSubs, PqSubDim).as("codes"))
     // nprobe nearest cells per query, query residual per probed cell
     val q = e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -3171,11 +3172,9 @@ object Ann {
     // the top-(PqRerankWiden·k) shortlist is then verified with exact
     // distances (the faiss IVFPQ re-rank stage — see [[pqExactRerank]])
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    // codegen'd ADC fold ([[AdcDist]]) — see [[annPqRaw]]'s note
     val shortlist = codes.join(broadcast(lut), Seq("cell"))
-      .withColumn("dist", expr(
-        s"""aggregate(sequence(1, $PqSubs), 0D, (acc, s) ->
-           |  acc + element_at(lut,
-           |    (CAST(s AS INT) - 1) * $PqK + element_at(codes, CAST(s AS INT)) + 1))""".stripMargin))
+      .withColumn("dist", adcDist(col("codes"), col("lut"), PqK))
       .select(col("query_id"), col("vec_id"), col("dist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= shortlistK)
@@ -3205,40 +3204,32 @@ object Ann {
     * one double expression mirrored exactly by the oracle's unroll. */
   def mmrRerank(s: SparkSession, d: String, nq: Int = 10, k: Int = 10,
                 cand: Int = 30, mu: Double = 0.5): DataFrame = {
+    // r14: the k-round greedy recurrence runs as ONE expression eval
+    // per query group ([[graft.functions.expressions.MmrSelect]] — the
+    // [[diversityView]] greedy-scan treatment applied to MMR) instead
+    // of k−1 rounds of {anti-join, penalty join + min aggregate,
+    // argmin aggregate} over query-sized tables — ~30 operators, 9
+    // sequential plan roots and their lazy checkpoints, all moving ≤
+    // nq·cand rows per round with a full scheduling round-trip each.
+    // Bit-identical selection (the expression doc gives the argument:
+    // same strict-fold pairwise distances, same IEEE min over selected,
+    // same (score, id) tie order), so the unrolled-SQL oracle is
+    // untouched. Plan: exact top-cand scan (the corpus-sized stage,
+    // unchanged) → broadcast shortlist back onto the corpus scan for
+    // vectors → one query-count-sized collect_list group → map.
     val e = Tables.embeddings(s, d)
     val base = graft.plans.KnnJoin.exact(e, e.filter(col("vec_id") < nq), cand)
       .select(col("query_id"), col("vec_id"), col("dist"))
-      .localCheckpoint(eager = false)
-    val vecs = e.select(col("vec_id"), col("embedding"))
-    val withV = vecs.join(broadcast(base.select(col("query_id"), col("vec_id"))), "vec_id")
-    val pd = withV.as("a").join(broadcast(withV.as("b")),
-        col("a.query_id") === col("b.query_id") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.query_id").as("query_id"), col("a.vec_id").as("i"),
-        col("b.vec_id").as("j"),
-        squaredL2(col("a.embedding"), col("b.embedding")).as("pd"))
-      .localCheckpoint(eager = false)
-    var selected = base.groupBy(col("query_id"))
-      .agg(min(struct(col("dist"), col("vec_id"))).as("m"))
-      .select(col("query_id"), col("m.vec_id").as("vec_id"), lit(1).as("rnk"))
-      .localCheckpoint(eager = false)
-    var r = 2
-    while (r <= k) {
-      val sel = selected.select(col("query_id"), col("vec_id"))
-      val remaining = base.join(sel, Seq("query_id", "vec_id"), "left_anti")
-      val pen = pd.join(broadcast(sel.withColumnRenamed("vec_id", "j")), Seq("query_id", "j"))
-        .groupBy(col("query_id"), col("i")).agg(min(col("pd")).as("minpd"))
-      val pick = remaining
-        .join(pen.withColumnRenamed("i", "vec_id"), Seq("query_id", "vec_id"))
-        .select(col("query_id"), col("vec_id"),
-          (col("dist") - lit(mu) * col("minpd")).as("score"))
-        .groupBy(col("query_id"))
-        .agg(min(struct(col("score"), col("vec_id"))).as("m"))
-        .select(col("query_id"), col("m.vec_id").as("vec_id"), lit(r).as("rnk"))
-      selected = selected.unionByName(pick).localCheckpoint(eager = false)
-      r += 1
-    }
-    selected.orderBy(col("query_id"), col("rnk"))
+    val withV = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(base), "vec_id")
+    val sel = SqlBridge.column(graft.functions.expressions.MmrSelect(
+      SqlBridge.expression(sort_array(collect_list(
+        struct(col("dist"), col("vec_id"), col("embedding"))))), k, mu))
+    withV.groupBy(col("query_id"))
+      .agg(sel.as("sel"))
+      .select(col("query_id"), posexplode(col("sel")).as(Seq("pos", "vec_id")))
+      .select(col("query_id"), col("vec_id"), (col("pos") + lit(1)).as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Arm names of the recall report, alphabetical (= output order);

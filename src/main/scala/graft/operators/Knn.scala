@@ -182,32 +182,45 @@ object Knn {
     * is pluggable because both tables share the m-NN schema, which is
     * the composition the operator docs promise. */
   private def pagerankRanksFrom(edges0: DataFrame, ids: DataFrame,
-                                n: Long, iters: Int): DataFrame = {
+                                n: Long, iters: Int,
+                                odConst: Option[Long] = None): DataFrame = {
     val Scale = 1000000000000L
     val tele = 15L * Scale / (100L * n)
-    // Each node's contribution divides by its ACTUAL out-degree, not
-    // the structural min(m, n−1): the exact m-NN graph has exactly
-    // min(m, n−1) out-edges per node, so the gate-oracled arm is
-    // value-identical to the constant-divisor form (the oracle keeps
-    // its constant) — but the approximate adjacency can ship short
-    // lists (sampled recall ~0.90 after a capture-floor escalation),
-    // and a constant divisor silently drops rank mass there. One
-    // O(E) count + equi-join, folded into the per-iteration
-    // checkpoint the recurrence already pays for.
+    // Each node's contribution divides by its out-degree. On the EXACT
+    // m-NN graph that degree is STRUCTURALLY min(m, n−1) — every node
+    // has exactly that many out-edges by construction, which is also
+    // the constant the oracle divides by — so the gate-oracled arm
+    // passes `odConst` and skips the O(E) degree count + equi-join +
+    // its eager checkpoint entirely (r14: one E-sized exchange and one
+    // materialization removed per centrality call, value-identical).
+    // The approximate adjacency can ship short lists (sampled recall
+    // ~0.90 after a capture-floor escalation), where a constant
+    // divisor silently drops rank mass — that arm keeps the measured
+    // out-degree join.
     val base = edges0.localCheckpoint()
-    val edges = base
-      .join(base.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
-      .localCheckpoint()
-    // base is dead once the od-joined table materializes (the line
-    // above is an EAGER checkpoint) — free its blocks instead of
-    // leaking an E-sized table per centrality call. The same
-    // discipline holds THROUGH the loop: each round's rank checkpoint
-    // only needs `edges` and its predecessor, so the predecessor frees
-    // as soon as its successor materializes, and the E-sized edge
-    // table frees after the last round — a call leaves ONE n-row rank
-    // table (the deliverable the caller reads) instead of the od-join
-    // plus `iters` intermediates. Failure path frees everything.
-    Ann.freeBuildState(base)
+    val edges = odConst match {
+      case Some(od) => base.withColumn("od", lit(od))
+      case None =>
+        val j = base
+          .join(base.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
+          .localCheckpoint()
+        // base is dead once the od-joined table materializes (the line
+        // above is an EAGER checkpoint) — free its blocks instead of
+        // leaking an E-sized table per centrality call. The same
+        // discipline holds THROUGH the loop: each round's rank
+        // checkpoint only needs `edges` and its predecessor, so the
+        // predecessor frees as soon as its successor materializes, and
+        // the E-sized edge table frees after the last round — a call
+        // leaves ONE n-row rank table (the deliverable the caller
+        // reads) instead of the od-join plus `iters` intermediates.
+        // Failure path frees everything.
+        Ann.freeBuildState(base)
+        j
+    }
+    // the E-sized checkpoint this call owns and must free at the end:
+    // `edges` itself when the od-join re-checkpointed, the raw `base`
+    // when odConst made edges a mere projection of it
+    val edgesOwned = if (odConst.isDefined) base else edges
     var pr = ids.select(col("id"), lit(Scale / n).as("pr"))
     var prevCkpt: DataFrame = null
     try {
@@ -225,10 +238,10 @@ object Knn {
     } catch {
       case t: Throwable =>
         if (prevCkpt != null) Ann.freeBuildState(prevCkpt)
-        Ann.freeBuildState(edges)
+        Ann.freeBuildState(edgesOwned)
         throw t
     }
-    Ann.freeBuildState(edges)
+    Ann.freeBuildState(edgesOwned)
     pr.select(col("id").as("vec_id"), col("pr"))
   }
 
@@ -238,7 +251,10 @@ object Knn {
     val n = e.count()
     val edges = BlockKnnJoin.knnGraph(s, e, m)
       .select(col("query_id").as("src"), col("vec_id").as("dst"))
-    pagerankRanksFrom(edges, e.select(col("vec_id").as("id")), n, iters)
+    // exact arm: out-degree is structurally min(m, n−1) — pass the
+    // constant, skip the O(E) degree join (see pagerankRanksFrom)
+    pagerankRanksFrom(edges, e.select(col("vec_id").as("id")), n, iters,
+      odConst = Some(math.min(m.toLong, n - 1)))
   }
 
   /** The composed SCALE-PATH centrality: the identical scaled-integer

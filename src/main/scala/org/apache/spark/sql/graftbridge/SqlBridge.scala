@@ -26,6 +26,15 @@ object SqlBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Unload every registered streaming state-store provider on this
+    * JVM (`StateStore.unloadAll` is `private[sql]`). A terminated
+    * streaming query's providers otherwise stay loaded until the 60 s
+    * maintenance pass notices they are inactive, and the accumulated
+    * set measurably throttles the next stateful query — see
+    * [[graft.streaming.StreamingOps]]'s caller-owned-state note. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** Idempotently add a planner strategy to a live session (the
     * builder-time route is `SparkSessionExtensions.injectPlannerStrategy`
     * in [[graft.GraftExtensions]]). */

@@ -51,4 +51,24 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
+
+  /** Scale-adaptive parallelism floor for MAP-ONLY pipelines rooted at
+    * a small scan. The r14 map-only assignment/encode stages removed
+    * their corpus-sized exchanges — correct at warehouse scale, where
+    * scan parallelism comes from thousands of input splits — but on a
+    * small fixture the whole corpus is 1–2 parquet splits (sf0.1: 1,
+    * sf1: 2 at the default 128 MB split size), so everything downstream
+    * of the scan ran near-serial: measured kmeans_iter 5.0 → 11.0 s at
+    * sf1 after the exchange removal. The floor repartitions ONLY when
+    * the scan has fewer splits than the session's parallelism — a
+    * data-volume condition that is FALSE at production scale (more
+    * splits than cores), so the exchange this helper adds exists
+    * exactly where it is trivially cheap (the corpus fits in a few
+    * splits) and vanishes where it would be corpus-sized. Row set is
+    * unchanged (round-robin placement only; Spark's
+    * sort-before-repartition keeps the assignment deterministic). */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

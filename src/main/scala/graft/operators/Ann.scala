@@ -157,7 +157,7 @@ object Ann {
     * hash-partitioned the full corpus by vec_id. Identical (dist,
     * label) values and tie order — see the expression's doc. */
   private def ivfAssignWith(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent.agg(
+    Tables.spread(e.sparkSession, e).crossJoin(broadcast(cent.agg(
         sort_array(collect_list(struct(col("clabel"), col("cvec"))))
           .as("cents"))))
       .select(col("vec_id"),
@@ -1325,6 +1325,26 @@ object Ann {
     s.conf.set(thresholdKey, topMFallbackThreshold(
       Runtime.getRuntime.maxMemory,
       s.sparkContext.defaultParallelism).toString)
+    // AQE is disabled for the build's eager scope (same set/restore
+    // discipline as the threshold above): at the 10× sf1 point — first
+    // executed on the r14 wide-state build — the finger-seed
+    // self-join's two sides finalize under AQE with DIFFERENT
+    // partition counts and the SortMergeJoin dies constructing its
+    // output PartitioningCollection ("requires all of its
+    // partitionings have the same numPartitions"), taking down
+    // hnsw_edges_approx and every consumer that builds the approx
+    // store (hnsw_search_approx, ann_recall_report). Reproduced
+    // deterministically at sf1; disabling only
+    // adaptive.coalescePartitions did NOT clear it, so the whole
+    // feature is scoped off for the build — whose stages are already
+    // hand-shaped (explicit repartition by vec_id, bounded map-side
+    // heaps, slim exchanges), so AQE had nothing load-bearing to do
+    // here. AQE-off the build completes (636,248 edges at sf1); rows
+    // are execution-plan-invariant so gate hashes are untouched. The
+    // session outside the build scope keeps AQE on.
+    val coalesceKey = "spark.sql.adaptive.enabled"
+    val prevCoalesce = s.conf.getOption(coalesceKey)
+    s.conf.set(coalesceKey, "false")
     // the plan call itself runs eager jobs (measuredKeyDims,
     // sampledExactPairs, measuredCapture, escalated NND rounds), so it
     // sits INSIDE the try: a failure mid-build must still restore the
@@ -1345,6 +1365,10 @@ object Ann {
       prevThreshold match {
         case Some(v) => s.conf.set(thresholdKey, v)
         case None    => s.conf.unset(thresholdKey)
+      }
+      prevCoalesce match {
+        case Some(v) => s.conf.set(coalesceKey, v)
+        case None    => s.conf.unset(coalesceKey)
       }
       track.foreach(freeBuildState)
     }
@@ -2889,7 +2913,7 @@ object Ann {
     // lambda ran over every corpus row — guide step 4: no non-codegen
     // expressions in per-row hot paths; [[SignBits]] states the exact
     // HOF it replaces, null semantics included)
-    Tables.embeddings(s, d)
+    Tables.spread(s, Tables.embeddings(s, d))
       .select(col("vec_id"),
         signBits(col("embedding"), 1, 32).as("b0"),
         signBits(col("embedding"), 33, 64).as("b1"))
@@ -2997,7 +3021,7 @@ object Ann {
     // groupBy(vec_id, sub) argmin shuffled the corpus (×8 sub rows)
     // once; bit-identical codes (same strict-fold subdistances, same
     // (cd, code) tie order), so the oracle SQL is untouched
-    Tables.embeddings(s, d)
+    Tables.spread(s, Tables.embeddings(s, d))
       .crossJoin(broadcast(pqCodebookArray(pqCodebook(s, d))))
       .select(col("vec_id"),
         posexplode(pqEncode(col("embedding"), col("cbarr"), PqSubs, PqSubDim))
@@ -3062,7 +3086,7 @@ object Ann {
     // previous shape re-aggregated pqCodesRaw's exploded rows with a
     // SECOND corpus exchange (collect_list by vec_id) just to get the
     // array back; [[PqEncode]] emits it map-only and bit-identically
-    val codes = e.crossJoin(broadcast(pqCodebookArray(cb)))
+    val codes = Tables.spread(s, e).crossJoin(broadcast(pqCodebookArray(cb)))
       .select(col("vec_id"),
         pqEncode(col("embedding"), col("cbarr"), PqSubs, PqSubDim).as("codes"))
     val qsubs = (0 until PqSubs).map { sub =>
@@ -3123,7 +3147,8 @@ object Ann {
     val cent = Similarity.centroids(s, d)
     val cellVec = cent.select(col("clabel").as("cell"), col("cvec"))
     // residuals: v − centroid(cell(v)) — one broadcast assign + zip_with
-    val resid = e.join(ivfAssignWith(e, cent).select(col("vec_id"), col("cell")), "vec_id")
+    val resid = Tables.spread(s, e)
+      .join(ivfAssignWith(e, cent).select(col("vec_id"), col("cell")), "vec_id")
       .join(broadcast(cellVec), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding"), col("cvec"), (a, b) => a - b).as("rv"))

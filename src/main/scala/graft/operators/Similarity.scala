@@ -156,7 +156,7 @@ object Similarity {
     * Bit-identical results (same strict-fold distance, same
     * (dist, label) tie order — see the expression's doc). */
   private def assignTo(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(centArray(cent)))
+    Tables.spread(e.sparkSession, e).crossJoin(broadcast(centArray(cent)))
       .select(col("vec_id"),
         argminCentroid(col("embedding"), col("cents")).as("m"),
         col("embedding"))
@@ -272,7 +272,7 @@ object Similarity {
     // the FULL n×k crossed rows through a row_number window, the last
     // assignment site still paying a corpus-sized exchange; the
     // argmin value and (dist, clabel) tie order are bit-identical
-    val e = Tables.embeddings(s, d)
+    val e = Tables.spread(s, Tables.embeddings(s, d))
     e.crossJoin(broadcast(centArray(centroids(s, d))))
       .select(col("vec_id"), col("label"),
         argminCentroid(col("embedding"), col("cents")).as("m"))
@@ -394,7 +394,7 @@ object Similarity {
     // per-row codegen'd argmin over the folded seed array — MAP-ONLY
     // (the [[assignTo]] treatment: the previous groupBy(vec_id) argmin
     // shuffled the corpus, embedding payload included, once per level)
-    var cur = e.crossJoin(broadcast(coarse
+    var cur = Tables.spread(s, e).crossJoin(broadcast(coarse
         .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
           .as("cents"))))
       .select(col("vec_id"), col("embedding"),

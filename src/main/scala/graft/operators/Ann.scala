@@ -1325,26 +1325,21 @@ object Ann {
     s.conf.set(thresholdKey, topMFallbackThreshold(
       Runtime.getRuntime.maxMemory,
       s.sparkContext.defaultParallelism).toString)
-    // AQE is disabled for the build's eager scope (same set/restore
-    // discipline as the threshold above): at the 10× sf1 point — first
-    // executed on the r14 wide-state build — the finger-seed
-    // self-join's two sides finalize under AQE with DIFFERENT
-    // partition counts and the SortMergeJoin dies constructing its
+    // AQE stays ON through the build (r15). r14 had scoped it off
+    // wholesale to dodge a SortMergeJoin crash at the 10× sf1 point —
+    // the finger-seed join's two sides finalized under AQE with
+    // DIFFERENT partition counts and the join died constructing its
     // output PartitioningCollection ("requires all of its
-    // partitionings have the same numPartitions"), taking down
-    // hnsw_edges_approx and every consumer that builds the approx
-    // store (hnsw_search_approx, ann_recall_report). Reproduced
-    // deterministically at sf1; disabling only
-    // adaptive.coalescePartitions did NOT clear it, so the whole
-    // feature is scoped off for the build — whose stages are already
-    // hand-shaped (explicit repartition by vec_id, bounded map-side
-    // heaps, slim exchanges), so AQE had nothing load-bearing to do
-    // here. AQE-off the build completes (636,248 edges at sf1); rows
-    // are execution-plan-invariant so gate hashes are untouched. The
-    // session outside the build scope keeps AQE on.
-    val coalesceKey = "spark.sql.adaptive.enabled"
-    val prevCoalesce = s.conf.getOption(coalesceKey)
-    s.conf.set(coalesceKey, "false")
+    // partitionings have the same numPartitions"). The root cause is
+    // fixed at the join itself: both sides are now explicitly
+    // repartitioned to the SAME data-derived shard count (see the
+    // finger-seed block in [[hnswEdgesApproxPlan]]), which AQE leaves
+    // alone (user-specified partition counts are never coalesced), so
+    // the mismatch cannot arise and the rest of the build keeps AQE's
+    // small-partition coalescing and skew handling — the r14 scoping
+    // had also removed ~20 stages' worth of adaptive right-sizing at
+    // the bench SFs (8-core beat 32-core on this query, the VERDICT
+    // r14 scaling block).
     // the plan call itself runs eager jobs (measuredKeyDims,
     // sampledExactPairs, measuredCapture, escalated NND rounds), so it
     // sits INSIDE the try: a failure mid-build must still restore the
@@ -1365,10 +1360,6 @@ object Ann {
       prevThreshold match {
         case Some(v) => s.conf.set(thresholdKey, v)
         case None    => s.conf.unset(thresholdKey)
-      }
-      prevCoalesce match {
-        case Some(v) => s.conf.set(coalesceKey, v)
-        case None    => s.conf.unset(coalesceKey)
       }
       track.foreach(freeBuildState)
     }
@@ -1409,6 +1400,37 @@ object Ann {
         lr.rdd.unpersist(false)
       case _ => df.unpersist(false)
     }
+
+  /** Data-derived shard count for the build's EXPLICIT repartitions —
+    * the scale-adaptive replacement for the r14 constant
+    * `defaultParallelism` target (the [[graft.streaming.StreamingOps]]
+    * feed-shard pattern): enough partitions that each holds ~32 MB of
+    * the given rows, floored at 8 so small corpora still spread off a
+    * 1–2-split scan, capped by the session's parallelism — the cap is
+    * what binds at warehouse scale, so nothing here assumes local[32].
+    * At the bench SFs this turns 32 tiny tasks per explicit exchange
+    * into 8 (sf0.1's whole build state is ~KBs–MBs), which is where the
+    * measured 8-core-beats-32-core inversion on this query lived. */
+  private def buildShards(s: SparkSession, rows: Long,
+      bytesPerRow: Long): Int = {
+    val bytes = math.max(1L, rows) * bytesPerRow
+    val byVolume = math.ceil(bytes.toDouble / (32L << 20)).toLong
+    math.max(8L, math.min(s.sparkContext.defaultParallelism.toLong, byVolume))
+      .toInt
+  }
+
+  /** Shard count for the build's COMPUTE-BOUND join stages (candidate
+    * scoring, NND co-neighbor scoring), derived from the ESTIMATED
+    * distance-fold count rather than bytes: these stages carry slim id
+    * rows but evaluate a 64-wide fold per candidate pair, so byte-based
+    * sizing (AQE's coalescing included) serializes exactly the stages
+    * that need cores — the measured r14 pathology behind the
+    * 8-core-beats-32 inversion. ~512k folds per shard keeps local
+    * shards ≥ a few hundred ms of real work; the parallelism cap binds
+    * at warehouse scale (the session knob stays authoritative). */
+  private def foldShards(s: SparkSession, pairsEst: Double): Int =
+    math.max(8L, math.min(s.sparkContext.defaultParallelism.toLong,
+      math.ceil(pairsEst / 512000.0).toLong)).toInt
 
   /** The build plan of [[hnswEdgesApprox]] (everything up to the
     * final rank). Every intermediate frame the caller must free after
@@ -1486,7 +1508,10 @@ object Ann {
         bucketCols.map(bc => col(s"pb.$bc").as(bc)): _*)
       .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
       .drop("rn")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      // explicit spread of the capped bucket rows (vector payload rides
+      // along — ~550 B/row × nProj copies): shard count derives from
+      // that volume, not the session's core count ([[buildShards]])
+      .repartition(buildShards(s, cnt * nProj, 560L), col("vec_id"))
       .cache()
     track += bve
     // the payload re-attach: one broadcast of the corpus serves every
@@ -1520,8 +1545,26 @@ object Ann {
     // often. Bit-identical distances: (x−y)² = (y−x)² term by term and
     // the fold visits the same index order, so the (dist, id) heaps
     // and the DISTINCT-formulated oracle are untouched.
+    //
+    // BOTH join sides are explicitly repartitioned on the join key to
+    // the SAME pinned, fold-count-derived shard count ([[foldShards]]):
+    // (1) under AQE the two sides of a shuffled join can finalize with
+    // different partition counts, and any SMJ under a Union crashes
+    // constructing its PartitioningCollection when the union's
+    // doExecute asks for output partitioning (the r14 sf1 crash — the
+    // candidate joins feed exactly such unions); a user-specified
+    // count is never AQE-coalesced, so the sides stay equal by
+    // construction. (2) The scoring stage is compute-bound on slim
+    // rows, so AQE's byte-based coalescing would serialize it — the
+    // pinned count sizes it by estimated distance folds instead. The
+    // exchange count is unchanged (the join required these shuffles
+    // anyway); only their partition count is pinned.
+    val candShards = foldShards(s, cnt.toDouble * nProj *
+      math.pow(2 * probe + 1, keyDims) * cap / 2)
+    val keyJoinCols = ("proj_id" +: bucketCols).map(col)
     val half = attach(
-      bve.as("l").join(probed.as("r"),
+      bve.repartition(candShards, keyJoinCols: _*).as("l")
+        .join(probed.repartition(candShards, keyJoinCols: _*).as("r"),
           keyEq && col("l.vec_id") < col("r.vec_id"))
         .select(col("l.vec_id").as("a"), col("l.embedding").as("lv"),
           col("r.vec_id").as("b"),
@@ -1578,14 +1621,27 @@ object Ann {
     val ranks = intra.join(broadcast(offs), "bkt")
       .select(col("vec_id"), (col("boff") + col("ir")).as("r"))
     // finger pairs move (id, level, rank) only — n·fingers slim rows
-    // through the rank equi-join, payloads re-attached map-side
+    // through the rank equi-join, payloads re-attached map-side.
+    // BOTH sides of the rank equi-join are explicitly repartitioned to
+    // the SAME data-derived shard count: under AQE the two sides of
+    // this join could finalize with different partition counts and the
+    // SortMergeJoin crashed constructing its PartitioningCollection
+    // (r14's sf1 "requires all of its partitionings have the same
+    // numPartitions" — r14 scoped AQE off wholesale to dodge it). A
+    // user-specified partition count is never AQE-coalesced, so the
+    // sides stay aligned by construction, the join plans with zero
+    // extra exchanges (each side already hash-partitioned on its key),
+    // and AQE stays ON for the rest of the build.
+    val fingerShards = buildShards(s, cnt * (fingers + 1L), 48L)
     val er = e.select(col("vec_id"), col("level")).join(ranks, "vec_id")
     val fj = er.select(col("vec_id"), col("level"), col("r"),
         explode(sequence(lit(0), lit(fingers - 1))).as("j"))
       .withColumn("pr", expr(s"(r + shiftleft(1L, j)) % ${math.max(cnt, 1L)}"))
+      .repartition(fingerShards, col("pr"))
+    val erByRank = er.repartition(fingerShards, col("r"))
     val fingerScored = attach(attach(
       fj.as("l")
-        .join(er.as("r2"), col("l.pr") === col("r2.r"))
+        .join(erByRank.as("r2"), col("l.pr") === col("r2.r"))
         .filter(col("l.vec_id") =!= col("r2.vec_id"))
         .select(col("l.vec_id").as("src"), col("r2.vec_id").as("dst"),
           least(col("l.level"), col("r2.level"), lit(MaxLevel)).as("minl")),
@@ -1699,8 +1755,16 @@ object Ann {
       // shuffle sides, ~76 GB at the 2M-vector fixture. The n·(2m)²
       // candidate stream never shuffles at all: self-join → attach ×2
       // → score → partial TopMEdges heap is one map stage.
+      // the self-join's sides are ONE explicitly repartitioned frame
+      // with a pinned, fold-count-derived shard count — same two
+      // reasons as the bucket candidate join above: equal-count sides
+      // under AQE (this SMJ feeds topM's union — the exact site of the
+      // r14 sf1 PartitioningCollection crash), and fold-derived (not
+      // byte-derived) parallelism for the n·(2m)² scoring stage
+      val nbShards = foldShards(s, 2.0 * cnt * (2 * m) * (2 * m))
       val nb = baseM.select(col("level"), col("src"), col("dst"))
         .unionByName(revCapped.select(col("level"), col("src"), col("dst")))
+        .repartition(nbShards, col("level"), col("src"))
       // co-neighbor proposals are symmetric (u,v share a hub s in
       // either order), so score each unordered pair once (join on <)
       // and mirror the directed rows in the same map stage — half the
